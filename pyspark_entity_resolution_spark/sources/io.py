@@ -1,0 +1,69 @@
+"""Parquet / CSV readers and writers (reference src/utils.py:31-54, S2-S6).
+
+Writers default to snappy parquet, overwrite mode. ``coalesce(1)`` is opt-in
+and only sensible for small final outputs — at scale the default keeps the
+write parallel and lets AQE size the output partitions.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    header: bool = True,
+    delimiter: str = ",",
+    infer_schema: bool = False,
+    schema=None,
+) -> DataFrame:
+    reader = spark.read.options(header=header, delimiter=delimiter)
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif infer_schema:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def write_parquet(
+    df: DataFrame, dest: str, single_file: bool = False, compression: str = "snappy"
+) -> None:
+    out = df.coalesce(1) if single_file else df
+    out.write.option("compression", compression).mode("overwrite").parquet(dest)
+
+
+def write_csv(
+    df: DataFrame,
+    dest: str,
+    sep: str = ",",
+    single_file: bool = True,
+    rename_to: str | None = None,
+) -> None:
+    """CSV sink; with ``rename_to``, the part file is renamed afterwards
+    (reference src/utils.py:40-54 hardcodes ``Matched_Entities.csv``)."""
+    out = df.coalesce(1) if single_file else df
+    out.write.options(header="true", delimiter=sep).mode("overwrite").csv(dest)
+    if rename_to:
+        for file in sorted(os.listdir(dest)):
+            if file.endswith(".csv"):
+                os.rename(os.path.join(dest, file), os.path.join(dest, rename_to))
+                break
+
+
+def prefix_columns(df: DataFrame, prefix: str, rename: dict[str, str] | None = None) -> DataFrame:
+    """Prefix every column with ``{prefix}_`` in ONE projection (the
+    reference chains a ``withColumnRenamed`` per column,
+    src/utils.py:24-28 — N plan nodes for no reason)."""
+    from pyspark.sql import functions as F
+
+    rename = rename or {}
+    return df.select(
+        *[F.col(f"`{c}`").alias(f"{prefix}_{rename.get(c, c)}") for c in df.columns]
+    )

@@ -1,0 +1,70 @@
+"""Distributed connected-components tests (replaces reference driver DFS,
+src/clustering.py:6-54)."""
+
+from pyspark_entity_resolution_spark.operators.clustering import (
+    cluster_matched_pairs,
+    connected_components,
+)
+
+
+def _components_as_partitions(rows):
+    from collections import defaultdict
+
+    groups = defaultdict(set)
+    for r in rows:
+        groups[r["component"]].add(r["node"])
+    return {frozenset(g) for g in groups.values()}
+
+
+def test_chain_and_fanout(spark):
+    # chain a-b-c-d plus fan-out e-{f,g}, isolated pair h-i
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("e", "f"), ("e", "g"), ("h", "i")],
+        ["src", "dst"],
+    )
+    got = _components_as_partitions(connected_components(edges).collect())
+    assert got == {
+        frozenset({"a", "b", "c", "d"}),
+        frozenset({"e", "f", "g"}),
+        frozenset({"h", "i"}),
+    }
+
+
+def test_long_chain_converges(spark):
+    # a 40-node path: the worst case for label propagation (diameter 40);
+    # the reference's recursive DFS would be fine here but crashes at
+    # recursion depth ~1000 — ours is bounded by iterations, not depth.
+    n = 40
+    edges = spark.createDataFrame(
+        [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(n)], ["src", "dst"]
+    )
+    rows = connected_components(edges, max_iterations=64).collect()
+    comps = {r["component"] for r in rows}
+    assert comps == {"n000"}  # min label wins
+    assert len(rows) == n + 1
+
+
+def test_cycle(spark):
+    edges = spark.createDataFrame(
+        [("x", "y"), ("y", "z"), ("z", "x")], ["src", "dst"]
+    )
+    got = _components_as_partitions(connected_components(edges).collect())
+    assert got == {frozenset({"x", "y", "z"})}
+
+
+def test_cluster_matched_pairs_namespacing(spark):
+    # same numeric id on both sides must NOT merge (distinct datasets)
+    matches = spark.createDataFrame(
+        [(1, 1), (2, 3)], ["a_id", "b_id"]
+    )
+    rows = cluster_matched_pairs(matches, "a_id", "b_id").collect()
+    from collections import defaultdict
+
+    groups = defaultdict(set)
+    for r in rows:
+        groups[r["cluster_id"]].add((r["df_name"], r["id"]))
+    parts = {frozenset(g) for g in groups.values()}
+    assert parts == {
+        frozenset({("a", "1"), ("b", "1")}),
+        frozenset({("a", "2"), ("b", "3")}),
+    }
