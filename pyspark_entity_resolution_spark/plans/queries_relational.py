@@ -1,0 +1,362 @@
+"""Relational operator inventory (SURVEY.md §2.1-2.6) as driver-contract
+queries over the TPC-H-ish testdata, each with a DuckDB oracle.
+
+Performance notes (100 TB design):
+- Aggregations are expressed groupBy->agg so Catalyst plans partial
+  (map-side) aggregation before the shuffle.
+- The left joins put the small dimension on the build side; Catalyst
+  broadcasts it (verified via explain in tests/bench).
+- Filters precede projections so parquet pushdown prunes row groups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .common import QuerySpec, load
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def q(name: str, sql: str | None, doc: str = ""):
+    def deco(fn):
+        QUERIES[name] = QuerySpec(fn=fn, sql=sql, doc=doc)
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------- scans --
+
+@q(
+    "scan_parquet_projection",
+    "SELECT r_regionkey AS region_key, r_name AS region_name FROM region",
+    "S2 parquet scan + P2 projection/alias",
+)
+def scan_parquet_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("region_key"), F.col("r_name").alias("region_name")
+    )
+
+
+@q(
+    "filter_year_and_contains",
+    """
+    SELECT o_orderkey, o_custkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           o_orderpriority
+    FROM orders
+    WHERE EXTRACT(year FROM o_orderdate) BETWEEN 1996 AND 1998
+      AND contains(o_orderpriority, 'URGENT')
+    """,
+    "P5 year-range + substring predicate (reference filter_by_year_and_venue,"
+    " src/cleaning.py:163-172)",
+)
+def filter_year_and_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return orders.filter(
+        F.year("o_orderdate").between(1996, 1998)
+        & F.col("o_orderpriority").contains("URGENT")
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        "o_orderpriority",
+    )
+
+
+# --------------------------------------------------------------- joins --
+
+@q(
+    "cross_join_filtered",
+    """
+    SELECT r.r_name AS region_name, n.n_name AS nation_name
+    FROM region r CROSS JOIN nation n
+    WHERE contains(n.n_name, 'A') AND contains(r.r_name, 'A')
+    """,
+    "J1 cross join + post-filter (reference src/match.py:94)",
+)
+def cross_join_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load(spark, sf_dir, "region")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        region.crossJoin(nation)
+        .filter(F.col("n_name").contains("A") & F.col("r_name").contains("A"))
+        .select(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+    )
+
+
+@q(
+    "left_join_dim",
+    """
+    SELECT s.s_suppkey, s.s_name, n.n_name AS nation_name
+    FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+    """,
+    "J2 left equi-join, broadcast-eligible dimension (reference "
+    "src/create_graph.py:69-74)",
+)
+def left_join_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier = load(spark, sf_dir, "supplier")
+    nation = F.broadcast(load(spark, sf_dir, "nation"))
+    return supplier.join(
+        nation, supplier.s_nationkey == nation.n_nationkey, "left"
+    ).select("s_suppkey", "s_name", F.col("n_name").alias("nation_name"))
+
+
+# --------------------------------------------------------- aggregations --
+
+@q(
+    "tpch_q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10)) ) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,10))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    "A-class hash aggregate with exact decimal accumulation (TPC-H Q1 shape)",
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    dec = lambda c, t="DECIMAL(18,2)": F.col(c).cast(t)
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "DECIMAL(28,10)"
+    )
+    charge = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    ).cast("DECIMAL(28,10)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(dec("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            (F.sum(dec("l_discount")).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@q(
+    "join_agg_revenue_by_segment",
+    """
+    SELECT c.c_mktsegment,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderstatus = 'O'
+    GROUP BY c.c_mktsegment
+    """,
+    "multi-join + aggregate (TPC-H Q3 shape); fact-fact sort-merge join with"
+    " broadcast customer dim at scale",
+)
+def join_agg_revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    li = load(spark, sf_dir, "lineitem")
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "DECIMAL(28,10)"
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@q(
+    "tpch_q6_forecast_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,10))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24
+    """,
+    "selective scan aggregate; predicate pushdown to parquet (TPC-H Q6 shape)",
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("DECIMAL(28,10)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@q(
+    "groupby_min_max_count",
+    """
+    SELECT o_custkey,
+           COUNT(*) AS n_orders,
+           strftime(MIN(o_orderdate), '%Y-%m-%d') AS first_order,
+           MAX(o_totalprice) AS max_price
+    FROM orders GROUP BY o_custkey
+    """,
+    "A1-style per-group aggregate with deterministic min/max (reference used"
+    " nondeterministic first(), src/create_graph.py:62-64)",
+)
+def groupby_min_max_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("first_order"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
+
+
+@q(
+    "pivot_status_counts",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS P
+    FROM orders GROUP BY o_orderpriority
+    """,
+    "A2 pivot aggregate with explicit pivot values (reference "
+    "src/create_graph.py:79-87; explicit values skip the distinct scan)",
+)
+def pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pivoted = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    # Spark pivot yields NULL for absent combinations; the oracle's FILTER
+    # count yields 0 — normalize.
+    return pivoted.select(
+        "o_orderpriority",
+        F.coalesce("O", F.lit(0)).alias("O"),
+        F.coalesce("F", F.lit(0)).alias("F"),
+        F.coalesce("P", F.lit(0)).alias("P"),
+    )
+
+
+@q(
+    "distinct_pairs",
+    "SELECT DISTINCT o_orderpriority, o_orderstatus FROM orders",
+    "A4 distinct (reference src/match.py:118-120)",
+)
+def distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "orders").select("o_orderpriority", "o_orderstatus").distinct()
+
+
+# ----------------------------------------------------------- set ops --
+
+@q(
+    "union_entities",
+    """
+    SELECT c_custkey AS entity_id, c_name AS entity_name, 'customer' AS src FROM customer
+    UNION ALL
+    SELECT s_suppkey AS entity_id, s_name AS entity_name, 'supplier' AS src FROM supplier
+    """,
+    "U1 union (bag semantics, by name — reference src/match.py:118 used"
+    " positional union)",
+)
+def union_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("entity_id"),
+        F.col("c_name").alias("entity_name"),
+        F.lit("customer").alias("src"),
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("entity_id"),
+        F.col("s_name").alias("entity_name"),
+        F.lit("supplier").alias("src"),
+    )
+    return c.unionByName(s)
+
+
+@q(
+    "intersect_nation_keys",
+    """
+    SELECT c_nationkey AS nation_key FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nation_key FROM supplier
+    """,
+    "U2 intersect (reference src/performance.py:13)",
+)
+def intersect_nation_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nation_key"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nation_key"))
+    return c.intersect(s)
+
+
+@q(
+    "except_customers_without_orders",
+    """
+    SELECT c_custkey AS cust_key FROM customer
+    EXCEPT
+    SELECT o_custkey AS cust_key FROM orders
+    """,
+    "U3 subtract/EXCEPT, set semantics (reference src/performance.py:14-15)",
+)
+def except_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("cust_key"))
+    o = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("cust_key"))
+    return c.subtract(o)
+
+
+# ------------------------------------------------- scalar function pack --
+
+@q(
+    "scalar_string_pack",
+    """
+    SELECT p_partkey,
+           lower(p_name) AS name_lower,
+           trim(p_name) AS name_trim,
+           string_split(p_name, ' ')[1] AS first_token,
+           CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_tokens,
+           regexp_replace(p_brand, '[^0-9]', '', 'g') AS brand_digits,
+           CAST(contains(p_type, 'ECONOMY') AS BOOLEAN) AS is_economy,
+           CAST(p_size AS BIGINT) + 100 AS size_plus
+    FROM part
+    """,
+    "F1-F5/F8 scalar pack: lower/trim/split/getItem/regexp_replace/contains/"
+    "cast/arithmetic (reference src/cleaning.py:101-160)",
+)
+def scalar_string_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    toks = F.split(F.col("p_name"), " ")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.trim("p_name").alias("name_trim"),
+        F.get(toks, 0).alias("first_token"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.regexp_replace("p_brand", "[^0-9]", "").alias("brand_digits"),
+        F.col("p_type").contains("ECONOMY").alias("is_economy"),
+        (F.col("p_size").cast("bigint") + 100).alias("size_plus"),
+    )
