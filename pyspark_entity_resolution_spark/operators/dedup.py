@@ -1,0 +1,287 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families, all expressed as declarative DataFrame plans that scale to
+100 TB:
+
+- **exact**: hash-groupBy on a normalized fingerprint — one shuffle keyed
+  by the fingerprint; skew-safe (identical docs hash to one key, AQE
+  splits pathological groups).
+- **MinHash + LSH**: shingle -> k md5-minhashes -> band buckets ->
+  equi-join on (band, bucket) — candidate generation is a self equi-join
+  on the band key, NOT an O(n²) cross join. md5 is used as the hash family
+  (seeded by prefixing the seed index) because it is bit-identical across
+  engines, making the whole pipeline oracle-checkable.
+- **SimHash**: 64-bit signed-sum signature over token md5 bits; near-dup
+  candidates share one of four 16-bit chunks (Hamming<=3-by-pigeonhole
+  style banding).
+- **n-gram Jaccard**: exact character-shingle Jaccard verification over
+  blocked pairs.
+
+All hashing/scoring is JVM-side expression work; the only shuffles are the
+group-bys/joins that the algorithms fundamentally require.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import char_shingles, tokens
+
+HEX = "0123456789abcdef"
+
+
+# ------------------------------------------------------------- exact --
+
+def exact_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Group identical (whitespace-normalized) texts.
+
+    Returns ``(fingerprint, n_copies, representative)`` with the MIN id as
+    deterministic representative. One hash-shuffle on the fingerprint.
+    """
+    normalized = F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    return (
+        df.select(F.md5(normalized).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min(id_col).alias("representative"),
+        )
+    )
+
+
+# ------------------------------------------------------- minhash/LSH --
+
+def minhash_signature(toks: Column, num_hashes: int) -> Column:
+    """k-permutation MinHash signature as an array of md5-hex minima.
+
+    Permutation *i* is simulated by prefixing ``"{i}:"`` before hashing —
+    deterministic, seedless, engine-portable.
+    """
+    distinct = F.array_distinct(toks)
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(distinct, lambda t: F.md5(F.concat(F.lit(f"{i}:"), t)))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_band_keys(sig: Column, bands: int, rows_per_band: int) -> Column:
+    """LSH band buckets: md5 of each band's concatenated signature rows."""
+    return F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "", F.slice(sig, j * rows_per_band + 1, rows_per_band)
+                )
+            )
+            for j in range(bands)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    bands: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs: ids sharing at least one LSH band
+    bucket. Plan shape: project signatures -> explode bands -> self
+    equi-join on (band_idx, band_key) -> distinct pairs."""
+    rows_per_band = num_hashes // bands
+    toks = tokens(F.col(text_col))
+    sig = minhash_signature(toks, num_hashes)
+    keys = minhash_band_keys(sig, bands, rows_per_band)
+
+    banded = df.select(
+        F.col(id_col),
+        F.posexplode(keys).alias("band_idx", "band_key"),
+    )
+    a = banded.select(
+        F.col(id_col).alias("a_id"), "band_idx", "band_key"
+    )
+    b = banded.select(
+        F.col(id_col).alias("b_id"), "band_idx", "band_key"
+    )
+    return (
+        a.join(b, on=["band_idx", "band_key"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+
+
+def verify_token_jaccard(
+    candidates: DataFrame,
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Join candidate pairs back to texts and keep pairs whose exact
+    distinct-token Jaccard clears the threshold."""
+    toks = F.array_distinct(tokens(F.col(text_col)))
+    sides = df.select(F.col(id_col), toks.alias("toks"))
+    a = sides.select(F.col(id_col).alias("a_id"), F.col("toks").alias("a_toks"))
+    b = sides.select(F.col(id_col).alias("b_id"), F.col("toks").alias("b_toks"))
+    jac = F.size(F.array_intersect("a_toks", "b_toks")).cast("double") / F.size(
+        F.array_union("a_toks", "b_toks")
+    )
+    return (
+        candidates.join(a, on="a_id")
+        .join(b, on="b_id")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    bands: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """LSH candidates + exact-Jaccard verification (the standard
+    generate-then-verify near-dup pipeline)."""
+    cands = minhash_lsh_candidates(df, id_col, text_col, num_hashes, bands)
+    return verify_token_jaccard(cands, df, id_col, text_col, threshold)
+
+
+# ----------------------------------------------------------- simhash --
+
+def simhash64_hex(toks: Column) -> Column:
+    """64-bit SimHash of a token array, rendered as a 16-char hex string.
+
+    For each bit position p, sums +1/-1 over tokens according to bit p of
+    the token's md5 (first 16 hex chars = 64 bits); positive sum -> 1.
+    Hex-string output avoids signed-int64 overflow semantics and is
+    portable to the DuckDB oracle.
+    """
+    md5s = F.transform(toks, F.md5)
+
+    def bit_sum(p: Column) -> Column:
+        nibble_idx = F.floor(p / 4).cast("int") + 1  # 1-based hex char index
+        # 2^(3 - p%4) from a literal table — shiftright needs a literal
+        # shift amount, so divide by the power of two instead
+        divisor = F.element_at(F.lit([8, 4, 2, 1]), (p % 4).cast("int") + 1)
+        return F.aggregate(
+            md5s,
+            F.lit(0).cast("bigint"),
+            lambda acc, h: acc
+            + (
+                (
+                    F.floor(
+                        F.conv(h.substr(nibble_idx, F.lit(1)), 16, 10).cast("int")
+                        / divisor
+                    ).cast("int")
+                    % 2
+                )
+                * 2
+                - 1
+            ).cast("bigint"),
+        )
+
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda p: F.when(bit_sum(p) > 0, F.lit(1)).otherwise(F.lit(0)),
+    )
+
+    nibbles = F.transform(
+        F.sequence(F.lit(0), F.lit(15)),
+        lambda i: F.substring(
+            F.lit(HEX),
+            (
+                F.element_at(bits, i * 4 + 1) * 8
+                + F.element_at(bits, i * 4 + 2) * 4
+                + F.element_at(bits, i * 4 + 3) * 2
+                + F.element_at(bits, i * 4 + 4)
+                + 1
+            ).cast("int"),
+            1,
+        ),
+    )
+    return F.array_join(nibbles, "")
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, simhash-hex) per document."""
+    return df.select(
+        F.col(id_col), simhash64_hex(tokens(F.col(text_col))).alias("simhash")
+    )
+
+
+def simhash_candidates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Near-duplicate candidates: pairs sharing at least one of the four
+    16-bit simhash chunks (4-char hex slices) — pigeonhole guarantee for
+    Hamming distance <= 3. Equi-join on (chunk_idx, chunk)."""
+    sigs = simhash_signatures(df, id_col, text_col)
+    chunks = sigs.select(
+        F.col(id_col),
+        "simhash",
+        F.posexplode(
+            F.array(*[F.substring("simhash", 1 + 4 * i, 4) for i in range(4)])
+        ).alias("chunk_idx", "chunk"),
+    )
+    a = chunks.select(
+        F.col(id_col).alias("a_id"), F.col("simhash").alias("a_sim"), "chunk_idx", "chunk"
+    )
+    b = chunks.select(
+        F.col(id_col).alias("b_id"), F.col("simhash").alias("b_sim"), "chunk_idx", "chunk"
+    )
+    return (
+        a.join(b, on=["chunk_idx", "chunk"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_sim", "b_sim")
+        .distinct()
+    )
+
+
+# ------------------------------------------------------ n-gram Jaccard --
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_cols: list[str] = ("lang", "source"),
+    k: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Character-k-gram set Jaccard over blocked pairs.
+
+    Blocking keeps the self-join linear-ish (pairs only within a block);
+    at scale the block columns should bound group size (LSH is the
+    unblocked alternative).
+    """
+    block_cols = list(block_cols)
+    grams = F.array_distinct(char_shingles(F.col(text_col), k))
+    base = df.select(F.col(id_col), *block_cols, grams.alias("grams"))
+    a = base.select(
+        F.col(id_col).alias("a_id"), *block_cols, F.col("grams").alias("a_grams")
+    )
+    b = base.select(
+        F.col(id_col).alias("b_id"), *block_cols, F.col("grams").alias("b_grams")
+    )
+    jac = F.size(F.array_intersect("a_grams", "b_grams")).cast("double") / F.size(
+        F.array_union("a_grams", "b_grams")
+    )
+    return (
+        a.join(b, on=block_cols)
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("ngram_jaccard", jac)
+        .filter(F.col("ngram_jaccard") >= threshold)
+        .select("a_id", "b_id", "ngram_jaccard")
+    )

@@ -1,0 +1,253 @@
+"""Text-analysis + deduplication queries with DuckDB oracles.
+
+The hash family underlying MinHash/SimHash is md5 (bit-identical in Spark
+and DuckDB), so even the LSH pipelines are fully oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..operators import dedup as D
+from .common import QuerySpec, load
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def q(name: str, sql: str | None, doc: str = ""):
+    def deco(fn):
+        QUERIES[name] = QuerySpec(fn=fn, sql=sql, doc=doc)
+        return fn
+
+    return deco
+
+
+_TOKS_SQL = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
+
+
+@q(
+    "text_statistics",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS tk, text FROM documents)
+    SELECT doc_id,
+           CAST(len(tk) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(tk)) AS BIGINT) AS n_unique_tokens,
+           CAST(list_aggregate(list_transform(tk, x -> len(x)), 'sum') AS DOUBLE)
+             / len(tk) AS avg_token_len,
+           CAST(len(list_filter(tk, x -> list_contains(
+                 [{{stopwords}}], x))) AS DOUBLE) / len(tk) AS stop_ratio
+    FROM t
+    """.replace(
+        "{stopwords}",
+        ", ".join(
+            "'" + w.replace("'", "''") + "'"
+            for w in __import__(
+                "pyspark_entity_resolution_spark.functions.stopwords",
+                fromlist=["ENGLISH_STOPWORDS"],
+            ).ENGLISH_STOPWORDS
+        ),
+    ),
+    "token/char statistics per document (training-data quality signals)",
+)
+def text_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    c = F.col("text")
+    return d.select(
+        "doc_id",
+        T.token_count(c).alias("n_tokens"),
+        T.unique_token_count(c).alias("n_unique_tokens"),
+        T.avg_token_length(c).alias("avg_token_len"),
+        T.stopword_ratio(c).alias("stop_ratio"),
+    )
+
+
+_LANG_SCORE_SQL = {
+    lang: (
+        f"len(list_filter(tk, x -> list_contains("
+        f"[{', '.join(repr(m) for m in markers)}], x)))"
+    )
+    for lang, markers in T.LANG_MARKERS.items()
+}
+
+
+@q(
+    "text_language_id",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    s AS (
+      SELECT doc_id,
+             {_LANG_SCORE_SQL['de']} AS s_de,
+             {_LANG_SCORE_SQL['en']} AS s_en,
+             {_LANG_SCORE_SQL['es']} AS s_es,
+             {_LANG_SCORE_SQL['fr']} AS s_fr
+      FROM t
+    )
+    SELECT doc_id,
+           CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                WHEN s_es >= s_fr THEN 'es'
+                ELSE 'fr' END AS detected_lang
+    FROM s
+    """,
+    "marker-stopword language-ID heuristic (argmax with code-order "
+    "tie-break); the operator shape for n-gram language ID",
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", T.detect_language(F.col("text")).alias("detected_lang"))
+
+
+_GRAMS_SQL = (
+    "list_transform(range(1, greatest(1, len(text) - 2) + 1),"
+    " i -> text[i : i + 2])"
+)
+
+
+@q(
+    "text_fingerprints",
+    f"""
+    SELECT doc_id,
+           md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp_md5,
+           list_aggregate(list_transform(list_distinct({_GRAMS_SQL}), g -> md5(g)),
+                          'min') AS fp_minhash
+    FROM documents
+    """,
+    "document fingerprinting: normalized-md5 + 1-permutation minhash over "
+    "char 3-grams (rolling-hash fingerprint family)",
+)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    c = F.col("text")
+    minhash = F.array_min(
+        F.transform(F.array_distinct(T.char_shingles(c, 3)), F.md5)
+    )
+    return d.select(
+        "doc_id",
+        T.fingerprint_md5(c).alias("fp_md5"),
+        minhash.alias("fp_minhash"),
+    )
+
+
+@q(
+    "dedup_exact",
+    """
+    SELECT md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint,
+           COUNT(*) AS n_copies,
+           MIN(doc_id) AS representative
+    FROM documents GROUP BY 1
+    """,
+    "exact dedup: hash-groupBy on normalized fingerprint, deterministic "
+    "min-id representative",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_duplicates(load(spark, sf_dir, "documents"))
+
+
+_NUM_HASHES, _BANDS, _RPB = 12, 3, 4
+_SIG_SQL = (
+    f"list_transform(range(0, {_NUM_HASHES}),"
+    " i -> list_aggregate(list_transform(tk, t -> md5(i::VARCHAR || ':' || t)),"
+    " 'min'))"
+)
+
+
+@q(
+    "dedup_minhash_lsh",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, list_distinct({_TOKS_SQL}) AS tk FROM documents
+    ),
+    sigs AS (SELECT doc_id, {_SIG_SQL} AS sig FROM toks),
+    bands AS (
+      SELECT doc_id, j AS band_idx,
+             md5(array_to_string(sig[j * {_RPB} + 1 : j * {_RPB} + {_RPB}], ''))
+               AS band_key
+      FROM sigs, UNNEST(range(0, {_BANDS})) AS u(j)
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    )
+    SELECT c.a_id, c.b_id,
+           CAST(len(list_intersect(ta.tk, tb.tk)) AS DOUBLE)
+             / len(list_distinct(ta.tk || tb.tk)) AS jaccard
+    FROM cands c
+    JOIN toks ta ON ta.doc_id = c.a_id
+    JOIN toks tb ON tb.doc_id = c.b_id
+    WHERE CAST(len(list_intersect(ta.tk, tb.tk)) AS DOUBLE)
+             / len(list_distinct(ta.tk || tb.tk)) >= 0.5
+    """,
+    "MinHash-LSH near-dup dedup: 12 md5-minhashes, 3 bands x 4 rows, "
+    "band-bucket equi-join candidates, exact-Jaccard verify >= 0.5",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_dedup(
+        load(spark, sf_dir, "documents"),
+        num_hashes=_NUM_HASHES,
+        bands=_BANDS,
+        threshold=0.5,
+    )
+
+
+@q(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH g AS (
+      SELECT doc_id, lang, source, list_distinct({_GRAMS_SQL}) AS grams
+      FROM documents
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / len(list_distinct(a.grams || b.grams)) AS ngram_jaccard
+    FROM g a JOIN g b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / len(list_distinct(a.grams || b.grams)) >= 0.6
+    """,
+    "char-3-gram set Jaccard near-dup detection over (lang, source) blocks",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), block_cols=["lang", "source"], k=3,
+        threshold=0.6,
+    )
+
+
+_SIMHASH_SQL = """
+    list_transform(range(0, 16), i ->
+      '0123456789abcdef'[
+        (bits[4 * i + 1] * 8 + bits[4 * i + 2] * 4
+         + bits[4 * i + 3] * 2 + bits[4 * i + 4] + 1)
+        :
+        (bits[4 * i + 1] * 8 + bits[4 * i + 2] * 4
+         + bits[4 * i + 3] * 2 + bits[4 * i + 4] + 1)])
+"""
+
+
+@q(
+    "dedup_simhash",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    md AS (SELECT doc_id, list_transform(tk, t -> md5(t)) AS hs FROM toks),
+    b AS (
+      SELECT doc_id,
+             list_transform(range(0, 64), p ->
+               CASE WHEN list_aggregate(list_transform(hs, h ->
+                      (((strpos('0123456789abcdef', h[(p // 4) + 1 : (p // 4) + 1]) - 1)
+                        >> (3 - (p % 4))) & 1) * 2 - 1), 'sum') > 0
+                    THEN 1 ELSE 0 END) AS bits
+      FROM md
+    )
+    SELECT doc_id, array_to_string({_SIMHASH_SQL}, '') AS simhash
+    FROM b
+    """,
+    "64-bit SimHash signatures from token md5 bits (signed bit-sum), "
+    "rendered as 16-char hex — the banding-ready near-dup signature",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_signatures(load(spark, sf_dir, "documents"))
