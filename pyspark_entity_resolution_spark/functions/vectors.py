@@ -1,0 +1,41 @@
+"""Vector math over ``array<float>`` embedding columns — pure JVM-side
+expressions (``zip_with`` + left-fold ``aggregate``), no UDFs.
+
+Determinism note: folds run in element order with a 0.0 initial value, so
+the result is bit-identical to any engine that folds left in order
+(DuckDB's ``list_reduce`` after the 0+x1 == x1 identity). Elements are
+cast float->double (exact) before multiplication.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def as_double(v: Column | str) -> Column:
+    return F.transform(_col(v), lambda x: x.cast("double"))
+
+
+def _fold_sum(arr: Column) -> Column:
+    return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    return _fold_sum(F.zip_with(as_double(a), as_double(b), lambda x, y: x * y))
+
+
+def l2_norm(v: Column | str) -> Column:
+    return F.sqrt(_fold_sum(F.transform(as_double(v), lambda x: x * x)))
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def vector_dim(v: Column | str) -> Column:
+    return F.size(_col(v)).cast("bigint")

@@ -1,0 +1,172 @@
+"""Approximate-nearest-neighbor search over embedding columns.
+
+Two strategies:
+
+- :func:`brute_force_topk` — exact baseline: query x corpus join, cosine,
+  per-query top-k via a rank window. At scale the corpus side stays
+  partitioned and the (small) query side is broadcast, so the "cross
+  join" is a broadcast nested loop over corpus partitions — linear in
+  corpus size, fully parallel, no shuffle of the corpus.
+- :func:`random_hyperplane_buckets` / :func:`lsh_topk` — the scale path:
+  sign-of-projection LSH. Hyperplanes are derived deterministically from
+  md5 (computed driver-side once, embedded as literals), every vector gets
+  a small bucket signature, and search only touches same-bucket
+  candidates — turning the O(|Q|x|C|) scan into an equi-join on the
+  bucket key. Recall is tunable via number of planes / multi-probe.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.vectors import as_double, cosine
+
+
+def hyperplanes(num_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1]^dim.
+
+    Component (p, d) comes from md5("{p}:{d}") — reproducible in any
+    engine/language without a shared RNG.
+    """
+    planes = []
+    for p in range(num_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{p}:{d}".encode()).hexdigest()
+            v = int(h[:6], 16)  # 24 bits
+            row.append(((v % 2001) - 1000) / 1000.0)
+        planes.append(row)
+    return planes
+
+
+def _bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
+    """Bucket signature: one sign bit per hyperplane, as a bit-string."""
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    as_double(vec), F.lit(plane), lambda x, y: x * y
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            >= 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0"))
+        for plane in planes
+    ]
+    return F.concat(*bits)
+
+
+def random_hyperplane_buckets(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    num_planes: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Attach the LSH ``bucket`` column."""
+    planes = hyperplanes(num_planes, dim)
+    return df.withColumn("bucket", _bucket_expr(F.col(vec_col), planes))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k: returns (query_id, neighbor_id, rank, cos_sim).
+
+    Ties broken by neighbor id; self-matches excluded.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", cosine("q_vec", "c_vec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            F.round("cos_sim", 4).alias("cos_sim"),
+        )
+    )
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    num_planes: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Bucketed ANN: candidates share the LSH bucket, then exact cosine
+    top-k within candidates. The scan becomes an equi-join on ``bucket``."""
+    qb = random_hyperplane_buckets(queries, vec_col, num_planes, dim).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "bucket"
+    )
+    cb = random_hyperplane_buckets(corpus, vec_col, num_planes, dim).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "bucket"
+    )
+    scored = (
+        qb.join(cb, on="bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", cosine("q_vec", "c_vec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            F.round("cos_sim", 4).alias("cos_sim"),
+        )
+    )
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Cosine near-duplicate pairs within blocks (embedding-space dedup)."""
+    sides = df.select(F.col(id_col), F.col(vec_col), F.col(block_col).alias("block"))
+    a = sides.select(
+        F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"), "block"
+    )
+    b = sides.select(
+        F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"), "block"
+    )
+    return (
+        a.join(b, on="block")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("cos_sim", cosine("a_vec", "b_vec"))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("a_id", "b_id", F.round("cos_sim", 4).alias("cos_sim"))
+    )

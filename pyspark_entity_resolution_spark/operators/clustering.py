@@ -48,23 +48,41 @@ def connected_components(
     )
 
     for _ in range(max_iterations):
-        neighbor_min = (
-            sym.join(labels, sym.v == labels.node)
-            .select(F.col("u").alias("node"), F.col("component"))
+        # one-hop min over neighbors; the node's previous label rides along
+        # through the aggregate so convergence needs no separate join
+        neighbor_min = sym.join(labels, sym.v == labels.node).select(
+            F.col("u").alias("node"),
+            F.col("component"),
+            F.lit(None).cast(labels.schema["component"].dataType).alias("old"),
+        )
+        own = labels.select(
+            "node", "component", F.col("component").alias("old")
+        )
+        stepped = (
+            own.unionByName(neighbor_min)
+            .groupBy("node")
+            .agg(
+                F.min("component").alias("component"),
+                F.max("old").alias("old"),
+            )
+        )
+        # pointer jumping (path doubling): adopt the label OF the label —
+        # component ids are themselves node ids, so one self-join halves
+        # the remaining propagation distance each round -> O(log diameter)
+        rep = stepped.select(
+            F.col("node").alias("component"), F.col("component").alias("jumped")
         )
         new_labels = (
-            labels.unionByName(neighbor_min)
-            .groupBy("node")
-            .agg(F.min("component").alias("component"))
+            stepped.join(rep, on="component", how="left")
+            .select(
+                "node",
+                F.coalesce("jumped", "component").alias("component"),
+                "old",
+            )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("component") != F.col("old")).count()
+        labels = new_labels.select("node", "component")
         if changed == 0:
             break
     return labels

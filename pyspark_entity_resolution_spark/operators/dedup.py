@@ -159,67 +159,47 @@ def minhash_lsh_dedup(
 
 # ----------------------------------------------------------- simhash --
 
-def simhash64_hex(toks: Column) -> Column:
-    """64-bit SimHash of a token array, rendered as a 16-char hex string.
-
-    For each bit position p, sums +1/-1 over tokens according to bit p of
-    the token's md5 (first 16 hex chars = 64 bits); positive sum -> 1.
-    Hex-string output avoids signed-int64 overflow semantics and is
-    portable to the DuckDB oracle.
-    """
-    md5s = F.transform(toks, F.md5)
-
-    def bit_sum(p: Column) -> Column:
-        nibble_idx = F.floor(p / 4).cast("int") + 1  # 1-based hex char index
-        # 2^(3 - p%4) from a literal table — shiftright needs a literal
-        # shift amount, so divide by the power of two instead
-        divisor = F.element_at(F.lit([8, 4, 2, 1]), (p % 4).cast("int") + 1)
-        return F.aggregate(
-            md5s,
-            F.lit(0).cast("bigint"),
-            lambda acc, h: acc
-            + (
-                (
-                    F.floor(
-                        F.conv(h.substr(nibble_idx, F.lit(1)), 16, 10).cast("int")
-                        / divisor
-                    ).cast("int")
-                    % 2
-                )
-                * 2
-                - 1
-            ).cast("bigint"),
-        )
-
-    bits = F.transform(
-        F.sequence(F.lit(0), F.lit(63)),
-        lambda p: F.when(bit_sum(p) > 0, F.lit(1)).otherwise(F.lit(0)),
-    )
-
-    nibbles = F.transform(
-        F.sequence(F.lit(0), F.lit(15)),
-        lambda i: F.substring(
-            F.lit(HEX),
-            (
-                F.element_at(bits, i * 4 + 1) * 8
-                + F.element_at(bits, i * 4 + 2) * 4
-                + F.element_at(bits, i * 4 + 3) * 2
-                + F.element_at(bits, i * 4 + 4)
-                + 1
-            ).cast("int"),
-            1,
-        ),
-    )
-    return F.array_join(nibbles, "")
-
-
 def simhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """(id, simhash-hex) per document."""
-    return df.select(
-        F.col(id_col), simhash64_hex(tokens(F.col(text_col))).alias("simhash")
+    """(id, simhash-hex) per document — the scalable plan.
+
+    A single scalar expression (nested transform/aggregate over the token
+    array) would inline the token-md5 array into all 64 bit-sums: md5
+    recomputed 64x and an expression tree past codegen limits (measured
+    ~100x slower at sf0.1). Instead: explode tokens once, compute the 16
+    md5 nibbles per token, and fold the 64 signed bit-sums in ONE hash
+    aggregate with map-side partial aggregation — the shape that scales.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode_outer(tokens(F.col(text_col))).alias("tok")
     )
+    h = F.md5("tok")
+    nibbles = [
+        F.conv(F.substring(h, j + 1, 1), 16, 10).cast("int") for j in range(16)
+    ]
+    contribs = []
+    for p in range(64):
+        bit = F.shiftright(nibbles[p // 4], 3 - p % 4).bitwiseAND(F.lit(1))
+        contribs.append((bit * 2 - 1).cast("bigint"))
+
+    sums = toks.groupBy(id_col).agg(
+        *[F.sum(c).alias(f"s{p}") for p, c in enumerate(contribs)]
+    )
+
+    bits = [
+        F.when(F.col(f"s{p}") > 0, F.lit(1)).otherwise(F.lit(0)) for p in range(64)
+    ]
+    hex_chars = [
+        F.substring(
+            F.lit(HEX),
+            (bits[4 * i] * 8 + bits[4 * i + 1] * 4 + bits[4 * i + 2] * 2
+             + bits[4 * i + 3] + 1).cast("int"),
+            1,
+        )
+        for i in range(16)
+    ]
+    return sums.select(F.col(id_col), F.concat(*hex_chars).alias("simhash"))
 
 
 def simhash_candidates(

@@ -37,3 +37,30 @@ class QuerySpec:
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def spread(spark: SparkSession, df: DataFrame, factor: int = 1) -> DataFrame:
+    """Repartition to cluster parallelism.
+
+    The testdata tables are single small parquet files -> one input
+    partition; any pair-generating join downstream would otherwise run on
+    ONE task (the build side broadcasts, so the probe side's partitioning
+    dictates parallelism). A 100 TB input arrives pre-partitioned and this
+    becomes a no-op-ish round-robin; locally it is the difference between
+    1 and 32 cores on the O(pairs) scoring work.
+    """
+    return df.repartition(spark.sparkContext.defaultParallelism * factor)
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table carries parquet TIMESTAMP(NANOS) which Spark's
+    vectorized reader rejects outright (PARQUET_TYPE_ILLEGAL). Read nanos
+    as long and rebuild the timestamp (lossless: the generator's values
+    are microsecond-precision)."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = load(spark, sf_dir, "events")
+    return df.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("bigint"))
+    )

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from ..functions import cleaning as C
 from ..functions.similarity import token_jaccard
 from ..operators.clustering import connected_components
-from .common import QuerySpec, load
+from .common import QuerySpec, load, spread
 
 QUERIES: dict[str, QuerySpec] = {}
 
@@ -159,7 +159,7 @@ def levenshtein_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_nationkey").alias("nk"),
     )
     return (
-        a.join(b, on="nk")
+        spread(spark, a).join(b, on="nk")
         .filter(F.col("a_id") < F.col("b_id"))
         .withColumn("scores", F.levenshtein("a_name", "b_name").cast("bigint"))
         .filter(F.col("scores") <= 2)
@@ -196,7 +196,7 @@ def jaccard_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_brand").alias("brand"),
     )
     return (
-        a.join(b, on="brand")
+        spread(spark, a).join(b, on="brand")
         .filter(F.col("a_id") < F.col("b_id"))
         .withColumn("title_jaccard_sim", token_jaccard("a_name", "b_name"))
         .filter(F.col("title_jaccard_sim") >= 0.3)
@@ -276,7 +276,7 @@ def connected_components_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_nationkey").alias("nk"),
     )
     edges = (
-        a.join(b, on="nk")
+        spread(spark, a).join(b, on="nk")
         .filter(
             (F.col("u") != F.col("v"))
             & (F.levenshtein("a_name", "b_name") <= 1)
@@ -336,7 +336,7 @@ def er_flagship_doc_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_union("a_toks", "b_toks")
     )
     return (
-        a.join(b, on=["lang", "source"])
+        spread(spark, a).join(b, on=["lang", "source"])
         .filter((F.col("a_id") < F.col("b_id")) & (F.abs(F.col("a_n") - F.col("b_n")) <= 10))
         .withColumn("title_jaccard_sim", jac)
         .filter(F.col("title_jaccard_sim") >= 0.5)

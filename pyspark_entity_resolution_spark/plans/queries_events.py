@@ -1,0 +1,148 @@
+"""Event-stream analytics (batch semantics of the streaming operators)
+with DuckDB oracles: tumbling windows, sessionization, JSON extraction,
+ranked top-k. The Structured Streaming twins live in
+``pyspark_entity_resolution_spark.streaming``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .common import QuerySpec, load, load_events
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def q(name: str, sql: str | None, doc: str = ""):
+    def deco(fn):
+        QUERIES[name] = QuerySpec(fn=fn, sql=sql, doc=doc)
+        return fn
+
+    return deco
+
+
+@q(
+    "events_tumbling_window",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    "1-hour tumbling-window aggregation (batch twin of the streaming "
+    "windowed count; watermarked variant in streaming/)",
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("DECIMAL(18,2)")).cast("double").alias("total_value"),
+        )
+    )
+
+
+@q(
+    "events_sessionization",
+    """
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    )
+    SELECT user_id,
+           CAST(SUM(is_new) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM g GROUP BY user_id
+    """,
+    "gap-based sessionization (30-min inactivity) via lag window — the "
+    "batch twin of stateful streaming session windows",
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    is_new = F.when(
+        prev.isNull()
+        | (F.col("ts").cast("double") - prev.cast("double") > 1800),
+        1,
+    ).otherwise(0)
+    return (
+        e.withColumn("is_new", is_new)
+        .groupBy("user_id")
+        .agg(
+            F.sum("is_new").cast("bigint").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@q(
+    "events_json_extract",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS total_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+             / COUNT(*) AS avg_k
+    FROM events GROUP BY event_type
+    """,
+    "JSON property extraction + aggregate (semi-structured column support)",
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(k).cast("bigint").alias("total_k"),
+            (F.sum(k).cast("double") / F.count(F.lit(1))).alias("avg_k"),
+        )
+    )
+
+
+@q(
+    "orders_topk_per_customer",
+    """
+    WITH r AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rank
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= 3
+    """,
+    "deterministic per-group top-k via rank window (tie-broken on the "
+    "unique key)",
+)
+def orders_topk_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "o_custkey", "o_orderkey", "o_totalprice",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )

@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from ..functions import text as T
 from ..operators import dedup as D
-from .common import QuerySpec, load
+from .common import QuerySpec, load, spread
 
 QUERIES: dict[str, QuerySpec] = {}
 
@@ -187,7 +187,7 @@ _SIG_SQL = (
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_dedup(
-        load(spark, sf_dir, "documents"),
+        spread(spark, load(spark, sf_dir, "documents")),
         num_hashes=_NUM_HASHES,
         bands=_BANDS,
         threshold=0.5,
@@ -213,7 +213,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(
-        load(spark, sf_dir, "documents"), block_cols=["lang", "source"], k=3,
+        spread(spark, load(spark, sf_dir, "documents")), block_cols=["lang", "source"], k=3,
         threshold=0.6,
     )
 
@@ -250,4 +250,4 @@ _SIMHASH_SQL = """
     "rendered as 16-char hex — the banding-ready near-dup signature",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.simhash_signatures(load(spark, sf_dir, "documents"))
+    return D.simhash_signatures(spread(spark, load(spark, sf_dir, "documents")))

@@ -1,0 +1,116 @@
+"""Structured Streaming operators.
+
+The reference has no streaming surface (SURVEY.md §2.9); these are the
+engine's scale extensions: event streams land as files/Kafka, and the
+same declarative transformations run incrementally with watermarked
+state. Each operator takes/returns streaming DataFrames, so callers
+compose them exactly like the batch plans.
+
+Design for scale: watermarks bound state; aggregations are keyed by
+(window, event_type)-style compound keys so state shards across
+executors; dedup uses dropDuplicatesWithinWatermark so the id-set state
+is GC'd with event time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, schema: StructType = EVENT_SCHEMA
+) -> DataFrame:
+    """File-based event stream (parquet drops into ``path``); swap for a
+    Kafka source in production — the downstream plan is identical."""
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def windowed_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Tumbling-window counts/sums per event type with late-data bound.
+
+    Streaming twin of the batch ``events_tumbling_window`` query.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration).alias("win"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("DECIMAL(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def streaming_dedup(
+    events: DataFrame,
+    id_cols: list[str] = ("event_id",),
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Exactly-once-style id dedup with state GC'd by watermark."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(id_cols)
+    )
+
+
+def session_windows(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Native session windows (gap-based) per user — the streaming twin of
+    the batch lag-window sessionization."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def run_to_memory_sink(
+    stream: DataFrame, query_name: str, output_mode: str = "append"
+):
+    """Drain a stream with availableNow into an in-memory table (tests /
+    local smoke); production uses parquet/Delta sinks with checkpoints."""
+    return (
+        stream.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,89 @@
+"""Structured Streaming operator tests (availableNow -> memory sink),
+cross-checked against the batch twins."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_entity_resolution_spark.plans.common import load_events
+from pyspark_entity_resolution_spark.streaming.pipeline import (
+    read_event_stream,
+    run_to_memory_sink,
+    session_windows,
+    streaming_dedup,
+    windowed_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def event_dir(spark, tmp_path_factory):
+    """Stream-source dir: the sf0.001 events re-encoded as µs timestamps
+    (stream readers hit the same NANOS limitation as batch)."""
+    d = tmp_path_factory.mktemp("events_stream")
+    load_events(spark, "/root/testdata/sf0.001").write.mode("overwrite").parquet(
+        str(d / "data")
+    )
+    return str(d / "data")
+
+
+def test_windowed_counts_matches_batch(spark, event_dir):
+    stream = read_event_stream(spark, event_dir)
+    assert stream.isStreaming
+    query = run_to_memory_sink(
+        windowed_counts(stream), "win_counts", output_mode="complete"
+    )
+    query.processAllAvailable()
+    query.stop()
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.sql("select * from win_counts").collect()
+    }
+
+    batch = (
+        spark.read.parquet(event_dir)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("DECIMAL(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("win.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+    expected = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in batch.collect()
+    }
+    assert got == expected
+    assert len(got) > 100
+
+
+def test_streaming_dedup(spark, event_dir, tmp_path):
+    # duplicate the source files -> every event appears twice in the stream
+    dup_dir = tmp_path / "dup"
+    shutil.copytree(event_dir, dup_dir)
+    for f in (dup_dir).glob("part-*.parquet"):
+        shutil.copy(f, dup_dir / ("copy-" + f.name))
+
+    stream = read_event_stream(spark, str(dup_dir))
+    query = run_to_memory_sink(streaming_dedup(stream), "dedup_events")
+    query.processAllAvailable()
+    query.stop()
+
+    n_distinct = spark.read.parquet(event_dir).select("event_id").distinct().count()
+    got = spark.sql("select count(*) c from dedup_events").collect()[0]["c"]
+    assert got == n_distinct
+
+
+def test_session_windows_run(spark, event_dir):
+    stream = read_event_stream(spark, event_dir)
+    query = run_to_memory_sink(
+        session_windows(stream), "sessions", output_mode="complete"
+    )
+    query.processAllAvailable()
+    query.stop()
+    rows = spark.sql(
+        "select user_id, count(*) n, sum(n_events) total from sessions group by user_id"
+    ).collect()
+    assert len(rows) > 0
+    total_events = sum(r["total"] for r in rows)
+    assert total_events == spark.read.parquet(event_dir).count()
