@@ -349,3 +349,25 @@ def er_flagship_doc_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
             "title_jaccard_sim",
         )
     )
+
+
+# ---------------------------------------------------- accent folding --
+
+@q(
+    "clean_remove_accents",
+    """
+    SELECT c_custkey,
+           strip_accents('café résumé naïve Ångström piñata façade ' || c_name)
+             AS folded
+    FROM customer
+    """,
+    "D4 remove_accents: NFKD fold via Arrow-vectorized pandas UDF — the "
+    "engine's one Python hot-path op (reference src/cleaning.py:76-83); "
+    "oracle uses strip_accents (equal on Latin accents)",
+)
+def clean_remove_accents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    accented = F.concat(
+        F.lit("café résumé naïve Ångström piñata façade "), F.col("c_name")
+    )
+    return c.select("c_custkey", C.remove_accents(accented).alias("folded"))

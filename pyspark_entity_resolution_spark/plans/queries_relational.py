@@ -360,3 +360,48 @@ def scalar_string_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_type").contains("ECONOMY").alias("is_economy"),
         (F.col("p_size").cast("bigint") + 100).alias("size_plus"),
     )
+
+
+@q(
+    "tpch_q5_local_supplier_volume",
+    """
+    SELECT n.n_name AS nation_name,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,10))) AS DOUBLE)
+             AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE EXTRACT(year FROM o.o_orderdate) BETWEEN 1996 AND 1997
+    GROUP BY n.n_name
+    """,
+    "six-table join tree (TPC-H Q5 shape): fact-fact shuffle joins with "
+    "broadcast dimensions, aggregate on top",
+)
+def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate").between(1996, 1997)
+    )
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = F.broadcast(load(spark, sf_dir, "nation"))
+    r = F.broadcast(load(spark, sf_dir, "region"))
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "DECIMAL(28,10)"
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            s,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )

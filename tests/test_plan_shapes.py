@@ -1,0 +1,81 @@
+"""Physical-plan shape assertions: the 100-TB design claims, checked
+against `explain` output. These are the properties that make the engine
+scale — pushdown reaching the parquet scan, dimensions broadcasting,
+aggregates running map-side partials, and no Python in the hot path.
+"""
+
+import pytest
+
+from pyspark_entity_resolution_spark.plans.registry import all_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = all_queries()[name].fn(spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(spark, name: str) -> str:
+    import contextlib
+    import io
+
+    df = all_queries()[name].fn(spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushes_down_to_parquet_scan(spark):
+    plan = _formatted(spark, "tpch_q6_forecast_revenue")
+    assert "PushedFilters:" in plan
+    # the shipdate range must reach the scan, not sit in a post-filter only
+    assert "l_shipdate" in plan.split("PushedFilters:")[1].splitlines()[0]
+
+
+def test_column_pruning_reaches_scan(spark):
+    plan = _formatted(spark, "tpch_q6_forecast_revenue")
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    # only the 4 needed columns are read, not all 11
+    assert "l_extendedprice" in read_schema and "l_orderkey" not in read_schema
+
+
+def test_dimension_join_broadcasts(spark):
+    plan = _plan(spark, "left_join_dim")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_blocked_pairs_use_hash_join_not_cartesian(spark):
+    # the G4 rewrite: blocking is an equi-join, never a cartesian product
+    plan = _plan(spark, "levenshtein_blocked_pairs")
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan
+
+
+def test_aggregate_has_partial_phase(spark):
+    plan = _plan(spark, "tpch_q1_pricing_summary")
+    assert "partial" in plan.lower()  # map-side combine before the shuffle
+
+
+def test_no_python_eval_in_native_clean_path(spark):
+    # D1/D2/D3/D5/D6 compile to pure JVM expressions — no BatchEvalPython /
+    # ArrowEvalPython nodes anywhere in the plan
+    for name in ["clean_sort_authors", "clean_record_pack", "clean_remove_stopwords"]:
+        plan = _plan(spark, name)
+        assert "EvalPython" not in plan, name
+
+
+def test_accent_folding_is_arrow_vectorized(spark):
+    # D4 is the ONE sanctioned Python op — and it must be Arrow, not
+    # row-pickled
+    plan = _plan(spark, "clean_remove_accents")
+    assert "ArrowEvalPython" in plan
+
+
+def test_whole_stage_codegen_on_hot_path(spark):
+    # AQE shows codegen spans only in the FINAL plan — execute first
+    df = all_queries()["tpch_q1_pricing_summary"].fn(spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WholeStageCodegen" in plan or "*(1)" in plan
