@@ -146,3 +146,79 @@ def orders_topk_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+@q(
+    "events_asof_join",
+    """
+    WITH p AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+    ),
+    e AS (  -- one error per (user, ts): max event_id breaks exact-ts ties
+      SELECT user_id, ts, max(event_id) AS err_id
+      FROM events WHERE event_type = 'error' GROUP BY user_id, ts
+    )
+    SELECT p.event_id AS purchase_id,
+           e.err_id AS last_error_id,
+           CAST(date_diff('second', e.ts, p.ts) AS BIGINT) AS gap_sec
+    FROM p ASOF LEFT JOIN e
+      ON p.user_id = e.user_id AND e.ts <= p.ts
+    """,
+    "as-of join (most recent prior event): composed from union + one "
+    "last-ignorenulls window pass — a single shuffle on the key, no range "
+    "cross join; oracle uses DuckDB's native ASOF JOIN",
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import as_of_join
+
+    ev = load_events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("err_id"))
+    )
+    joined = as_of_join(purchases, errors, on=["user_id"])
+    return joined.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("err_id_right").alias("last_error_id"),
+        (F.col("ts").cast("long") - F.col("ts_right").cast("long"))
+        .cast("bigint")
+        .alias("gap_sec"),
+    )
+
+
+@q(
+    "events_rollup_daily",
+    """
+    SELECT CASE WHEN GROUPING(d) = 0 THEN strftime(d, '%Y-%m-%d') END AS day,
+           CASE WHEN GROUPING(event_type) = 0 THEN event_type END AS event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM (SELECT date_trunc('day', ts) AS d, event_type, value FROM events)
+    GROUP BY ROLLUP (d, event_type)
+    """,
+    "hierarchical rollup (day, event_type) -> daily totals -> grand total "
+    "(the hypertable-rollup shape); NULL marks aggregated-out levels",
+)
+def events_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir).select(
+        F.date_trunc("day", "ts").alias("d"), "event_type", "value"
+    )
+    return (
+        e.rollup("d", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("DECIMAL(18,2)")).cast("double").alias("total_value"),
+            F.grouping("d").alias("__gd"),
+            F.grouping("event_type").alias("__ge"),
+        )
+        .select(
+            F.when(F.col("__gd") == 0, F.date_format("d", "yyyy-MM-dd")).alias("day"),
+            F.when(F.col("__ge") == 0, F.col("event_type")).alias("event_type"),
+            "n_events",
+            "total_value",
+        )
+    )
