@@ -405,3 +405,103 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy(F.col("n_name").alias("nation_name"))
         .agg(F.sum(revenue).cast("double").alias("revenue"))
     )
+
+
+@q(
+    "semi_join_urgent_customers",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+    """,
+    "left-semi join (EXISTS): customers with at least one urgent order",
+)
+def semi_join_urgent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@q(
+    "anti_join_customers_no_open_orders",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'P')
+    """,
+    "left-anti join (NOT EXISTS): customers with no pending order",
+)
+def anti_join_customers_no_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@q(
+    "parts_above_brand_average",
+    """
+    SELECT p_partkey, p_brand, p_retailprice,
+           round(brand_avg, 4) AS brand_avg
+    FROM (
+      SELECT p_partkey, p_brand, p_retailprice,
+             CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2)))
+                    OVER (PARTITION BY p_brand) AS DOUBLE)
+               / COUNT(*) OVER (PARTITION BY p_brand) AS brand_avg
+      FROM part
+    )
+    WHERE p_retailprice > brand_avg
+    """,
+    "correlated-aggregate predicate (price above brand average) "
+    "decorrelated into a window aggregate — one shuffle, no self-join",
+)
+def parts_above_brand_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    p = load(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand")
+    brand_avg = (
+        F.sum(F.col("p_retailprice").cast("DECIMAL(18,2)")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
+    return (
+        p.withColumn("brand_avg", brand_avg)
+        .filter(F.col("p_retailprice") > F.col("brand_avg"))
+        .select(
+            "p_partkey", "p_brand", "p_retailprice",
+            F.round("brand_avg", 4).alias("brand_avg"),
+        )
+    )
+
+
+@q(
+    "count_distinct_suppliers_per_nation",
+    """
+    SELECT n.n_name AS nation_name,
+           COUNT(DISTINCT s.s_suppkey) AS n_suppliers,
+           COUNT(DISTINCT c.c_custkey) AS n_customers
+    FROM nation n
+    LEFT JOIN supplier s ON s.s_nationkey = n.n_nationkey
+    LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    "multi-column distinct aggregation (expand-based distinct agg plan)",
+)
+def count_distinct_suppliers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load(spark, sf_dir, "nation")
+    s = load(spark, sf_dir, "supplier")
+    c = load(spark, sf_dir, "customer")
+    return (
+        n.join(s, s.s_nationkey == n.n_nationkey, "left")
+        .join(c, F.col("c_nationkey") == F.col("n_nationkey"), "left")
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            F.countDistinct("s_suppkey").alias("n_suppliers"),
+            F.countDistinct("c_custkey").alias("n_customers"),
+        )
+    )
