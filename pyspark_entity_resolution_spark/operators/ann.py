@@ -170,3 +170,76 @@ def embedding_near_duplicates(
         .filter(F.col("cos_sim") >= threshold)
         .select("a_id", "b_id", F.round("cos_sim", 4).alias("cos_sim"))
     )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "centroid_vec",
+) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest
+    centroid (max cosine, ties to the lowest centroid id).
+
+    The centroid table is tiny and broadcast; assignment is a broadcast
+    nested-loop scan + rank window — linear in corpus size.
+    """
+    c = F.broadcast(
+        centroids.select(F.col(centroid_id), F.col(centroid_vec))
+    )
+    scored = df.crossJoin(c).withColumn(
+        "__sim", cosine(vec_col, centroid_vec)
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__sim").desc(), F.col(centroid_id)
+    )
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk", "__sim", centroid_vec)
+        .withColumnRenamed(centroid_id, "ivf_bucket")
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+) -> DataFrame:
+    """IVF-flat search: both sides are coarse-quantized and each query
+    probes ONLY its own centroid's inverted list — the full scan becomes
+    an equi-join on ``ivf_bucket`` (nprobe=1; widen by assigning queries
+    to multiple buckets for higher recall)."""
+    qa = ivf_assign(queries, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        "ivf_bucket",
+    )
+    ca = ivf_assign(corpus, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        "ivf_bucket",
+    )
+    scored = (
+        qa.join(ca, on="ivf_bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", cosine("q_vec", "c_vec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            F.round("cos_sim", 4).alias("cos_sim"),
+        )
+    )

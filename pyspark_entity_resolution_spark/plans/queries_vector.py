@@ -147,3 +147,59 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     return A.embedding_near_duplicates(spread(spark, e), threshold=0.25)
+
+
+_IVF_CENT = "vec_id % 50 = 0 AND vec_id < 500"  # 10 fixed coarse centroids
+
+
+@q(
+    "ann_ivf_topk",
+    f"""
+    WITH cent AS (
+      SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
+      WHERE {_IVF_CENT}
+    ),
+    assigned AS (
+      SELECT e.vec_id, e.embedding, c.centroid_id,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_COS.format(a='e.embedding', b='c.cv')} DESC,
+                        c.centroid_id) AS rk
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    b AS (
+      SELECT vec_id, embedding, centroid_id AS ivf_bucket
+      FROM assigned WHERE rk = 1
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qv, ivf_bucket FROM b WHERE vec_id < 10),
+    c2 AS (SELECT vec_id AS neighbor_id, embedding AS nv, ivf_bucket FROM b),
+    scored AS (
+      SELECT q.query_id, c2.neighbor_id,
+             {_COS.format(a='q.qv', b='c2.nv')} AS cos_full
+      FROM q JOIN c2 ON q.ivf_bucket = c2.ivf_bucket
+       AND q.query_id <> c2.neighbor_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos_full,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_full DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+           round(cos_full, 4) AS cos_sim
+    FROM ranked WHERE rank <= 3
+    """,
+    "IVF-flat ANN: coarse-quantize to 10 fixed centroids (broadcast), "
+    "probe only the query's inverted list — an equi-join on ivf_bucket",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    centroids = e.filter(
+        (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 500)
+    ).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    return A.ivf_topk(
+        e.filter(F.col("vec_id") < 10), spread(spark, e), centroids, k=3
+    )

@@ -114,3 +114,69 @@ def run_to_memory_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+RUNNING_TOTALS_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [StructField("n", LongType()), StructField("total", DoubleType())]
+)
+
+
+def running_user_totals(
+    events: DataFrame,
+    watermark: str = "1 hour",
+    reap_idle_state: bool = False,
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running event count + value total, emitted per micro-batch.
+
+    This is the escape hatch for stateful logic the built-in windowed
+    aggregations can't express (per-key accumulators, custom eviction).
+    State is a tiny (n, total) tuple per user, sharded by the groupBy key
+    across executors.
+
+    ``reap_idle_state`` turns on ProcessingTimeTimeout-based state GC for
+    long-running production triggers; leave it off for availableNow/
+    drain-style runs (a pending timeout makes the scheduler keep
+    re-triggering empty micro-batches forever, so the drain never
+    finishes — observed 228 epochs on a 50-row input).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if reap_idle_state
+        else GroupStateTimeout.NoTimeout
+    )
+
+    def update(key, pdf_iter, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        if reap_idle_state:
+            state.setTimeoutDuration(24 * 3600 * 1000)
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=RUNNING_TOTALS_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=timeout_conf,
+        )
+    )

@@ -87,3 +87,36 @@ def test_session_windows_run(spark, event_dir):
     assert len(rows) > 0
     total_events = sum(r["total"] for r in rows)
     assert total_events == spark.read.parquet(event_dir).count()
+
+
+def test_running_user_totals_stateful(spark, event_dir):
+    from pyspark_entity_resolution_spark.streaming.pipeline import (
+        running_user_totals,
+    )
+
+    stream = read_event_stream(spark, event_dir)
+    query = run_to_memory_sink(
+        running_user_totals(stream), "user_totals", output_mode="update"
+    )
+    query.processAllAvailable()
+    query.stop()
+    # single availableNow batch -> one row per user with the full totals
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in spark.sql(
+            "select user_id, n_events, total_value from ("
+            "  select *, row_number() over "
+            "  (partition by user_id order by n_events desc) as rk"
+            "  from user_totals) where rk = 1"
+        ).collect()
+    }
+    batch = (
+        spark.read.parquet(event_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("t"))
+    )
+    expected = {r["user_id"]: (r["n"], r["t"]) for r in batch.collect()}
+    assert set(got) == set(expected)
+    for uid, (n, t) in expected.items():
+        assert got[uid][0] == n
+        assert abs(got[uid][1] - t) < 0.05  # float accumulation tolerance
