@@ -37,6 +37,92 @@ HEADLINE = [
 ]
 
 
+def _gen_er_corpus(path: str, n_per_side: int = 3000, seed: int = 11) -> tuple[str, str]:
+    """Deterministic AMiner-format corpus at the reference workload's
+    post-filter scale (~2.5-3k records/side, SIGMOD/VLDB 1995-2004,
+    ~8% planted cross-side duplicates — report.pdf p.7: 1,604 dups in
+    ~2.3-2.6k records/side). Cached on disk across runs."""
+    import random
+
+    from pyspark_entity_resolution_spark.sources.aminer import format_aminer_record
+
+    pa, pb = f"{path}/dump_a.txt", f"{path}/dump_b.txt"
+    if os.path.exists(pa) and os.path.exists(pb):
+        return pa, pb
+    os.makedirs(path, exist_ok=True)
+    rng = random.Random(seed)
+    first = ["alice", "bob", "carol", "dave", "erin", "frank", "grace", "heidi",
+             "ivan", "judy", "karl", "lena", "mike", "nina", "oscar", "pia"]
+    last = ["smith", "jones", "chen", "garcia", "muller", "dubois", "kim",
+            "patel", "rossi", "novak", "silva", "weber", "tanaka", "olsen"]
+    words = ["efficient", "query", "processing", "distributed", "systems",
+             "index", "join", "optimization", "streaming", "graphs",
+             "transactions", "storage", "adaptive", "parallel", "learning",
+             "approximate", "columnar", "vectorized", "consistency", "replication"]
+    venues_a = ["SIGMOD Conference", "VLDB"]
+    venues_b = ["Proceedings of SIGMOD", "VLDB Journal"]
+
+    recs_a, recs_b = [], []
+    idx = 0
+    for i in range(n_per_side):
+        idx += 1
+        title = " ".join(rng.sample(words, 6))
+        authors = ", ".join(
+            f"{rng.choice(first)} {rng.choice(last)}" for _ in range(1 + i % 3)
+        )
+        year = 1995 + (i % 10)
+        v = i % 2
+        recs_a.append(
+            format_aminer_record(title, authors, year, venues_a[v], f"a{idx:06d}")
+        )
+        if i % 12 == 0:  # ~8% planted duplicates
+            idx += 1
+            recs_b.append(
+                format_aminer_record(title, authors, year, venues_b[v], f"b{idx:06d}")
+            )
+        else:
+            idx += 1
+            title_b = " ".join(rng.sample(words, 6))
+            authors_b = ", ".join(
+                f"{rng.choice(first)} {rng.choice(last)}" for _ in range(1 + (i + 1) % 3)
+            )
+            recs_b.append(
+                format_aminer_record(
+                    title_b, authors_b, 1995 + ((i + 3) % 10), venues_b[v],
+                    f"b{idx:06d}",
+                )
+            )
+    rng.shuffle(recs_a)
+    rng.shuffle(recs_b)
+    with open(pa, "w") as f:
+        f.write("\n\n".join(recs_a))
+    with open(pb, "w") as f:
+        f.write("\n\n".join(recs_b))
+    return pa, pb
+
+
+def _bench_er_pipeline(spark) -> float:
+    """Full ER pipeline (parse -> clean -> block N=3 -> match) on the
+    reference-scale corpus; comparable to BASELINE's python pipeline rows
+    (reference: matching stage alone 22 s at N=3, full python pipeline
+    54 s, report.pdf p.8 Table 2)."""
+    from pyspark_entity_resolution_spark.pipeline import (
+        ERConfig,
+        match_publications,
+        prepare_publications,
+    )
+
+    pa, pb = _gen_er_corpus("/tmp/er_bench_corpus_v1")
+    start = time.perf_counter()
+    cfg = ERConfig(window=3)
+    left = prepare_publications(spark, pa, cfg)
+    right = prepare_publications(spark, pb, cfg)
+    match_publications(left, right, cfg).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    return round(time.perf_counter() - start, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     match = re.search(r"sf([0-9.]+)", sf_dir)
@@ -60,6 +146,11 @@ def main() -> None:
         print(f"[bench] {name}: {elapsed}s", file=sys.stderr, flush=True)
         per_query[name] = elapsed
         total += elapsed
+
+    er_elapsed = _bench_er_pipeline(spark)
+    print(f"[bench] er_pipeline_blocked_n3: {er_elapsed}s", file=sys.stderr, flush=True)
+    per_query["er_pipeline_blocked_n3"] = er_elapsed
+    total += er_elapsed
 
     print(
         json.dumps(
