@@ -505,3 +505,41 @@ def count_distinct_suppliers_per_nation(spark: SparkSession, sf_dir: str) -> Dat
             F.countDistinct("c_custkey").alias("n_customers"),
         )
     )
+
+
+@q(
+    "topn_orders_global",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+    "global deterministic top-N (TakeOrderedAndProject — no full sort "
+    "shuffle, per-partition heaps + driver merge)",
+)
+def topn_orders_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@q(
+    "deterministic_sample",
+    """
+    SELECT o_orderkey, o_custkey FROM orders
+    WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 6))::BIGINT % 100 < 10
+    """,
+    "deterministic ~10% hash sample (md5-bucket filter): reproducible "
+    "across engines/runs unlike rand()-based sampling — the trainable-"
+    "subset selection primitive",
+)
+def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 6), 16, 10)
+        .cast("bigint") % 100
+    )
+    return o.filter(bucket < 10).select("o_orderkey", "o_custkey")
