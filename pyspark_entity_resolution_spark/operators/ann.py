@@ -243,3 +243,60 @@ def ivf_topk(
             F.round("cos_sim", 4).alias("cos_sim"),
         )
     )
+
+
+def multiprobe_lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    num_planes: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Multi-probe LSH: each query probes its own bucket PLUS every bucket
+    at Hamming distance 1 (one sign bit flipped) — recall approaches the
+    brute-force baseline at (num_planes+1)x the candidate cost, still an
+    equi-join on the bucket key. Corpus vectors keep a single bucket, so
+    a (query, neighbor) pair can match through at most one probe — no
+    dedup pass needed."""
+    qb = random_hyperplane_buckets(queries, vec_col, num_planes, dim)
+
+    def flip(bucket: Column, i: int) -> Column:
+        flipped = F.when(
+            F.substring(bucket, i + 1, 1) == "1", F.lit("0")
+        ).otherwise(F.lit("1"))
+        return F.concat(
+            F.substring(bucket, 1, i), flipped,
+            F.substring(bucket, i + 2, num_planes - i - 1),
+        )
+
+    probes = F.array(
+        F.col("bucket"), *[flip(F.col("bucket"), i) for i in range(num_planes)]
+    )
+    qprobed = qb.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(probes).alias("bucket"),
+    )
+    cb = random_hyperplane_buckets(corpus, vec_col, num_planes, dim).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "bucket"
+    )
+    scored = (
+        qprobed.join(cb, on="bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", cosine("q_vec", "c_vec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            F.round("cos_sim", 4).alias("cos_sim"),
+        )
+    )

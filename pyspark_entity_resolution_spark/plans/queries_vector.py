@@ -203,3 +203,49 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.ivf_topk(
         e.filter(F.col("vec_id") < 10), spread(spark, e), centroids, k=3
     )
+
+
+def _flip_sql(i: int, n: int = 4) -> str:
+    return (
+        f"substr(bucket, 1, {i}) || "
+        f"(CASE WHEN substr(bucket, {i + 1}, 1) = '1' THEN '0' ELSE '1' END)"
+        f" || substr(bucket, {i + 2}, {n - i - 1})"
+    )
+
+
+_PROBES_SQL = "[bucket, " + ", ".join(_flip_sql(i) for i in range(4)) + "]"
+
+
+@q(
+    "ann_lsh_multiprobe",
+    f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id AS query_id, embedding AS qv,
+             unnest({_PROBES_SQL}) AS bucket
+      FROM b WHERE vec_id < 10
+    ),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv, bucket FROM b),
+    scored AS (
+      SELECT q.query_id, c.neighbor_id,
+             {_COS.format(a='q.qv', b='c.cv')} AS cos_full
+      FROM q JOIN c ON q.bucket = c.bucket AND q.query_id <> c.neighbor_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos_full,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_full DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+           round(cos_full, 4) AS cos_sim
+    FROM ranked WHERE rank <= 3
+    """,
+    "multi-probe LSH ANN: queries probe their bucket + all Hamming-1 "
+    "buckets — near-brute-force recall, still an equi-join",
+)
+def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return A.multiprobe_lsh_topk(e.filter(F.col("vec_id") < 10), spread(spark, e), k=3)
