@@ -180,3 +180,26 @@ def running_user_totals(
             timeoutConf=timeout_conf,
         )
     )
+
+
+def run_foreach_batch_parquet(
+    stream: DataFrame,
+    dest: str,
+    checkpoint: str,
+    batch_fn=None,
+):
+    """Production-style sink: foreachBatch writing parquet with a
+    checkpoint. Restarting with the same checkpoint resumes from the last
+    committed offset — already-processed input is not re-emitted
+    (exactly-once file output per epoch). ``batch_fn(df, epoch_id)``
+    overrides the default append write."""
+
+    def default_fn(df: DataFrame, epoch_id: int) -> None:
+        df.write.mode("append").parquet(dest)
+
+    return (
+        stream.writeStream.foreachBatch(batch_fn or default_fn)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

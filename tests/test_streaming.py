@@ -120,3 +120,29 @@ def test_running_user_totals_stateful(spark, event_dir):
     for uid, (n, t) in expected.items():
         assert got[uid][0] == n
         assert abs(got[uid][1] - t) < 0.05  # float accumulation tolerance
+
+
+def test_foreach_batch_checkpoint_recovery(spark, event_dir, tmp_path):
+    from pyspark_entity_resolution_spark.streaming.pipeline import (
+        run_foreach_batch_parquet,
+    )
+
+    dest = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    n_src = spark.read.parquet(event_dir).count()
+
+    q = run_foreach_batch_parquet(read_event_stream(spark, event_dir), dest, ckpt)
+    q.processAllAvailable(); q.stop()
+    assert spark.read.parquet(dest).count() == n_src
+
+    # restart with the SAME checkpoint and no new input -> nothing re-emitted
+    q2 = run_foreach_batch_parquet(read_event_stream(spark, event_dir), dest, ckpt)
+    q2.processAllAvailable(); q2.stop()
+    assert spark.read.parquet(dest).count() == n_src
+
+    # drop new files in -> only the delta lands
+    extra = spark.read.parquet(event_dir).limit(25)
+    extra.write.mode("append").parquet(event_dir)
+    q3 = run_foreach_batch_parquet(read_event_stream(spark, event_dir), dest, ckpt)
+    q3.processAllAvailable(); q3.stop()
+    assert spark.read.parquet(dest).count() == n_src + 25
