@@ -127,6 +127,12 @@ def test_foreach_batch_checkpoint_recovery(spark, event_dir, tmp_path):
         run_foreach_batch_parquet,
     )
 
+    # private copy: this test APPENDS to the source dir, and event_dir is
+    # a module-scoped fixture shared with the other streaming tests
+    src = str(tmp_path / "src")
+    shutil.copytree(event_dir, src)
+    event_dir = src
+
     dest = str(tmp_path / "out")
     ckpt = str(tmp_path / "ckpt")
     n_src = spark.read.parquet(event_dir).count()
