@@ -543,3 +543,48 @@ def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint") % 100
     )
     return o.filter(bucket < 10).select("o_orderkey", "o_custkey")
+
+
+@q(
+    "array_agg_order_years",
+    """
+    SELECT o_custkey,
+           array_to_string(list_sort(list(DISTINCT EXTRACT(year FROM o_orderdate)::VARCHAR)), ',')
+             AS order_years
+    FROM orders GROUP BY o_custkey
+    """,
+    "collection aggregate: per-customer sorted distinct year list "
+    "(collect_set -> sort_array -> join; deterministic despite unordered "
+    "aggregation input)",
+)
+def array_agg_order_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    years = F.collect_set(F.year("o_orderdate").cast("string"))
+    return o.groupBy("o_custkey").agg(
+        F.array_join(F.sort_array(years), ",").alias("order_years")
+    )
+
+
+@q(
+    "percentiles_by_segment",
+    """
+    SELECT c_mktsegment,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+           round(quantile_cont(o_totalprice, 0.95), 4) AS p95_price
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    """,
+    "exact continuous percentiles per group (full-sort-free percentile "
+    "aggregate; both engines use linear interpolation)",
+)
+def percentiles_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("median_price"),
+            F.round(F.percentile("o_totalprice", F.lit(0.95)), 4).alias("p95_price"),
+        )
+    )
