@@ -588,3 +588,25 @@ def percentiles_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.percentile("o_totalprice", F.lit(0.95)), 4).alias("p95_price"),
         )
     )
+
+
+@q(
+    "unpivot_lineitem_metrics",
+    """
+    SELECT l_orderkey, l_linenumber, metric, value
+    FROM (
+      SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+      FROM lineitem WHERE l_orderkey < 1000
+    )
+    UNPIVOT (value FOR metric IN (l_quantity, l_extendedprice, l_discount))
+    """,
+    "unpivot/melt: wide metric columns -> long (metric, value) rows",
+)
+def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )

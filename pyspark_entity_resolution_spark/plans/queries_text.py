@@ -251,3 +251,81 @@ _SIMHASH_SQL = """
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_signatures(spread(spark, load(spark, sf_dir, "documents")))
+
+
+@q(
+    "dedup_keep_first",
+    """
+    SELECT doc_id, lang, source FROM (
+      SELECT doc_id, lang, source,
+             row_number() OVER (
+               PARTITION BY md5(trim(regexp_replace(text, '\\s+', ' ', 'g')))
+               ORDER BY doc_id) AS rk
+      FROM documents
+    ) WHERE rk = 1
+    """,
+    "dedup keeping full first row per fingerprint (rank window over the "
+    "hash partition — the keep-one variant of exact dedup)",
+)
+def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    fp = F.md5(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    w = Window.partitionBy(fp).orderBy("doc_id")
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "lang", "source")
+    )
+
+
+@q(
+    "text_quality_filter",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_SQL} AS tk, text FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS diversity,
+             CASE WHEN len(tk) BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.5 END AS len_ok,
+             CAST(len(list_filter(tk, x -> list_contains([{{stopwords}}], x)))
+                  AS DOUBLE) / len(tk) AS stop_r,
+             CAST(len(text) - len(regexp_replace(text, '\\d', '', 'g')) AS DOUBLE)
+               / len(text) AS digit_r,
+             CAST(len(text) - len(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+               / len(text) AS punct_r
+      FROM t
+    )
+    SELECT doc_id,
+           round((0.4 * diversity + 0.3 * len_ok
+                  + 0.3 * (CASE WHEN stop_r >= 0.05 AND stop_r <= 0.6
+                                THEN 1.0 ELSE 0.5 END))
+                 - 0.2 * (digit_r + punct_r), 6) AS quality
+    FROM s
+    WHERE (0.4 * diversity + 0.3 * len_ok
+           + 0.3 * (CASE WHEN stop_r >= 0.05 AND stop_r <= 0.6
+                         THEN 1.0 ELSE 0.5 END))
+          - 0.2 * (digit_r + punct_r) >= 0.5
+    """.replace(
+        "{stopwords}",
+        ", ".join(
+            "'" + w.replace("'", "''") + "'"
+            for w in __import__(
+                "pyspark_entity_resolution_spark.functions.stopwords",
+                fromlist=["ENGLISH_STOPWORDS"],
+            ).ENGLISH_STOPWORDS
+        ),
+    ),
+    "C4-style training-data quality gate: heuristic score (diversity, "
+    "length band, prose-ness, digit/punct noise) with threshold filter",
+)
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    score = T.quality_score(F.col("text"))
+    return (
+        d.withColumn("__q", score)
+        .filter(F.col("__q") >= 0.5)
+        .select("doc_id", F.round("__q", 6).alias("quality"))
+    )
