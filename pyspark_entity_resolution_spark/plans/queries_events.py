@@ -222,3 +222,41 @@ def events_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@q(
+    "events_sliding_window",
+    """
+    WITH w AS (
+      SELECT event_type, value,
+             unnest([date_trunc('hour', ts),
+                     date_trunc('hour', ts - INTERVAL 30 MINUTE)
+                       + INTERVAL 30 MINUTE]) AS win_start
+      FROM events
+    )
+    SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM w GROUP BY 1, 2
+    """,
+    "sliding-window aggregation (1h window, 30min slide): each event lands"
+    " in 2 windows via F.window; batch twin of the streaming sliding agg",
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("win"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("DECIMAL(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )

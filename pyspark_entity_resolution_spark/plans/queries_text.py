@@ -329,3 +329,38 @@ def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__q") >= 0.5)
         .select("doc_id", F.round("__q", 6).alias("quality"))
     )
+
+
+_CHUNK, _STRIDE = 200, 150  # 50-char overlap
+
+
+@q(
+    "text_chunking",
+    f"""
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_idx,
+           substr(text, i * {_STRIDE} + 1, {_CHUNK}) AS chunk
+    FROM documents,
+         UNNEST(range(0, CAST(ceil(greatest(len(text) - {_CHUNK}, 0)
+                                   / {_STRIDE}.0) AS BIGINT) + 1)) AS u(i)
+    """,
+    "LLM-prep document chunking: fixed-size overlapping character chunks "
+    "(chunk 200, stride 150) via explode(sequence) + substr — one "
+    "generator node, no Python",
+)
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    text = F.col("text")
+    n_chunks = (
+        F.ceil(F.greatest(F.length(text) - _CHUNK, F.lit(0)) / float(_STRIDE))
+        .cast("bigint") + 1
+    )
+    return d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks - 1)).alias("chunk_idx"),
+        text.alias("__text"),
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.expr(f"substr(__text, chunk_idx * {_STRIDE} + 1, {_CHUNK})").alias("chunk"),
+    )
