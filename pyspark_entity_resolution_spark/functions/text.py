@@ -40,26 +40,26 @@ def avg_token_length(c: Column | str) -> Column:
         F.lit(0).cast("bigint"),
         lambda acc, x: acc + x,
     )
-    return total.cast("double") / F.size(toks)
+    return F.try_divide(total.cast("double"), F.size(toks))
 
 
 def stopword_ratio(c: Column | str) -> Column:
     toks = tokens(c)
     stop = F.lit(ENGLISH_STOPWORDS)
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
-    return n_stop.cast("double") / F.size(toks)
+    return F.try_divide(n_stop.cast("double"), F.size(toks))
 
 
 def digit_ratio(c: Column | str) -> Column:
     c = _col(c)
     n_digits = F.length(c) - F.length(F.regexp_replace(c, r"\d", ""))
-    return n_digits.cast("double") / F.length(c)
+    return F.try_divide(n_digits.cast("double"), F.length(c))
 
 
 def punct_ratio(c: Column | str) -> Column:
     c = _col(c)
     n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
-    return n_punct.cast("double") / F.length(c)
+    return F.try_divide(n_punct.cast("double"), F.length(c))
 
 
 def quality_score(c: Column | str) -> Column:
@@ -68,7 +68,7 @@ def quality_score(c: Column | str) -> Column:
     noise. Fixed evaluation order keeps the double bit-identical across
     engines given the same inputs."""
     n = token_count(c)
-    diversity = unique_token_count(c).cast("double") / n
+    diversity = F.try_divide(unique_token_count(c).cast("double"), n)
     len_ok = F.when((n >= 10) & (n <= 1000), F.lit(1.0)).otherwise(F.lit(0.5))
     stop = stopword_ratio(c)
     prose = F.when((stop >= 0.05) & (stop <= 0.6), F.lit(1.0)).otherwise(F.lit(0.5))

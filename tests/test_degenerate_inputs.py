@@ -1,0 +1,77 @@
+"""Degenerate-input robustness: empty frames, empty/whitespace/NULL text,
+single rows — library operators must return sane results, never raise
+(Spark 4 ANSI mode turns div-by-zero and bad indexing into errors)."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+from pyspark_entity_resolution_spark.functions import text as T
+from pyspark_entity_resolution_spark.operators import dedup as D
+from pyspark_entity_resolution_spark.operators.asof import as_of_join
+from pyspark_entity_resolution_spark.operators.clustering import connected_components
+
+
+def test_text_stats_on_degenerate_text(spark):
+    schema = StructType([StructField("text", StringType(), True)])
+    df = spark.createDataFrame([("",), ("   ",), ("one two",), (None,)], schema)
+    rows = df.select(
+        T.token_count("text").alias("n"),
+        T.avg_token_length("text").alias("avg"),
+        T.stopword_ratio("text").alias("sr"),
+        T.digit_ratio("text").alias("dr"),
+        T.quality_score("text").alias("q"),
+        T.detect_language("text").alias("lang"),
+    ).collect()
+    by_n = sorted((r for r in rows if r["n"] is not None), key=lambda r: r["n"])
+    # empty / whitespace-only: zero tokens, NULL ratios (not a crash)
+    assert by_n[0]["n"] == 0 and by_n[0]["avg"] is None
+    assert by_n[1]["n"] == 0
+    # real text behaves
+    assert by_n[2]["n"] == 2 and by_n[2]["avg"] == 3.0
+    assert by_n[2]["lang"] == "und"  # no marker words
+
+
+def test_connected_components_empty_edges(spark):
+    edges = spark.createDataFrame([], "src string, dst string")
+    assert connected_components(edges).count() == 0
+
+
+def test_connected_components_self_loops_only(spark):
+    edges = spark.createDataFrame([("a", "a"), ("b", "b")], ["src", "dst"])
+    # self-loops are dropped; no real edges -> no labeled nodes
+    assert connected_components(edges).count() == 0
+
+
+def test_dedup_on_empty_documents(spark):
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert D.exact_duplicates(docs).count() == 0
+    assert D.minhash_lsh_dedup(docs).count() == 0
+    assert D.simhash_signatures(docs).count() == 0
+
+
+def test_asof_with_empty_right(spark):
+    from datetime import datetime
+
+    left = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), "L")], ["k", "ts", "tag"]
+    )
+    right = spark.createDataFrame([], "k long, ts timestamp, val string")
+    rows = as_of_join(left, right, on=["k"]).collect()
+    assert len(rows) == 1 and rows[0]["val_right"] is None
+
+
+def test_match_pipeline_with_no_surviving_records(spark, tmp_path):
+    from pyspark_entity_resolution_spark.pipeline import (
+        ERConfig,
+        match_publications,
+        prepare_publications,
+    )
+
+    # record outside year range + decoy venue -> prepare yields 0 rows
+    path = tmp_path / "empty.txt"
+    path.write_text("#*t\n#@a b\n#t1970\n#cICDE\n#indexx1")
+    cfg = ERConfig(window=3)
+    cleaned = prepare_publications(spark, str(path), cfg)
+    assert cleaned.count() == 0
+    assert match_publications(cleaned, cleaned, cfg).count() == 0
