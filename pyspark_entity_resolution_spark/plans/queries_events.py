@@ -260,3 +260,37 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@q(
+    "events_cube_type_day",
+    """
+    SELECT CASE WHEN GROUPING(event_type) = 0 THEN event_type END AS event_type,
+           CASE WHEN GROUPING(dow) = 0 THEN dow END AS dow,
+           COUNT(*) AS n_events
+    FROM (SELECT event_type, CAST(EXTRACT(dow FROM ts) AS BIGINT) AS dow
+          FROM events)
+    GROUP BY CUBE (event_type, dow)
+    """,
+    "full cube over (event_type, day-of-week): all four grouping "
+    "combinations in one pass (Expand-based plan)",
+)
+def events_cube_type_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir).select(
+        "event_type", F.dayofweek("ts").alias("__dow")
+    )
+    # DuckDB dow: Sunday=0; Spark dayofweek: Sunday=1 -> normalize
+    e = e.select("event_type", (F.col("__dow") - 1).cast("bigint").alias("dow"))
+    return (
+        e.cube("event_type", "dow")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.grouping("event_type").alias("__gt"),
+            F.grouping("dow").alias("__gd"),
+        )
+        .select(
+            F.when(F.col("__gt") == 0, F.col("event_type")).alias("event_type"),
+            F.when(F.col("__gd") == 0, F.col("dow")).alias("dow"),
+            "n_events",
+        )
+    )
