@@ -24,6 +24,10 @@ earliest window containing both years) and its canonical venue tag (the
 alphabetically first tag both sides share), both checked as cheap
 post-join predicates. Every quadratic-size shuffle disappears; each pair
 is scored exactly once.
+
+The exploded-block-key + equi-join shape follows the standard distributed
+ER blocking literature (e.g. SparkER, EDBT 2019: token/attribute blocking
+as key-explosion + join in Spark).
 """
 
 from __future__ import annotations
