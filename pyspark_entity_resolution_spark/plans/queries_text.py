@@ -364,3 +364,50 @@ def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chunk_idx",
         F.expr(f"substr(__text, chunk_idx * {_STRIDE} + 1, {_CHUNK})").alias("chunk"),
     )
+
+
+@q(
+    "tfidf_top_terms",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS token FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token
+    ),
+    df AS (
+      SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY token
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             tf.tf * ln(n.n_docs / df.df) AS tfidf,
+             row_number() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf * ln(n.n_docs / df.df) DESC,
+                                         tf.token) AS rk
+      FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+    )
+    SELECT doc_id, token AS top_term, round(tfidf, 6) AS tfidf
+    FROM scored WHERE rk = 1
+    """,
+    "TF-IDF: per-doc term frequency x inverse document frequency, top "
+    "term per doc — explode + two aggregates + broadcast df join, no UDF",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+    from ..functions.text import tokens as tokenize
+
+    d = load(spark, sf_dir, "documents")
+    n_docs = d.count()  # tiny driver scalar; at scale use a broadcast agg
+    toks = d.select("doc_id", F.explode(tokenize(F.col("text"))).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    tfidf = F.col("tf") * F.log(F.lit(n_docs) / F.col("df"))
+    w = Window.partitionBy("doc_id").orderBy(tfidf.desc(), F.col("token"))
+    return (
+        tf.join(F.broadcast(df_), on="token")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", F.col("token").alias("top_term"),
+                F.round(tfidf, 6).alias("tfidf"))
+    )
