@@ -371,3 +371,68 @@ def clean_remove_accents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("café résumé naïve Ångström piñata façade "), F.col("c_name")
     )
     return c.select("c_custkey", C.remove_accents(accented).alias("folded"))
+
+
+@q(
+    "er_match_rule_bands",
+    """
+    WITH t AS (
+      SELECT p_partkey, p_brand, p_name, p_type,
+             CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_auth
+      FROM part
+    ),
+    pairs AS (
+      SELECT a.p_partkey AS a_id, b.p_partkey AS b_id,
+             CAST(levenshtein(a.p_type, b.p_type) AS BIGINT) AS scores,
+             a.n_auth AS a_n, b.n_auth AS b_n,
+             a.p_name AS a_name, b.p_name AS b_name
+      FROM t a JOIN t b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    )
+    SELECT a_id, b_id, scores,
+           CAST(len(list_distinct(list_intersect(string_split(a_name, ' '),
+                                                 string_split(b_name, ' ')))) AS DOUBLE)
+             / len(list_distinct(string_split(a_name, ' ') || string_split(b_name, ' ')))
+             AS title_jaccard_sim
+    FROM pairs
+    WHERE scores >= 0 AND scores < 10
+      AND ((scores = 0 AND a_n = b_n AND a_n > 0 AND b_n > 0)
+           OR (scores = 0 AND a_n = 0 AND b_n = 0)
+           OR (scores > 0 AND scores < 10 AND a_n = b_n))
+      AND CAST(len(list_distinct(list_intersect(string_split(a_name, ' '),
+                                                string_split(b_name, ' ')))) AS DOUBLE)
+            / len(list_distinct(string_split(a_name, ' ') || string_split(b_name, ' ')))
+          >= 0.6
+    """,
+    "P8/P9: the reference's exact three-band match rule + Jaccard "
+    "threshold (reference src/similarity.py:47-74) over brand-blocked "
+    "part pairs, via functions.similarity.match_rule",
+)
+def er_match_rule_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.similarity import match_rule
+
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_name", "p_type",
+        F.size(F.split("p_name", " ")).cast("bigint").alias("n_auth"),
+    )
+    a = p.select(
+        F.col("p_partkey").alias("a_id"), F.col("p_brand").alias("brand"),
+        F.col("p_name").alias("a_name"), F.col("p_type").alias("a_type"),
+        F.col("n_auth").alias("a_n"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("b_id"), F.col("p_brand").alias("brand"),
+        F.col("p_name").alias("b_name"), F.col("p_type").alias("b_type"),
+        F.col("n_auth").alias("b_n"),
+    )
+    pairs = (
+        spread(spark, a).join(b, on="brand")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("scores", F.levenshtein("a_type", "b_type").cast("bigint"))
+    )
+    return (
+        pairs.filter((F.col("scores") >= 0) & (F.col("scores") < 10))
+        .filter(match_rule("scores", "a_n", "b_n"))
+        .withColumn("title_jaccard_sim", token_jaccard("a_name", "b_name"))
+        .filter(F.col("title_jaccard_sim") >= 0.6)
+        .select("a_id", "b_id", "scores", "title_jaccard_sim")
+    )

@@ -610,3 +610,64 @@ def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+@q(
+    "date_functions_pack",
+    """
+    SELECT o_orderkey,
+           strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+           CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+           CAST(EXTRACT(quarter FROM o_orderdate) AS BIGINT) AS order_quarter,
+           CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS order_month,
+           CAST(date_diff('day', o_orderdate, TIMESTAMP '2002-01-01') AS BIGINT)
+             AS days_to_epochend,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start
+    FROM orders WHERE o_orderkey < 2000
+    """,
+    "date/time scalar pack: interval add, extract parts, datediff, trunc",
+)
+def date_functions_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.date_add(d, 30), "yyyy-MM-dd").alias("due_date"),
+        F.year(d).cast("bigint").alias("order_year"),
+        F.quarter(d).cast("bigint").alias("order_quarter"),
+        F.month(d).cast("bigint").alias("order_month"),
+        F.datediff(F.lit("2002-01-01").cast("timestamp"), d)
+        .cast("bigint")
+        .alias("days_to_epochend"),
+        F.date_format(F.date_trunc("month", d), "yyyy-MM-dd").alias("month_start"),
+    )
+
+
+@q(
+    "conditional_pack",
+    """
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'debtor'
+                WHEN c_acctbal < 5000 THEN 'standard'
+                ELSE 'premium' END AS tier,
+           coalesce(nullif(c_mktsegment, 'MACHINERY'), 'OTHER') AS segment_ex,
+           greatest(c_acctbal, 0.0) AS bal_floor,
+           least(CAST(c_nationkey AS BIGINT), 10) AS nk_cap
+    FROM customer
+    """,
+    "conditional scalar pack: CASE bands, coalesce/nullif, greatest/least",
+)
+def conditional_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "debtor")
+        .when(F.col("c_acctbal") < 5000, "standard")
+        .otherwise("premium")
+        .alias("tier"),
+        F.coalesce(F.nullif("c_mktsegment", F.lit("MACHINERY")), F.lit("OTHER")).alias(
+            "segment_ex"
+        ),
+        F.greatest("c_acctbal", F.lit(0.0)).alias("bal_floor"),
+        F.least(F.col("c_nationkey").cast("bigint"), F.lit(10)).alias("nk_cap"),
+    )
