@@ -671,3 +671,68 @@ def conditional_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest("c_acctbal", F.lit(0.0)).alias("bal_floor"),
         F.least(F.col("c_nationkey").cast("bigint"), F.lit(10)).alias("nk_cap"),
     )
+
+
+@q(
+    "string_functions_pack2",
+    """
+    SELECT p_partkey,
+           lpad(p_brand, 12, '*') AS brand_pad,
+           reverse(p_name) AS name_rev,
+           replace(p_type, 'ECONOMY', 'ECO') AS type_short,
+           split_part(p_name, ' ', 1) AS name_head,
+           repeat('-', CAST(p_size % 5 AS INTEGER)) AS size_bar,
+           CAST(length(p_name) AS BIGINT) AS name_len,
+           CAST(strpos(p_name, 'widget') AS BIGINT) AS widget_pos,
+           upper(p_brand) AS brand_upper
+    FROM part WHERE p_partkey < 500
+    """,
+    "string scalar pack 2: pad/reverse/replace/split_part/repeat/length/"
+    "position/case",
+)
+def string_functions_pack2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") < 500)
+    return p.select(
+        "p_partkey",
+        F.lpad("p_brand", 12, "*").alias("brand_pad"),
+        F.reverse("p_name").alias("name_rev"),
+        F.replace("p_type", F.lit("ECONOMY"), F.lit("ECO")).alias("type_short"),
+        F.split_part("p_name", F.lit(" "), F.lit(1)).alias("name_head"),
+        F.repeat(F.lit("-"), (F.col("p_size") % 5).cast("int")).alias("size_bar"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.instr("p_name", "widget").cast("bigint").alias("widget_pos"),
+        F.upper("p_brand").alias("brand_upper"),
+    )
+
+
+@q(
+    "math_functions_pack",
+    """
+    SELECT l_orderkey, l_linenumber,
+           abs(l_quantity - 25) AS qty_dev,
+           CAST(ceil(l_extendedprice / 1000) AS BIGINT) AS price_k_ceil,
+           CAST(floor(l_discount * 100) AS BIGINT) AS disc_pct,
+           round(sqrt(l_extendedprice), 6) AS price_sqrt,
+           round(ln(l_extendedprice + 1), 6) AS price_ln,
+           round(power(1 + l_tax, 2), 10) AS tax_compound,
+           sign(l_quantity - 25) AS qty_sign,
+           CAST(CAST(l_quantity AS BIGINT) % 7 AS BIGINT) AS qty_mod
+    FROM lineitem WHERE l_orderkey < 500
+    """,
+    "math scalar pack: abs/ceil/floor/round/sqrt/ln/power/sign/mod "
+    "(transcendentals rounded for cross-libm determinism)",
+)
+def math_functions_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 500)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_quantity") - 25).alias("qty_dev"),
+        F.ceil(F.col("l_extendedprice") / 1000).cast("bigint").alias("price_k_ceil"),
+        F.floor(F.col("l_discount") * 100).cast("bigint").alias("disc_pct"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
+        F.round(F.pow(F.col("l_tax") + 1, 2), 10).alias("tax_compound"),
+        F.signum(F.col("l_quantity") - 25).alias("qty_sign"),
+        (F.col("l_quantity").cast("bigint") % 7).cast("bigint").alias("qty_mod"),
+    )
