@@ -249,3 +249,17 @@ _PROBES_SQL = "[bucket, " + ", ".join(_flip_sql(i) for i in range(4)) + "]"
 def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     return A.multiprobe_lsh_topk(e.filter(F.col("vec_id") < 10), spread(spark, e), k=3)
+
+
+@q(
+    "kmeans_assignments",
+    None,  # iterative float-state algorithm: genuinely non-SQL-expressible
+           # (driver-coordinated Lloyd fixpoint) -> rows-only check
+    "distributed k-means over embeddings: deterministic init (k smallest "
+    "ids), literal-broadcast assignment pass + one groupBy per iteration",
+)
+def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.kmeans import kmeans
+
+    e = load(spark, sf_dir, "embeddings")
+    return kmeans(spread(spark, e), k=8, max_iterations=3)
