@@ -31,6 +31,9 @@ HEADLINE = [
     "dedup_simhash",
     "ann_bruteforce_topk",
     "ann_lsh_bucketed",
+    "ann_ivf_topk",
+    "tfidf_top_terms",
+    "events_asof_join",
     "events_tumbling_window",
     "events_sessionization",
     "orders_topk_per_customer",
