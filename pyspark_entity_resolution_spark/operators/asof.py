@@ -32,9 +32,11 @@ def as_of_join(
     ``right_ts <= left_ts`` within the same ``on`` keys (left join
     semantics: unmatched left rows keep NULLs)."""
     on = list(on)
-    right_cols = right_cols or [
-        c for c in right.columns if c not in on and c != right_ts
-    ]
+    right_cols = right_cols or [c for c in right.columns if c not in on]
+    # right_ts always travels as __r_ts; keep it out of the payload loop so
+    # an explicit right_cols list that mentions it doesn't duplicate the
+    # column (ambiguous-reference failure downstream)
+    right_cols = [c for c in right_cols if c != right_ts]
 
     lhs = left.withColumn("__is_left", F.lit(1)).withColumn(
         "__ts", F.col(left_ts)

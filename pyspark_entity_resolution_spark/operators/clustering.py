@@ -66,6 +66,12 @@ def connected_components(
     Node columns may be any orderable type (string node keys are fine —
     namespace ids from different datasets, e.g. ``"a:" + id``).
     """
+    all_nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
@@ -84,10 +90,16 @@ def connected_components(
             break
         prev_sig = sig
 
-    # converged: e is a star forest (child -> root). Roots label themselves.
+    # converged: e is a star forest (child -> root). Roots label themselves,
+    # and nodes whose only edges were self-loops come back as singleton
+    # components (the docstring contract: EVERY node appearing in edges).
     children = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
     roots = e.select(F.col("v").alias("node"), F.col("v").alias("component"))
-    return children.union(roots).distinct()
+    labeled = children.union(roots).distinct()
+    singletons = all_nodes.join(labeled, on="node", how="left_anti").select(
+        "node", F.col("node").alias("component")
+    )
+    return labeled.union(singletons)
 
 
 def cluster_matched_pairs(

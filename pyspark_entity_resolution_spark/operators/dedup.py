@@ -131,8 +131,9 @@ def verify_token_jaccard(
     sides = df.select(F.col(id_col), toks.alias("toks"))
     a = sides.select(F.col(id_col).alias("a_id"), F.col("toks").alias("a_toks"))
     b = sides.select(F.col(id_col).alias("b_id"), F.col("toks").alias("b_toks"))
-    jac = F.size(F.array_intersect("a_toks", "b_toks")).cast("double") / F.size(
-        F.array_union("a_toks", "b_toks")
+    jac = F.try_divide(
+        F.size(F.array_intersect("a_toks", "b_toks")).cast("double"),
+        F.size(F.array_union("a_toks", "b_toks")),
     )
     return (
         candidates.join(a, on="a_id")
@@ -255,8 +256,9 @@ def ngram_jaccard_pairs(
     b = base.select(
         F.col(id_col).alias("b_id"), *block_cols, F.col("grams").alias("b_grams")
     )
-    jac = F.size(F.array_intersect("a_grams", "b_grams")).cast("double") / F.size(
-        F.array_union("a_grams", "b_grams")
+    jac = F.try_divide(
+        F.size(F.array_intersect("a_grams", "b_grams")).cast("double"),
+        F.size(F.array_union("a_grams", "b_grams")),
     )
     return (
         a.join(b, on=block_cols)

@@ -39,8 +39,10 @@ def test_connected_components_empty_edges(spark):
 
 def test_connected_components_self_loops_only(spark):
     edges = spark.createDataFrame([("a", "a"), ("b", "b")], ["src", "dst"])
-    # self-loops are dropped; no real edges -> no labeled nodes
-    assert connected_components(edges).count() == 0
+    # self-loops carry no connectivity, but the nodes still exist ->
+    # singleton components (contract: every node appearing in edges)
+    rows = {(r["node"], r["component"]) for r in connected_components(edges).collect()}
+    assert rows == {("a", "a"), ("b", "b")}
 
 
 def test_dedup_on_empty_documents(spark):
@@ -75,3 +77,30 @@ def test_match_pipeline_with_no_surviving_records(spark, tmp_path):
     cleaned = prepare_publications(spark, str(path), cfg)
     assert cleaned.count() == 0
     assert match_publications(cleaned, cleaned, cfg).count() == 0
+
+
+def test_jaccard_verify_on_empty_token_docs(spark):
+    # two docs with zero tokens share an LSH bucket (identical empty
+    # signature); Jaccard denominator is 0 -> NULL -> pair dropped, no
+    # ANSI DIVIDE_BY_ZERO crash
+    docs = spark.createDataFrame(
+        [(1, "  "), (2, ""), (3, "real words here")], ["doc_id", "text"]
+    )
+    D.minhash_lsh_dedup(docs, threshold=0.5).collect()  # must not raise
+    D.ngram_jaccard_pairs(
+        docs.withColumn("lang", F.lit("x")).withColumn("source", F.lit("y")),
+        threshold=0.5,
+    ).collect()  # must not raise
+
+
+def test_asof_explicit_right_cols_including_ts(spark):
+    from datetime import datetime
+
+    left = spark.createDataFrame([(1, datetime(2024, 1, 2), "L")], ["k", "ts", "tag"])
+    right = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), "R")], ["k", "ts", "val"]
+    )
+    # explicitly naming ts in right_cols must not duplicate columns
+    row = as_of_join(left, right, on=["k"], right_cols=["ts", "val"]).collect()[0]
+    assert row["val_right"] == "R"
+    assert row["ts_right"] == datetime(2024, 1, 1)
