@@ -142,8 +142,10 @@ def remove_accents(c: Column | str) -> Column:
 
 def remove_stopwords(c: Column | str) -> Column:
     """D5: split on space or em-dash, drop NLTK English stopwords (matched
-    on the RAW token), strip punctuation/quote chars from token edges,
-    rejoin with single spaces (reference src/cleaning.py:86-98).
+    on the RAW token), remove ALL double quotes (interior included —
+    ``word.replace('"', "")`` in the reference), strip other punctuation/
+    quote chars from token edges only, rejoin with single spaces
+    (reference src/cleaning.py:86-98, bug-for-bug).
 
     The stopword list compiles to a literal array; the whole thing is one
     JVM-side expression.

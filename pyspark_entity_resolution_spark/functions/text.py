@@ -117,7 +117,12 @@ def detect_language(c: Column | str) -> Column:
 
 
 def char_shingles(c: Column | str, k: int = 3) -> Column:
-    """All character k-grams, in order (may repeat)."""
+    """All character k-grams, in order (may repeat).
+
+    Inputs shorter than ``k`` yield ONE truncated shingle (the whole
+    string) rather than an empty array — deliberate, so downstream
+    ``array_min`` fingerprints stay non-NULL; the DuckDB oracles replicate
+    the same ``greatest(1, len-k+1)`` bound."""
     c = _col(c)
     return F.transform(
         F.sequence(F.lit(1), F.greatest(F.lit(1), F.length(c) - F.lit(k - 1))),
