@@ -736,3 +736,35 @@ def math_functions_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.signum(F.col("l_quantity") - 25).alias("qty_sign"),
         (F.col("l_quantity").cast("bigint") % 7).cast("bigint").alias("qty_mod"),
     )
+
+
+@q(
+    "sql_api_revenue_by_nation",
+    """
+    SELECT n.n_name AS nation_name,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    "pure spark.sql() entry point: tables registered as temp views, query "
+    "authored as SQL text — the engine's SQL API surface (same Catalyst "
+    "plan as the DataFrame form)",
+)
+def sql_api_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    load(spark, sf_dir, "nation").createOrReplaceTempView("v_nation")
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation_name,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM v_orders o
+        JOIN v_customer c ON o.o_custkey = c.c_custkey
+        JOIN v_nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        """
+    )
