@@ -411,3 +411,74 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("token").alias("top_term"),
                 F.round(tfidf, 6).alias("tfidf"))
     )
+
+
+@q(
+    "doc_cosine_tf_pairs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang, source, unnest({_TOKS_SQL}) AS token
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, lang, source, token, COUNT(*) AS tf
+      FROM toks GROUP BY doc_id, lang, source, token
+    ),
+    norms AS (
+      SELECT doc_id, sqrt(CAST(SUM(tf * tf) AS DOUBLE)) AS nrm FROM tf GROUP BY doc_id
+    ),
+    dots AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+      FROM tf a JOIN tf b
+        ON a.token = b.token AND a.lang = b.lang AND a.source = b.source
+       AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT d.a_id, d.b_id,
+           round(d.dot / (na.nrm * nb.nrm), 6) AS cos_tf
+    FROM dots d
+    JOIN norms na ON na.doc_id = d.a_id
+    JOIN norms nb ON nb.doc_id = d.b_id
+    WHERE d.dot / (na.nrm * nb.nrm) >= 0.8
+    """,
+    "sparse TF-vector cosine similarity via token join (the inverted-index "
+    "formulation): integer dot products + per-doc norms — exact arithmetic, "
+    "no dense vectors; blocked by (lang, source)",
+)
+def doc_cosine_tf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens as tokenize
+
+    d = spread(spark, load(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id", "lang", "source", F.explode(tokenize(F.col("text"))).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "lang", "source", "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    norms = tf.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("tf") * F.col("tf")).cast("double")).alias("nrm")
+    )
+    a = tf.select(
+        F.col("doc_id").alias("a_id"), "lang", "source", "token",
+        F.col("tf").alias("a_tf"),
+    )
+    b = tf.select(
+        F.col("doc_id").alias("b_id"), "lang", "source", "token",
+        F.col("tf").alias("b_tf"),
+    )
+    dots = (
+        a.join(b, on=["lang", "source", "token"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.sum(F.col("a_tf") * F.col("b_tf")).cast("bigint").alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("a_id"), F.col("nrm").alias("a_nrm"))
+    nb = norms.select(F.col("doc_id").alias("b_id"), F.col("nrm").alias("b_nrm"))
+    cos = F.col("dot") / (F.col("a_nrm") * F.col("b_nrm"))
+    return (
+        dots.join(na, on="a_id")
+        .join(nb, on="b_id")
+        .filter(cos >= 0.8)
+        .select("a_id", "b_id", F.round(cos, 6).alias("cos_tf"))
+    )
