@@ -768,3 +768,62 @@ def sql_api_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n.n_name
         """
     )
+
+
+@q(
+    "merge_upsert_customers",
+    """
+    WITH updates AS (  -- deterministic 10% of customers get new balances,
+                       -- plus synthetic new rows
+      SELECT c_custkey AS k, c_name AS u_name,
+             round(c_acctbal + 1000, 2) AS u_acctbal
+      FROM customer
+      WHERE ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 6))::BIGINT % 10 = 0
+      UNION ALL
+      SELECT c_custkey + 1000000 AS k, c_name AS u_name, 0.0 AS u_acctbal
+      FROM customer
+      WHERE ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 6))::BIGINT % 50 = 0
+    )
+    SELECT coalesce(u.k, c.c_custkey) AS c_custkey,
+           coalesce(u.u_name, c.c_name) AS c_name,
+           coalesce(u.u_acctbal, c.c_acctbal) AS c_acctbal,
+           CASE WHEN u.k IS NULL THEN 'unchanged'
+                WHEN c.c_custkey IS NULL THEN 'inserted'
+                ELSE 'updated' END AS merge_action
+    FROM customer c FULL OUTER JOIN updates u ON c.c_custkey = u.k
+    """,
+    "MERGE INTO / SCD-1 upsert as a full-outer join + coalesce: updates "
+    "win, inserts append, base rows survive — the parquet-lake merge "
+    "pattern (one shuffle on the key)",
+)
+def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 6), 16, 10)
+        .cast("bigint")
+    )
+    updates = (
+        c.filter(bucket % 10 == 0)
+        .select(
+            F.col("c_custkey").alias("k"),
+            F.col("c_name").alias("u_name"),
+            F.round(F.col("c_acctbal") + 1000, 2).alias("u_acctbal"),
+        )
+        .unionByName(
+            c.filter(bucket % 50 == 0).select(
+                (F.col("c_custkey") + 1000000).alias("k"),
+                F.col("c_name").alias("u_name"),
+                F.lit(0.0).alias("u_acctbal"),
+            )
+        )
+    )
+    merged = c.join(updates, c.c_custkey == updates.k, "full_outer")
+    return merged.select(
+        F.coalesce("k", "c_custkey").alias("c_custkey"),
+        F.coalesce("u_name", "c_name").alias("c_name"),
+        F.coalesce("u_acctbal", "c_acctbal").alias("c_acctbal"),
+        F.when(F.col("k").isNull(), "unchanged")
+        .when(F.col("c_custkey").isNull(), "inserted")
+        .otherwise("updated")
+        .alias("merge_action"),
+    )
