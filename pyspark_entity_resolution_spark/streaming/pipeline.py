@@ -49,14 +49,22 @@ def windowed_counts(
     events: DataFrame,
     window_duration: str = "1 hour",
     watermark: str = "10 minutes",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Tumbling-window counts/sums per event type with late-data bound.
+    """Tumbling (or, with ``slide``, sliding) window counts/sums per event
+    type with late-data bound.
 
-    Streaming twin of the batch ``events_tumbling_window`` query.
+    Streaming twin of the batch ``events_tumbling_window`` /
+    ``events_sliding_window`` queries.
     """
+    win = (
+        F.window("ts", window_duration, slide)
+        if slide
+        else F.window("ts", window_duration)
+    )
     return (
         events.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window_duration).alias("win"), F.col("event_type"))
+        .groupBy(win.alias("win"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("DECIMAL(18,2)")).cast("double").alias("total_value"),
