@@ -34,7 +34,10 @@ def l2_norm(v: Column | str) -> Column:
 
 
 def cosine(a: Column | str, b: Column | str) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    # try_divide: a zero-norm vector yields NULL instead of an ANSI
+    # DIVIDE_BY_ZERO error (found by property testing; real embeddings
+    # are never zero, but padded/missing rows can be)
+    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
 def vector_dim(v: Column | str) -> Column:
