@@ -152,3 +152,59 @@ def test_foreach_batch_checkpoint_recovery(spark, event_dir, tmp_path):
     q3 = run_foreach_batch_parquet(read_event_stream(spark, event_dir), dest, ckpt)
     q3.processAllAvailable(); q3.stop()
     assert spark.read.parquet(dest).count() == n_src + 25
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Append-mode windowed agg: an event arriving behind the watermark is
+    dropped from its (already finalized) window."""
+    from datetime import datetime
+
+    from pyspark_entity_resolution_spark.streaming.pipeline import (
+        EVENT_SCHEMA,
+        read_event_stream,
+        windowed_counts,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    def ev(eid, ts):
+        return (eid, ts, 1, "click", 1.0, "{}")
+
+    # batch 1: three events in the 12:00 window + one at 14:00 that pushes
+    # the watermark (30 min) to 13:30, past the 12:00 window's end
+    write_batch("b1", [
+        ev(1, datetime(2024, 6, 1, 12, 0, 5)),
+        ev(2, datetime(2024, 6, 1, 12, 20, 0)),
+        ev(3, datetime(2024, 6, 1, 12, 40, 0)),
+        ev(4, datetime(2024, 6, 1, 14, 0, 0)),
+    ])
+
+    stream = read_event_stream(spark, str(src))
+    query = (
+        windowed_counts(stream, window_duration="1 hour", watermark="30 minutes")
+        .writeStream.format("memory")
+        .queryName("late_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        # batch 2: a LATE event for the 12:00 window (behind the 13:30
+        # watermark) -> must be dropped
+        write_batch("b2", [ev(5, datetime(2024, 6, 1, 12, 30, 0))])
+        query.processAllAvailable()
+    finally:
+        query.stop()
+
+    rows = {
+        r["window_start"]: r["n_events"]
+        for r in spark.sql("select * from late_test").collect()
+    }
+    noon = datetime(2024, 6, 1, 12, 0, 0)
+    assert rows.get(noon) == 3, rows  # late event 5 NOT counted
