@@ -712,15 +712,19 @@ def string_functions_pack2(spark: SparkSession, sf_dir: str) -> DataFrame:
            abs(l_quantity - 25) AS qty_dev,
            CAST(ceil(l_extendedprice / 1000) AS BIGINT) AS price_k_ceil,
            CAST(floor(l_discount * 100) AS BIGINT) AS disc_pct,
-           round(sqrt(l_extendedprice), 6) AS price_sqrt,
-           round(ln(l_extendedprice + 1), 6) AS price_ln,
-           round(power(1 + l_tax, 2), 10) AS tax_compound,
+           CAST(floor(sqrt(l_extendedprice) * 10000 + 0.5) AS BIGINT) AS price_sqrt_q,
+           CAST(floor(ln(l_extendedprice + 1) * 10000 + 0.5) AS BIGINT) AS price_ln_q,
+           CAST(floor(power(1 + l_tax, 2) * 10000 + 0.5) AS BIGINT) AS tax_compound_q,
            sign(l_quantity - 25) AS qty_sign,
-           CAST(CAST(l_quantity AS BIGINT) % 7 AS BIGINT) AS qty_mod
+    CAST(CAST(l_quantity AS BIGINT) % 7 AS BIGINT) AS qty_mod
     FROM lineitem WHERE l_orderkey < 500
     """,
-    "math scalar pack: abs/ceil/floor/round/sqrt/ln/power/sign/mod "
-    "(transcendentals rounded for cross-libm determinism)",
+    "math scalar pack: abs/ceil/floor/round/sqrt/ln/power/sign/mod. "
+    "Transcendentals are quantized as floor(x*1e4 + 0.5) -> BIGINT rather "
+    "than round(): round() implementations diverge across engines on "
+    "boundary values (Spark rounds the shortest decimal repr HALF_UP, "
+    "DuckDB multiplies and rounds the scaled double), whereas floor of a "
+    "bit-identical double is bit-identical",
 )
 def math_functions_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 500)
@@ -730,9 +734,9 @@ def math_functions_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("l_quantity") - 25).alias("qty_dev"),
         F.ceil(F.col("l_extendedprice") / 1000).cast("bigint").alias("price_k_ceil"),
         F.floor(F.col("l_discount") * 100).cast("bigint").alias("disc_pct"),
-        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
-        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
-        F.round(F.pow(F.col("l_tax") + 1, 2), 10).alias("tax_compound"),
+        F.floor(F.sqrt("l_extendedprice") * 10000 + 0.5).cast("bigint").alias("price_sqrt_q"),
+        F.floor(F.log(F.col("l_extendedprice") + 1) * 10000 + 0.5).cast("bigint").alias("price_ln_q"),
+        F.floor(F.pow(F.col("l_tax") + 1, 2) * 10000 + 0.5).cast("bigint").alias("tax_compound_q"),
         F.signum(F.col("l_quantity") - 25).alias("qty_sign"),
         (F.col("l_quantity").cast("bigint") % 7).cast("bigint").alias("qty_mod"),
     )

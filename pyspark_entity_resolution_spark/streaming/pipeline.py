@@ -156,26 +156,14 @@ def running_user_totals(
     re-triggering empty micro-batches forever, so the drain never
     finishes — observed 228 epochs on a 50-row input).
     """
-    import pandas as pd
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.streaming.state import GroupStateTimeout
 
     timeout_conf = (
         GroupStateTimeout.ProcessingTimeTimeout
         if reap_idle_state
         else GroupStateTimeout.NoTimeout
     )
-
-    def update(key, pdf_iter, state: GroupState):
-        n, total = state.get if state.exists else (0, 0.0)
-        for pdf in pdf_iter:
-            n += len(pdf)
-            total += float(pdf["value"].fillna(0.0).sum())
-        state.update((n, total))
-        if reap_idle_state:
-            state.setTimeoutDuration(24 * 3600 * 1000)
-        yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
-        )
+    update = _make_totals_update(reap_idle_state)
 
     return (
         events.withWatermark("ts", watermark)
@@ -188,6 +176,33 @@ def running_user_totals(
             timeoutConf=timeout_conf,
         )
     )
+
+
+def _make_totals_update(reap_idle_state: bool):
+    """Build the per-key state-update function (module-level so the
+    timeout/GC branch is unit-testable against a stub GroupState)."""
+    import pandas as pd
+
+    def update(key, pdf_iter, state):
+        if reap_idle_state and state.hasTimedOut:
+            # Idle-key GC: drop the accumulator and emit nothing. Without
+            # this branch a timeout invocation would re-update + re-arm the
+            # timeout, so state would never be reaped and timed-out keys
+            # would re-trigger (and re-emit a spurious row) forever.
+            state.remove()
+            return
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        if reap_idle_state:
+            state.setTimeoutDuration(24 * 3600 * 1000)
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    return update
 
 
 def run_foreach_batch_parquet(

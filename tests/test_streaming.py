@@ -208,3 +208,54 @@ def test_watermark_drops_late_data(spark, tmp_path):
     }
     noon = datetime(2024, 6, 1, 12, 0, 0)
     assert rows.get(noon) == 3, rows  # late event 5 NOT counted
+
+
+class _StubState:
+    """Minimal GroupState stand-in for driving _make_totals_update."""
+
+    def __init__(self, exists=False, value=None, timed_out=False):
+        self.exists = exists
+        self._value = value
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.updated = None
+        self.timeout_ms = None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, v):
+        self.updated = v
+
+    def remove(self):
+        self.removed = True
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_ms = ms
+
+
+def test_totals_update_timeout_reaps_state():
+    """A timeout invocation must remove state and emit nothing — not
+    re-update + re-arm (which would make idle keys re-trigger forever)."""
+    from pyspark_entity_resolution_spark.streaming.pipeline import _make_totals_update
+
+    update = _make_totals_update(reap_idle_state=True)
+    state = _StubState(exists=True, value=(3, 42.0), timed_out=True)
+    out = list(update((7,), iter([]), state))
+    assert out == []
+    assert state.removed
+    assert state.updated is None
+    assert state.timeout_ms is None
+
+
+def test_totals_update_live_key_accumulates_and_arms_timeout():
+    import pandas as pd
+    from pyspark_entity_resolution_spark.streaming.pipeline import _make_totals_update
+
+    update = _make_totals_update(reap_idle_state=True)
+    state = _StubState(exists=True, value=(2, 10.0))
+    out = list(update((7,), iter([pd.DataFrame({"value": [1.5, 2.5]})]), state))
+    assert state.updated == (4, 14.0)
+    assert state.timeout_ms == 24 * 3600 * 1000
+    assert len(out) == 1 and out[0]["n_events"].iloc[0] == 4
