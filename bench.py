@@ -30,13 +30,12 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "ann_bruteforce_topk",
-    "ann_lsh_bucketed",
-    "ann_ivf_topk",
+    "ann_methods_topk",
     "tfidf_top_terms",
     "events_asof_join",
-    "events_tumbling_window",
-    "events_sessionization",
-    "orders_topk_per_customer",
+    "events_windowed_agg",
+    "events_sessions_pack",
+    "orders_topk_pack",
 ]
 
 

@@ -46,7 +46,7 @@ _STOPWORDS_SQL = _sql_quote_list(ENGLISH_STOPWORDS)
 # ------------------------------------------------------- cleaning pack --
 
 @q(
-    "clean_sort_authors",
+    "clean_customer_pack",
     f"""
     SELECT c_custkey,
            array_to_string(
@@ -58,25 +58,35 @@ _STOPWORDS_SQL = _sql_quote_list(ENGLISH_STOPWORDS)
                           list_filter(string_split(n, ' '), t -> t <> ''),
                           t -> trim(t))),
                       ' ')),
-             ', ') AS sorted_authors
+             ', ') AS sorted_authors,
+           strip_accents('café résumé naïve Ångström piñata façade ' || c_name)
+             AS folded
     FROM (
-      SELECT c_custkey,
+      SELECT c_custkey, c_name,
              concat(c_mktsegment, ' ', c_name, ', ', c_name, ' ', c_mktsegment)
                AS authors_like
       FROM customer
     )
     """,
     "D1 sort_authors as native higher-order-function expression "
-    "(reference src/cleaning.py:46-56)",
+    "(reference src/cleaning.py:46-56) + D4 remove_accents: NFKD fold via "
+    "Arrow-vectorized pandas UDF — the engine's one Python hot-path op "
+    "(reference src/cleaning.py:76-83); oracle uses strip_accents (equal "
+    "on Latin accents)",
 )
-def clean_sort_authors(spark: SparkSession, sf_dir: str) -> DataFrame:
+def clean_customer_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
     authors_like = F.concat(
         F.col("c_mktsegment"), F.lit(" "), F.col("c_name"), F.lit(", "),
         F.col("c_name"), F.lit(" "), F.col("c_mktsegment"),
     )
+    accented = F.concat(
+        F.lit("café résumé naïve Ångström piñata façade "), F.col("c_name")
+    )
     return c.select(
-        "c_custkey", C.sort_authors(authors_like).alias("sorted_authors")
+        "c_custkey",
+        C.sort_authors(authors_like).alias("sorted_authors"),
+        C.remove_accents(accented).alias("folded"),
     )
 
 
@@ -108,10 +118,9 @@ def clean_record_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q(
-    "clean_remove_stopwords",
-    f"""
-    SELECT doc_id,
+# D5 remove_stopwords moved into queries_text.text_analysis_pack (it runs
+# on the documents table with the rest of the per-doc text analysis).
+REMOVE_STOPWORDS_SQL = f"""
            regexp_replace(
              array_to_string(
                list_transform(
@@ -121,15 +130,8 @@ def clean_record_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      '^{_STRIP_CLASS_SQL}+|{_STRIP_CLASS_SQL}+$',
                                      '', 'g')),
                ' '),
-             '\\s{{2,}}', ' ', 'g') AS no_stopwords
-    FROM documents
-    """,
-    "D5 remove_stopwords as a single native expression with the vendored "
-    "NLTK list as an array literal (reference src/cleaning.py:86-98)",
-)
-def clean_remove_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
-    return d.select("doc_id", C.remove_stopwords(F.col("text")).alias("no_stopwords"))
+             '\\s{{2,}}', ' ', 'g')
+"""
 
 
 # ----------------------------------------------------- similarity ops --
@@ -164,43 +166,6 @@ def levenshtein_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("scores", F.levenshtein("a_name", "b_name").cast("bigint"))
         .filter(F.col("scores") <= 2)
         .select("a_id", "b_id", "scores")
-    )
-
-
-@q(
-    "jaccard_part_pairs",
-    """
-    WITH t AS (
-      SELECT p_partkey, p_brand, string_split(p_name, ' ') AS toks FROM part
-    )
-    SELECT a.p_partkey AS a_id, b.p_partkey AS b_id,
-           CAST(len(list_distinct(list_intersect(a.toks, b.toks))) AS DOUBLE)
-             / len(list_distinct(a.toks || b.toks)) AS title_jaccard_sim
-    FROM t a JOIN t b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
-    WHERE CAST(len(list_distinct(list_intersect(a.toks, b.toks))) AS DOUBLE)
-             / len(list_distinct(a.toks || b.toks)) >= 0.3
-    """,
-    "F7 token-set Jaccard over blocked pairs (reference "
-    "src/similarity.py:38-44); blocking key = brand",
-)
-def jaccard_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
-    a = p.select(
-        F.col("p_partkey").alias("a_id"),
-        F.col("p_name").alias("a_name"),
-        F.col("p_brand").alias("brand"),
-    )
-    b = p.select(
-        F.col("p_partkey").alias("b_id"),
-        F.col("p_name").alias("b_name"),
-        F.col("p_brand").alias("brand"),
-    )
-    return (
-        spread(spark, a).join(b, on="brand")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .withColumn("title_jaccard_sim", token_jaccard("a_name", "b_name"))
-        .filter(F.col("title_jaccard_sim") >= 0.3)
-        .select("a_id", "b_id", "title_jaccard_sim")
     )
 
 
@@ -351,63 +316,41 @@ def er_flagship_doc_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---------------------------------------------------- accent folding --
-
 @q(
-    "clean_remove_accents",
-    """
-    SELECT c_custkey,
-           strip_accents('café résumé naïve Ångström piñata façade ' || c_name)
-             AS folded
-    FROM customer
-    """,
-    "D4 remove_accents: NFKD fold via Arrow-vectorized pandas UDF — the "
-    "engine's one Python hot-path op (reference src/cleaning.py:76-83); "
-    "oracle uses strip_accents (equal on Latin accents)",
-)
-def clean_remove_accents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load(spark, sf_dir, "customer")
-    accented = F.concat(
-        F.lit("café résumé naïve Ångström piñata façade "), F.col("c_name")
-    )
-    return c.select("c_custkey", C.remove_accents(accented).alias("folded"))
-
-
-@q(
-    "er_match_rule_bands",
+    "er_similarity_pairs",
     """
     WITH t AS (
       SELECT p_partkey, p_brand, p_name, p_type,
+             string_split(p_name, ' ') AS toks,
              CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_auth
       FROM part
     ),
     pairs AS (
       SELECT a.p_partkey AS a_id, b.p_partkey AS b_id,
-             CAST(levenshtein(a.p_type, b.p_type) AS BIGINT) AS scores,
+             CAST(levenshtein(a.p_type, b.p_type) AS BIGINT) AS lev,
              a.n_auth AS a_n, b.n_auth AS b_n,
-             a.p_name AS a_name, b.p_name AS b_name
+             CAST(len(list_distinct(list_intersect(a.toks, b.toks))) AS DOUBLE)
+               / len(list_distinct(a.toks || b.toks)) AS jac
       FROM t a JOIN t b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
     )
-    SELECT a_id, b_id, scores,
-           CAST(len(list_distinct(list_intersect(string_split(a_name, ' '),
-                                                 string_split(b_name, ' ')))) AS DOUBLE)
-             / len(list_distinct(string_split(a_name, ' ') || string_split(b_name, ' ')))
-             AS title_jaccard_sim
+    SELECT 'jaccard03' AS rule, a_id, b_id, CAST(NULL AS BIGINT) AS scores,
+           jac AS title_jaccard_sim
+    FROM pairs WHERE jac >= 0.3
+    UNION ALL
+    SELECT 'banded', a_id, b_id, lev, jac
     FROM pairs
-    WHERE scores >= 0 AND scores < 10
-      AND ((scores = 0 AND a_n = b_n AND a_n > 0 AND b_n > 0)
-           OR (scores = 0 AND a_n = 0 AND b_n = 0)
-           OR (scores > 0 AND scores < 10 AND a_n = b_n))
-      AND CAST(len(list_distinct(list_intersect(string_split(a_name, ' '),
-                                                string_split(b_name, ' ')))) AS DOUBLE)
-            / len(list_distinct(string_split(a_name, ' ') || string_split(b_name, ' ')))
-          >= 0.6
+    WHERE lev >= 0 AND lev < 10
+      AND ((lev = 0 AND a_n = b_n AND a_n > 0 AND b_n > 0)
+           OR (lev = 0 AND a_n = 0 AND b_n = 0)
+           OR (lev > 0 AND lev < 10 AND a_n = b_n))
+      AND jac >= 0.6
     """,
-    "P8/P9: the reference's exact three-band match rule + Jaccard "
-    "threshold (reference src/similarity.py:47-74) over brand-blocked "
-    "part pairs, via functions.similarity.match_rule",
+    "F7 token-set Jaccard over brand-blocked pairs (reference "
+    "src/similarity.py:38-44) + P8/P9: the reference's exact three-band "
+    "match rule + Jaccard threshold (src/similarity.py:47-74) via "
+    "functions.similarity.match_rule, tagged by rule",
 )
-def er_match_rule_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+def er_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.similarity import match_rule
 
     p = load(spark, sf_dir, "part").select(
@@ -427,12 +370,26 @@ def er_match_rule_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         spread(spark, a).join(b, on="brand")
         .filter(F.col("a_id") < F.col("b_id"))
-        .withColumn("scores", F.levenshtein("a_type", "b_type").cast("bigint"))
+        .withColumn("lev", F.levenshtein("a_type", "b_type").cast("bigint"))
+        .withColumn("jac", token_jaccard("a_name", "b_name"))
     )
-    return (
-        pairs.filter((F.col("scores") >= 0) & (F.col("scores") < 10))
-        .filter(match_rule("scores", "a_n", "b_n"))
-        .withColumn("title_jaccard_sim", token_jaccard("a_name", "b_name"))
-        .filter(F.col("title_jaccard_sim") >= 0.6)
-        .select("a_id", "b_id", "scores", "title_jaccard_sim")
+    jac03 = pairs.filter(F.col("jac") >= 0.3).select(
+        F.lit("jaccard03").alias("rule"),
+        "a_id",
+        "b_id",
+        F.lit(None).cast("bigint").alias("scores"),
+        F.col("jac").alias("title_jaccard_sim"),
     )
+    banded = (
+        pairs.filter((F.col("lev") >= 0) & (F.col("lev") < 10))
+        .filter(match_rule("lev", "a_n", "b_n"))
+        .filter(F.col("jac") >= 0.6)
+        .select(
+            F.lit("banded").alias("rule"),
+            "a_id",
+            "b_id",
+            F.col("lev").alias("scores"),
+            F.col("jac").alias("title_jaccard_sim"),
+        )
+    )
+    return jac03.unionByName(banded)

@@ -24,21 +24,34 @@ def q(name: str, sql: str | None, doc: str = ""):
 
 
 @q(
-    "events_tumbling_window",
+    "events_windowed_agg",
     """
-    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+    SELECT 'tumbling' AS window_kind,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
            event_type,
            COUNT(*) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM events
-    GROUP BY 1, 2
+    GROUP BY 2, 3
+    UNION ALL
+    SELECT 'sliding', strftime(win_start, '%Y-%m-%d %H:%M:%S'), event_type,
+           COUNT(*), CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+    FROM (
+      SELECT event_type, value,
+             unnest([date_trunc('hour', ts),
+                     date_trunc('hour', ts - INTERVAL 30 MINUTE)
+                       + INTERVAL 30 MINUTE]) AS win_start
+      FROM events
+    )
+    GROUP BY 2, 3
     """,
-    "1-hour tumbling-window aggregation (batch twin of the streaming "
-    "windowed count; watermarked variant in streaming/)",
+    "1-hour tumbling-window aggregation + sliding-window aggregation (1h "
+    "window, 30min slide: each event lands in 2 windows via F.window), "
+    "tagged by window_kind — batch twins of the streaming windowed aggs",
 )
-def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_events(spark, sf_dir)
-    return (
+    tumbling = (
         e.groupBy(
             F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
                 "window_start"
@@ -49,31 +62,68 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("DECIMAL(18,2)")).cast("double").alias("total_value"),
         )
+        .select(
+            F.lit("tumbling").alias("window_kind"),
+            "window_start", "event_type", "n_events", "total_value",
+        )
     )
+    sliding = (
+        e.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("win"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("DECIMAL(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.lit("sliding").alias("window_kind"),
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    return tumbling.unionByName(sliding)
 
 
 @q(
-    "events_sessionization",
+    "events_sessions_pack",
     """
     WITH g AS (
       SELECT user_id, ts,
-             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
-                                          ORDER BY ts, event_id)
-                       > INTERVAL 30 MINUTE
-                  OR lag(ts) OVER (PARTITION BY user_id
-                                   ORDER BY ts, event_id) IS NULL
+             CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER w IS NULL
                   THEN 1 ELSE 0 END AS is_new
       FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM g
     )
-    SELECT user_id,
+    SELECT 'per_user' AS variant, user_id,
+           CAST(NULL AS VARCHAR) AS session_start,
+           CAST(NULL AS VARCHAR) AS session_end,
            CAST(SUM(is_new) AS BIGINT) AS n_sessions,
            COUNT(*) AS n_events
     FROM g GROUP BY user_id
+    UNION ALL
+    SELECT 'per_session', user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S'),
+           strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S'),
+           CAST(NULL AS BIGINT),
+           COUNT(*)
+    FROM s GROUP BY user_id, session_id
     """,
-    "gap-based sessionization (30-min inactivity) via lag window — the "
-    "batch twin of stateful streaming session windows",
+    "gap-based sessionization (30-min inactivity) two ways, tagged by "
+    "variant: per-user session/event counts via lag window (the batch "
+    "twin of stateful streaming session windows) + per-session rows via "
+    "native session_window (start, gap-extended end, event count — "
+    "values-level parity with the lag/cumsum formulation)",
 )
-def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_sessions_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("ts").over(w)
@@ -82,14 +132,39 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         | (F.col("ts").cast("double") - prev.cast("double") > 1800),
         1,
     ).otherwise(0)
-    return (
+    per_user = (
         e.withColumn("is_new", is_new)
         .groupBy("user_id")
         .agg(
             F.sum("is_new").cast("bigint").alias("n_sessions"),
             F.count(F.lit(1)).alias("n_events"),
         )
+        .select(
+            F.lit("per_user").alias("variant"),
+            "user_id",
+            F.lit(None).cast("string").alias("session_start"),
+            F.lit(None).cast("string").alias("session_end"),
+            "n_sessions",
+            "n_events",
+        )
     )
+    per_session = (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.lit("per_session").alias("variant"),
+            "user_id",
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.date_format(F.col("win.end"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_end"
+            ),
+            F.lit(None).cast("bigint").alias("n_sessions"),
+            "n_events",
+        )
+    )
+    return per_user.unionByName(per_session)
 
 
 @q(
@@ -114,36 +189,6 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.sum(k).cast("bigint").alias("total_k"),
             (F.sum(k).cast("double") / F.count(F.lit(1))).alias("avg_k"),
-        )
-    )
-
-
-@q(
-    "orders_topk_per_customer",
-    """
-    WITH r AS (
-      SELECT o_custkey, o_orderkey, o_totalprice,
-             row_number() OVER (PARTITION BY o_custkey
-                                ORDER BY o_totalprice DESC, o_orderkey) AS rank
-      FROM orders
-    )
-    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rank AS BIGINT) AS rank
-    FROM r WHERE rank <= 3
-    """,
-    "deterministic per-group top-k via rank window (tie-broken on the "
-    "unique key)",
-)
-def orders_topk_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey")
-    )
-    return (
-        o.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 3)
-        .select(
-            "o_custkey", "o_orderkey", "o_totalprice",
-            F.col("rank").cast("bigint").alias("rank"),
         )
     )
 
@@ -191,23 +236,35 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
-    "events_rollup_daily",
+    "events_grouping_sets",
     """
-    SELECT CASE WHEN GROUPING(d) = 0 THEN strftime(d, '%Y-%m-%d') END AS day,
+    SELECT 'rollup' AS grouping_kind,
+           CASE WHEN GROUPING(d) = 0 THEN strftime(d, '%Y-%m-%d') END AS day,
            CASE WHEN GROUPING(event_type) = 0 THEN event_type END AS event_type,
+           CAST(NULL AS BIGINT) AS dow,
            COUNT(*) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM (SELECT date_trunc('day', ts) AS d, event_type, value FROM events)
     GROUP BY ROLLUP (d, event_type)
+    UNION ALL
+    SELECT 'cube', NULL,
+           CASE WHEN GROUPING(event_type) = 0 THEN event_type END,
+           CASE WHEN GROUPING(dow) = 0 THEN dow END,
+           COUNT(*), CAST(NULL AS DOUBLE)
+    FROM (SELECT event_type, CAST(EXTRACT(dow FROM ts) AS BIGINT) AS dow
+          FROM events)
+    GROUP BY CUBE (event_type, dow)
     """,
     "hierarchical rollup (day, event_type) -> daily totals -> grand total "
-    "(the hypertable-rollup shape); NULL marks aggregated-out levels",
+    "(the hypertable-rollup shape) + full cube over (event_type, "
+    "day-of-week): all four grouping combinations in one Expand-based "
+    "pass; NULL marks aggregated-out levels, tagged by grouping_kind",
 )
-def events_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_events(spark, sf_dir).select(
         F.date_trunc("day", "ts").alias("d"), "event_type", "value"
     )
-    return (
+    rollup_part = (
         e.rollup("d", "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -216,127 +273,34 @@ def events_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.grouping("event_type").alias("__ge"),
         )
         .select(
+            F.lit("rollup").alias("grouping_kind"),
             F.when(F.col("__gd") == 0, F.date_format("d", "yyyy-MM-dd")).alias("day"),
             F.when(F.col("__ge") == 0, F.col("event_type")).alias("event_type"),
+            F.lit(None).cast("bigint").alias("dow"),
             "n_events",
             "total_value",
         )
-    )
-
-
-@q(
-    "events_sliding_window",
-    """
-    WITH w AS (
-      SELECT event_type, value,
-             unnest([date_trunc('hour', ts),
-                     date_trunc('hour', ts - INTERVAL 30 MINUTE)
-                       + INTERVAL 30 MINUTE]) AS win_start
-      FROM events
-    )
-    SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS window_start,
-           event_type,
-           COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-    FROM w GROUP BY 1, 2
-    """,
-    "sliding-window aggregation (1h window, 30min slide): each event lands"
-    " in 2 windows via F.window; batch twin of the streaming sliding agg",
-)
-def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_events(spark, sf_dir)
-    return (
-        e.groupBy(
-            F.window("ts", "1 hour", "30 minutes").alias("win"), "event_type"
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("DECIMAL(18,2)")).cast("double").alias("total_value"),
-        )
-        .select(
-            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
-            "event_type",
-            "n_events",
-            "total_value",
-        )
-    )
-
-
-@q(
-    "events_cube_type_day",
-    """
-    SELECT CASE WHEN GROUPING(event_type) = 0 THEN event_type END AS event_type,
-           CASE WHEN GROUPING(dow) = 0 THEN dow END AS dow,
-           COUNT(*) AS n_events
-    FROM (SELECT event_type, CAST(EXTRACT(dow FROM ts) AS BIGINT) AS dow
-          FROM events)
-    GROUP BY CUBE (event_type, dow)
-    """,
-    "full cube over (event_type, day-of-week): all four grouping "
-    "combinations in one pass (Expand-based plan)",
-)
-def events_cube_type_day(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_events(spark, sf_dir).select(
-        "event_type", F.dayofweek("ts").alias("__dow")
     )
     # DuckDB dow: Sunday=0; Spark dayofweek: Sunday=1 -> normalize
-    e = e.select("event_type", (F.col("__dow") - 1).cast("bigint").alias("dow"))
-    return (
-        e.cube("event_type", "dow")
+    e2 = load_events(spark, sf_dir).select(
+        "event_type", (F.dayofweek("ts") - 1).cast("bigint").alias("dow")
+    )
+    cube_part = (
+        e2.cube("event_type", "dow")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.grouping("event_type").alias("__gt"),
             F.grouping("dow").alias("__gd"),
         )
         .select(
+            F.lit("cube").alias("grouping_kind"),
+            F.lit(None).cast("string").alias("day"),
             F.when(F.col("__gt") == 0, F.col("event_type")).alias("event_type"),
             F.when(F.col("__gd") == 0, F.col("dow")).alias("dow"),
             "n_events",
+            F.lit(None).cast("double").alias("total_value"),
         )
     )
+    return rollup_part.unionByName(cube_part)
 
 
-@q(
-    "events_session_windows",
-    """
-    WITH g AS (
-      SELECT user_id, ts,
-             CASE WHEN lag(ts) OVER w IS NULL
-                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
-                  THEN 1 ELSE 0 END AS is_new
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ),
-    s AS (
-      SELECT user_id, ts,
-             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
-                               ROWS UNBOUNDED PRECEDING) AS session_id
-      FROM g
-    )
-    SELECT user_id,
-           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-           strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
-             AS session_end,
-           COUNT(*) AS n_events
-    FROM s GROUP BY user_id, session_id
-    """,
-    "per-session rows via native session_window (30-min gap): start, "
-    "gap-extended end, event count — values-level parity with the "
-    "lag/cumsum formulation",
-)
-def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_events(spark, sf_dir)
-    return (
-        e.groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(
-            "user_id",
-            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias(
-                "session_start"
-            ),
-            F.date_format(F.col("win.end"), "yyyy-MM-dd HH:mm:ss").alias(
-                "session_end"
-            ),
-            "n_events",
-        )
-    )

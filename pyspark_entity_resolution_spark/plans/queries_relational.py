@@ -41,67 +41,88 @@ def scan_parquet_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
-    "filter_year_and_contains",
+    "filter_year_date_pack",
     """
-    SELECT o_orderkey, o_custkey,
+    SELECT o_orderkey, o_custkey, o_orderpriority,
            strftime(o_orderdate, '%Y-%m-%d') AS order_date,
-           o_orderpriority
+           strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+           CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+           CAST(EXTRACT(quarter FROM o_orderdate) AS BIGINT) AS order_quarter,
+           CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS order_month,
+           CAST(date_diff('day', o_orderdate, TIMESTAMP '2002-01-01') AS BIGINT)
+             AS days_to_epochend,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start
     FROM orders
     WHERE EXTRACT(year FROM o_orderdate) BETWEEN 1996 AND 1998
       AND contains(o_orderpriority, 'URGENT')
     """,
     "P5 year-range + substring predicate (reference filter_by_year_and_venue,"
-    " src/cleaning.py:163-172)",
+    " src/cleaning.py:163-172) + date/time scalar pack over the filtered "
+    "rows: interval add, extract parts, datediff, trunc",
 )
-def filter_year_and_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+def filter_year_date_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
     return orders.filter(
         F.year("o_orderdate").between(1996, 1998)
         & F.col("o_orderpriority").contains("URGENT")
     ).select(
         "o_orderkey",
         "o_custkey",
-        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
         "o_orderpriority",
+        F.date_format(d, "yyyy-MM-dd").alias("order_date"),
+        F.date_format(F.date_add(d, 30), "yyyy-MM-dd").alias("due_date"),
+        F.year(d).cast("bigint").alias("order_year"),
+        F.quarter(d).cast("bigint").alias("order_quarter"),
+        F.month(d).cast("bigint").alias("order_month"),
+        F.datediff(F.lit("2002-01-01").cast("timestamp"), d)
+        .cast("bigint")
+        .alias("days_to_epochend"),
+        F.date_format(F.date_trunc("month", d), "yyyy-MM-dd").alias("month_start"),
     )
 
 
 # --------------------------------------------------------------- joins --
 
 @q(
-    "cross_join_filtered",
+    "join_kinds_pack",
     """
-    SELECT r.r_name AS region_name, n.n_name AS nation_name
+    SELECT 'cross' AS join_kind, CAST(NULL AS BIGINT) AS left_key,
+           r.r_name AS left_name, n.n_name AS nation_name
     FROM region r CROSS JOIN nation n
     WHERE contains(n.n_name, 'A') AND contains(r.r_name, 'A')
-    """,
-    "J1 cross join + post-filter (reference src/match.py:94)",
-)
-def cross_join_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
-    region = load(spark, sf_dir, "region")
-    nation = load(spark, sf_dir, "nation")
-    return (
-        region.crossJoin(nation)
-        .filter(F.col("n_name").contains("A") & F.col("r_name").contains("A"))
-        .select(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
-    )
-
-
-@q(
-    "left_join_dim",
-    """
-    SELECT s.s_suppkey, s.s_name, n.n_name AS nation_name
+    UNION ALL
+    SELECT 'left', s.s_suppkey, s.s_name, n.n_name
     FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
     """,
-    "J2 left equi-join, broadcast-eligible dimension (reference "
-    "src/create_graph.py:69-74)",
+    "J1 cross join + post-filter (reference src/match.py:94) and J2 left "
+    "equi-join against a broadcast dimension (reference "
+    "src/create_graph.py:69-74), tagged by join_kind",
 )
-def left_join_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+def join_kinds_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load(spark, sf_dir, "region")
+    nation = load(spark, sf_dir, "nation")
+    crossed = (
+        region.crossJoin(nation)
+        .filter(F.col("n_name").contains("A") & F.col("r_name").contains("A"))
+        .select(
+            F.lit("cross").alias("join_kind"),
+            F.lit(None).cast("bigint").alias("left_key"),
+            F.col("r_name").alias("left_name"),
+            F.col("n_name").alias("nation_name"),
+        )
+    )
     supplier = load(spark, sf_dir, "supplier")
-    nation = F.broadcast(load(spark, sf_dir, "nation"))
-    return supplier.join(
-        nation, supplier.s_nationkey == nation.n_nationkey, "left"
-    ).select("s_suppkey", "s_name", F.col("n_name").alias("nation_name"))
+    dim = F.broadcast(load(spark, sf_dir, "nation"))
+    lefted = supplier.join(
+        dim, supplier.s_nationkey == dim.n_nationkey, "left"
+    ).select(
+        F.lit("left").alias("join_kind"),
+        F.col("s_suppkey").cast("bigint").alias("left_key"),
+        F.col("s_name").alias("left_name"),
+        F.col("n_name").alias("nation_name"),
+    )
+    return crossed.unionByName(lefted)
 
 
 # --------------------------------------------------------- aggregations --
@@ -276,63 +297,71 @@ def distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------------------- set ops --
 
 @q(
-    "union_entities",
+    "set_ops_pack",
     """
-    SELECT c_custkey AS entity_id, c_name AS entity_name, 'customer' AS src FROM customer
+    SELECT 'union' AS set_op, CAST(c_custkey AS BIGINT) AS key, c_name AS name
+    FROM customer
     UNION ALL
-    SELECT s_suppkey AS entity_id, s_name AS entity_name, 'supplier' AS src FROM supplier
-    """,
-    "U1 union (bag semantics, by name — reference src/match.py:118 used"
-    " positional union)",
-)
-def union_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("entity_id"),
-        F.col("c_name").alias("entity_name"),
-        F.lit("customer").alias("src"),
+    SELECT 'union', s_suppkey, s_name FROM supplier
+    UNION ALL
+    SELECT 'intersect', k, NULL FROM (
+      SELECT c_nationkey AS k FROM customer
+      INTERSECT
+      SELECT s_nationkey FROM supplier
     )
-    s = load(spark, sf_dir, "supplier").select(
-        F.col("s_suppkey").alias("entity_id"),
-        F.col("s_name").alias("entity_name"),
-        F.lit("supplier").alias("src"),
+    UNION ALL
+    SELECT 'except', k, NULL FROM (
+      SELECT c_custkey AS k FROM customer
+      EXCEPT
+      SELECT o_custkey FROM orders
     )
-    return c.unionByName(s)
-
-
-@q(
-    "intersect_nation_keys",
-    """
-    SELECT c_nationkey AS nation_key FROM customer
-    INTERSECT
-    SELECT s_nationkey AS nation_key FROM supplier
     """,
-    "U2 intersect (reference src/performance.py:13)",
+    "U1 union (bag semantics, by name — reference src/match.py:118 used "
+    "positional union), U2 intersect (src/performance.py:13), U3 subtract/"
+    "EXCEPT set semantics (src/performance.py:14-15), tagged by set_op",
 )
-def intersect_nation_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nation_key"))
-    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nation_key"))
-    return c.intersect(s)
-
-
-@q(
-    "except_customers_without_orders",
-    """
-    SELECT c_custkey AS cust_key FROM customer
-    EXCEPT
-    SELECT o_custkey AS cust_key FROM orders
-    """,
-    "U3 subtract/EXCEPT, set semantics (reference src/performance.py:14-15)",
-)
-def except_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("cust_key"))
-    o = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("cust_key"))
-    return c.subtract(o)
+def set_ops_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders")
+    union_part = (
+        c.select(
+            F.col("c_custkey").cast("bigint").alias("key"),
+            F.col("c_name").alias("name"),
+        )
+        .unionByName(
+            s.select(
+                F.col("s_suppkey").cast("bigint").alias("key"),
+                F.col("s_name").alias("name"),
+            )
+        )
+        .select(F.lit("union").alias("set_op"), "key", "name")
+    )
+    inter_part = (
+        c.select(F.col("c_nationkey").cast("bigint").alias("key"))
+        .intersect(s.select(F.col("s_nationkey").cast("bigint").alias("key")))
+        .select(
+            F.lit("intersect").alias("set_op"),
+            "key",
+            F.lit(None).cast("string").alias("name"),
+        )
+    )
+    except_part = (
+        c.select(F.col("c_custkey").cast("bigint").alias("key"))
+        .subtract(o.select(F.col("o_custkey").cast("bigint").alias("key")))
+        .select(
+            F.lit("except").alias("set_op"),
+            "key",
+            F.lit(None).cast("string").alias("name"),
+        )
+    )
+    return union_part.unionByName(inter_part).unionByName(except_part)
 
 
 # ------------------------------------------------- scalar function pack --
 
 @q(
-    "scalar_string_pack",
+    "string_functions_pack",
     """
     SELECT p_partkey,
            lower(p_name) AS name_lower,
@@ -341,13 +370,22 @@ def except_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFra
            CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_tokens,
            regexp_replace(p_brand, '[^0-9]', '', 'g') AS brand_digits,
            CAST(contains(p_type, 'ECONOMY') AS BOOLEAN) AS is_economy,
-           CAST(p_size AS BIGINT) + 100 AS size_plus
+           CAST(p_size AS BIGINT) + 100 AS size_plus,
+           lpad(p_brand, 12, '*') AS brand_pad,
+           reverse(p_name) AS name_rev,
+           replace(p_type, 'ECONOMY', 'ECO') AS type_short,
+           split_part(p_name, ' ', 1) AS name_head,
+           repeat('-', CAST(p_size % 5 AS INTEGER)) AS size_bar,
+           CAST(length(p_name) AS BIGINT) AS name_len,
+           CAST(strpos(p_name, 'widget') AS BIGINT) AS widget_pos,
+           upper(p_brand) AS brand_upper
     FROM part
     """,
-    "F1-F5/F8 scalar pack: lower/trim/split/getItem/regexp_replace/contains/"
-    "cast/arithmetic (reference src/cleaning.py:101-160)",
+    "F1-F5/F8 scalar string pack: lower/trim/split/getItem/regexp_replace/"
+    "contains/cast/arithmetic (reference src/cleaning.py:101-160) plus "
+    "pad/reverse/replace/split_part/repeat/length/position/case",
 )
-def scalar_string_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+def string_functions_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part")
     toks = F.split(F.col("p_name"), " ")
     return p.select(
@@ -359,6 +397,14 @@ def scalar_string_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace("p_brand", "[^0-9]", "").alias("brand_digits"),
         F.col("p_type").contains("ECONOMY").alias("is_economy"),
         (F.col("p_size").cast("bigint") + 100).alias("size_plus"),
+        F.lpad("p_brand", 12, "*").alias("brand_pad"),
+        F.reverse("p_name").alias("name_rev"),
+        F.replace("p_type", F.lit("ECONOMY"), F.lit("ECO")).alias("type_short"),
+        F.split_part("p_name", F.lit(" "), F.lit(1)).alias("name_head"),
+        F.repeat(F.lit("-"), (F.col("p_size") % 5).cast("int")).alias("size_bar"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.instr("p_name", "widget").cast("bigint").alias("widget_pos"),
+        F.upper("p_brand").alias("brand_upper"),
     )
 
 
@@ -408,39 +454,37 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @q(
-    "semi_join_urgent_customers",
+    "semi_anti_join_customers",
     """
-    SELECT c_custkey, c_name FROM customer c
+    SELECT 'semi' AS join_kind, c_custkey, c_name FROM customer c
     WHERE EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey
                     AND o.o_orderpriority = '1-URGENT')
-    """,
-    "left-semi join (EXISTS): customers with at least one urgent order",
-)
-def semi_join_urgent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
-    return c.join(
-        o, c.c_custkey == o.o_custkey, "left_semi"
-    ).select("c_custkey", "c_name")
-
-
-@q(
-    "anti_join_customers_no_open_orders",
-    """
-    SELECT c_custkey, c_name FROM customer c
+    UNION ALL
+    SELECT 'anti', c_custkey, c_name FROM customer c
     WHERE NOT EXISTS (SELECT 1 FROM orders o
                       WHERE o.o_custkey = c.c_custkey
                         AND o.o_orderstatus = 'P')
     """,
-    "left-anti join (NOT EXISTS): customers with no pending order",
+    "left-semi join (EXISTS: customers with an urgent order) + left-anti "
+    "join (NOT EXISTS: customers with no pending order), tagged by "
+    "join_kind",
 )
-def anti_join_customers_no_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+def semi_anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
-    return c.join(
-        o, c.c_custkey == o.o_custkey, "left_anti"
-    ).select("c_custkey", "c_name")
+    urgent = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    pending = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    semi = (
+        c.join(urgent, c.c_custkey == urgent.o_custkey, "left_semi")
+        .select(F.lit("semi").alias("join_kind"), "c_custkey", "c_name")
+    )
+    anti = (
+        c.join(pending, c.c_custkey == pending.o_custkey, "left_anti")
+        .select(F.lit("anti").alias("join_kind"), "c_custkey", "c_name")
+    )
+    return semi.unionByName(anti)
 
 
 @q(
@@ -508,22 +552,65 @@ def count_distinct_suppliers_per_nation(spark: SparkSession, sf_dir: str) -> Dat
 
 
 @q(
-    "topn_orders_global",
+    "orders_topk_pack",
     """
-    SELECT o_orderkey, o_totalprice FROM orders
-    ORDER BY o_totalprice DESC, o_orderkey
-    LIMIT 100
+    WITH g AS (
+      SELECT o_orderkey, o_totalprice,
+             row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rank
+      FROM orders
+    ),
+    p AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rank
+      FROM orders
+    )
+    SELECT 'global' AS scope, CAST(NULL AS BIGINT) AS o_custkey,
+           o_orderkey, o_totalprice, CAST(rank AS BIGINT) AS rank
+    FROM g WHERE rank <= 100
+    UNION ALL
+    SELECT 'per_customer', o_custkey, o_orderkey, o_totalprice,
+           CAST(rank AS BIGINT)
+    FROM p WHERE rank <= 3
     """,
-    "global deterministic top-N (TakeOrderedAndProject — no full sort "
-    "shuffle, per-partition heaps + driver merge)",
+    "global deterministic top-N (TakeOrderedAndProject — per-partition "
+    "heaps + driver merge, no full sort shuffle; rank attached after the "
+    "100-row limit) + per-group top-k via rank window tie-broken on the "
+    "unique key, tagged by scope",
 )
-def topn_orders_global(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        load(spark, sf_dir, "orders")
-        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+def orders_topk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = load(spark, sf_dir, "orders")
+    top100 = (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(100)
         .select("o_orderkey", "o_totalprice")
     )
+    # rank over the already-reduced 100 rows (cheap single-partition window)
+    wg = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    global_part = top100.select(
+        F.lit("global").alias("scope"),
+        F.lit(None).cast("bigint").alias("o_custkey"),
+        "o_orderkey",
+        "o_totalprice",
+        F.row_number().over(wg).cast("bigint").alias("rank"),
+    )
+    wp = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    per_cust = (
+        o.withColumn("rank", F.row_number().over(wp))
+        .filter(F.col("rank") <= 3)
+        .select(
+            F.lit("per_customer").alias("scope"),
+            F.col("o_custkey").cast("bigint").alias("o_custkey"),
+            "o_orderkey",
+            "o_totalprice",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+    return global_part.unionByName(per_cust)
 
 
 @q(
@@ -613,99 +700,6 @@ def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
-    "date_functions_pack",
-    """
-    SELECT o_orderkey,
-           strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
-           CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
-           CAST(EXTRACT(quarter FROM o_orderdate) AS BIGINT) AS order_quarter,
-           CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS order_month,
-           CAST(date_diff('day', o_orderdate, TIMESTAMP '2002-01-01') AS BIGINT)
-             AS days_to_epochend,
-           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start
-    FROM orders WHERE o_orderkey < 2000
-    """,
-    "date/time scalar pack: interval add, extract parts, datediff, trunc",
-)
-def date_functions_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
-    d = F.col("o_orderdate")
-    return o.select(
-        "o_orderkey",
-        F.date_format(F.date_add(d, 30), "yyyy-MM-dd").alias("due_date"),
-        F.year(d).cast("bigint").alias("order_year"),
-        F.quarter(d).cast("bigint").alias("order_quarter"),
-        F.month(d).cast("bigint").alias("order_month"),
-        F.datediff(F.lit("2002-01-01").cast("timestamp"), d)
-        .cast("bigint")
-        .alias("days_to_epochend"),
-        F.date_format(F.date_trunc("month", d), "yyyy-MM-dd").alias("month_start"),
-    )
-
-
-@q(
-    "conditional_pack",
-    """
-    SELECT c_custkey,
-           CASE WHEN c_acctbal < 0 THEN 'debtor'
-                WHEN c_acctbal < 5000 THEN 'standard'
-                ELSE 'premium' END AS tier,
-           coalesce(nullif(c_mktsegment, 'MACHINERY'), 'OTHER') AS segment_ex,
-           greatest(c_acctbal, 0.0) AS bal_floor,
-           least(CAST(c_nationkey AS BIGINT), 10) AS nk_cap
-    FROM customer
-    """,
-    "conditional scalar pack: CASE bands, coalesce/nullif, greatest/least",
-)
-def conditional_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load(spark, sf_dir, "customer")
-    return c.select(
-        "c_custkey",
-        F.when(F.col("c_acctbal") < 0, "debtor")
-        .when(F.col("c_acctbal") < 5000, "standard")
-        .otherwise("premium")
-        .alias("tier"),
-        F.coalesce(F.nullif("c_mktsegment", F.lit("MACHINERY")), F.lit("OTHER")).alias(
-            "segment_ex"
-        ),
-        F.greatest("c_acctbal", F.lit(0.0)).alias("bal_floor"),
-        F.least(F.col("c_nationkey").cast("bigint"), F.lit(10)).alias("nk_cap"),
-    )
-
-
-@q(
-    "string_functions_pack2",
-    """
-    SELECT p_partkey,
-           lpad(p_brand, 12, '*') AS brand_pad,
-           reverse(p_name) AS name_rev,
-           replace(p_type, 'ECONOMY', 'ECO') AS type_short,
-           split_part(p_name, ' ', 1) AS name_head,
-           repeat('-', CAST(p_size % 5 AS INTEGER)) AS size_bar,
-           CAST(length(p_name) AS BIGINT) AS name_len,
-           CAST(strpos(p_name, 'widget') AS BIGINT) AS widget_pos,
-           upper(p_brand) AS brand_upper
-    FROM part WHERE p_partkey < 500
-    """,
-    "string scalar pack 2: pad/reverse/replace/split_part/repeat/length/"
-    "position/case",
-)
-def string_functions_pack2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") < 500)
-    return p.select(
-        "p_partkey",
-        F.lpad("p_brand", 12, "*").alias("brand_pad"),
-        F.reverse("p_name").alias("name_rev"),
-        F.replace("p_type", F.lit("ECONOMY"), F.lit("ECO")).alias("type_short"),
-        F.split_part("p_name", F.lit(" "), F.lit(1)).alias("name_head"),
-        F.repeat(F.lit("-"), (F.col("p_size") % 5).cast("int")).alias("size_bar"),
-        F.length("p_name").cast("bigint").alias("name_len"),
-        F.instr("p_name", "widget").cast("bigint").alias("widget_pos"),
-        F.upper("p_brand").alias("brand_upper"),
-    )
-
-
-@q(
     "math_functions_pack",
     """
     SELECT l_orderkey, l_linenumber,
@@ -775,7 +769,7 @@ def sql_api_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
-    "merge_upsert_customers",
+    "merge_upsert_conditional",
     """
     WITH updates AS (  -- deterministic 10% of customers get new balances,
                        -- plus synthetic new rows
@@ -793,14 +787,21 @@ def sql_api_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
            coalesce(u.u_acctbal, c.c_acctbal) AS c_acctbal,
            CASE WHEN u.k IS NULL THEN 'unchanged'
                 WHEN c.c_custkey IS NULL THEN 'inserted'
-                ELSE 'updated' END AS merge_action
+                ELSE 'updated' END AS merge_action,
+           CASE WHEN coalesce(u.u_acctbal, c.c_acctbal) < 0 THEN 'debtor'
+                WHEN coalesce(u.u_acctbal, c.c_acctbal) < 5000 THEN 'standard'
+                ELSE 'premium' END AS tier,
+           coalesce(nullif(c.c_mktsegment, 'MACHINERY'), 'OTHER') AS segment_ex,
+           greatest(coalesce(u.u_acctbal, c.c_acctbal), 0.0) AS bal_floor,
+           least(coalesce(CAST(c.c_nationkey AS BIGINT), 0), 10) AS nk_cap
     FROM customer c FULL OUTER JOIN updates u ON c.c_custkey = u.k
     """,
     "MERGE INTO / SCD-1 upsert as a full-outer join + coalesce: updates "
     "win, inserts append, base rows survive — the parquet-lake merge "
-    "pattern (one shuffle on the key)",
+    "pattern (one shuffle on the key). The merged rows then feed the "
+    "conditional scalar pack: CASE bands, coalesce/nullif, greatest/least",
 )
-def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+def merge_upsert_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
     bucket = (
         F.conv(F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 6), 16, 10)
@@ -822,12 +823,24 @@ def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     merged = c.join(updates, c.c_custkey == updates.k, "full_outer")
+    bal = F.coalesce("u_acctbal", "c_acctbal")
     return merged.select(
         F.coalesce("k", "c_custkey").alias("c_custkey"),
         F.coalesce("u_name", "c_name").alias("c_name"),
-        F.coalesce("u_acctbal", "c_acctbal").alias("c_acctbal"),
+        bal.alias("c_acctbal"),
         F.when(F.col("k").isNull(), "unchanged")
         .when(F.col("c_custkey").isNull(), "inserted")
         .otherwise("updated")
         .alias("merge_action"),
+        F.when(bal < 0, "debtor")
+        .when(bal < 5000, "standard")
+        .otherwise("premium")
+        .alias("tier"),
+        F.coalesce(F.nullif("c_mktsegment", F.lit("MACHINERY")), F.lit("OTHER")).alias(
+            "segment_ex"
+        ),
+        F.greatest(bal, F.lit(0.0)).alias("bal_floor"),
+        F.least(F.coalesce(F.col("c_nationkey").cast("bigint"), F.lit(0)), F.lit(10)).alias(
+            "nk_cap"
+        ),
     )

@@ -26,42 +26,13 @@ def q(name: str, sql: str | None, doc: str = ""):
 
 _TOKS_SQL = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
 
-
-@q(
-    "text_statistics",
-    f"""
-    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS tk, text FROM documents)
-    SELECT doc_id,
-           CAST(len(tk) AS BIGINT) AS n_tokens,
-           CAST(len(list_distinct(tk)) AS BIGINT) AS n_unique_tokens,
-           CAST(list_aggregate(list_transform(tk, x -> len(x)), 'sum') AS DOUBLE)
-             / len(tk) AS avg_token_len,
-           CAST(len(list_filter(tk, x -> list_contains(
-                 [{{stopwords}}], x))) AS DOUBLE) / len(tk) AS stop_ratio
-    FROM t
-    """.replace(
-        "{stopwords}",
-        ", ".join(
-            "'" + w.replace("'", "''") + "'"
-            for w in __import__(
-                "pyspark_entity_resolution_spark.functions.stopwords",
-                fromlist=["ENGLISH_STOPWORDS"],
-            ).ENGLISH_STOPWORDS
-        ),
-    ),
-    "token/char statistics per document (training-data quality signals)",
+_STOPWORDS_LIST_SQL = ", ".join(
+    "'" + w.replace("'", "''") + "'"
+    for w in __import__(
+        "pyspark_entity_resolution_spark.functions.stopwords",
+        fromlist=["ENGLISH_STOPWORDS"],
+    ).ENGLISH_STOPWORDS
 )
-def text_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
-    c = F.col("text")
-    return d.select(
-        "doc_id",
-        T.token_count(c).alias("n_tokens"),
-        T.unique_token_count(c).alias("n_unique_tokens"),
-        T.avg_token_length(c).alias("avg_token_len"),
-        T.stopword_ratio(c).alias("stop_ratio"),
-    )
-
 
 _LANG_SCORE_SQL = {
     lang: (
@@ -71,13 +42,22 @@ _LANG_SCORE_SQL = {
     for lang, markers in T.LANG_MARKERS.items()
 }
 
+_GRAMS_SQL = (
+    "list_transform(range(1, greatest(1, len(text) - 2) + 1),"
+    " i -> text[i : i + 2])"
+)
 
-@q(
-    "text_language_id",
-    f"""
-    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+
+def _text_analysis_sql() -> str:
+    # D5 remove_stopwords shares the documents scan with the rest of the
+    # per-doc analysis; its SQL formulation lives in queries_er (the
+    # reference cleaning-function home).
+    from .queries_er import REMOVE_STOPWORDS_SQL
+
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS tk, text FROM documents),
     s AS (
-      SELECT doc_id,
+      SELECT doc_id, tk, text,
              {_LANG_SCORE_SQL['de']} AS s_de,
              {_LANG_SCORE_SQL['en']} AS s_en,
              {_LANG_SCORE_SQL['es']} AS s_es,
@@ -85,40 +65,38 @@ _LANG_SCORE_SQL = {
       FROM t
     )
     SELECT doc_id,
+           CAST(len(tk) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(tk)) AS BIGINT) AS n_unique_tokens,
+           CAST(list_aggregate(list_transform(tk, x -> len(x)), 'sum') AS DOUBLE)
+             / len(tk) AS avg_token_len,
+           CAST(len(list_filter(tk, x -> list_contains(
+                 [{_STOPWORDS_LIST_SQL}], x))) AS DOUBLE) / len(tk) AS stop_ratio,
            CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
                 WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
                 WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
                 WHEN s_es >= s_fr THEN 'es'
-                ELSE 'fr' END AS detected_lang
+                ELSE 'fr' END AS detected_lang,
+           md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp_md5,
+           list_aggregate(list_transform(list_distinct({_GRAMS_SQL}), g -> md5(g)),
+                          'min') AS fp_minhash,
+           {REMOVE_STOPWORDS_SQL} AS no_stopwords
     FROM s
-    """,
-    "marker-stopword language-ID heuristic (argmax with code-order "
-    "tie-break); the operator shape for n-gram language ID",
-)
-def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
-    return d.select("doc_id", T.detect_language(F.col("text")).alias("detected_lang"))
-
-
-_GRAMS_SQL = (
-    "list_transform(range(1, greatest(1, len(text) - 2) + 1),"
-    " i -> text[i : i + 2])"
-)
+    """
 
 
 @q(
-    "text_fingerprints",
-    f"""
-    SELECT doc_id,
-           md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp_md5,
-           list_aggregate(list_transform(list_distinct({_GRAMS_SQL}), g -> md5(g)),
-                          'min') AS fp_minhash
-    FROM documents
-    """,
-    "document fingerprinting: normalized-md5 + 1-permutation minhash over "
-    "char 3-grams (rolling-hash fingerprint family)",
+    "text_analysis_pack",
+    None,  # filled in below (needs a deferred import)
+    "per-document text analysis over ONE scan: token/char statistics "
+    "(training-data quality signals), marker-stopword language-ID "
+    "heuristic (argmax, code-order tie-break), normalized-md5 + "
+    "1-permutation char-3-gram minhash fingerprints, and D5 "
+    "remove_stopwords as a single native expression with the vendored "
+    "NLTK list (reference src/cleaning.py:86-98)",
 )
-def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+def text_analysis_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import cleaning as C
+
     d = load(spark, sf_dir, "documents")
     c = F.col("text")
     minhash = F.array_min(
@@ -126,24 +104,46 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return d.select(
         "doc_id",
+        T.token_count(c).alias("n_tokens"),
+        T.unique_token_count(c).alias("n_unique_tokens"),
+        T.avg_token_length(c).alias("avg_token_len"),
+        T.stopword_ratio(c).alias("stop_ratio"),
+        T.detect_language(c).alias("detected_lang"),
         T.fingerprint_md5(c).alias("fp_md5"),
         minhash.alias("fp_minhash"),
+        C.remove_stopwords(c).alias("no_stopwords"),
     )
 
 
+QUERIES["text_analysis_pack"].sql = _text_analysis_sql()
+
+
 @q(
-    "dedup_exact",
+    "dedup_exact_pack",
     """
-    SELECT md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint,
-           COUNT(*) AS n_copies,
-           MIN(doc_id) AS representative
-    FROM documents GROUP BY 1
+    WITH fp AS (
+      SELECT doc_id, lang, source,
+             md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
+      FROM documents
+    ),
+    g AS (
+      SELECT fingerprint, COUNT(*) AS n_copies, MIN(doc_id) AS representative
+      FROM fp GROUP BY fingerprint
+    )
+    SELECT g.fingerprint, g.n_copies, g.representative, d.lang, d.source
+    FROM g JOIN fp d ON d.doc_id = g.representative
     """,
     "exact dedup: hash-groupBy on normalized fingerprint, deterministic "
-    "min-id representative",
+    "min-id representative, then keep-first join-back recovering the "
+    "surviving row's attributes (the keep-one dedup output shape)",
 )
-def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.exact_duplicates(load(spark, sf_dir, "documents"))
+def dedup_exact_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    groups = D.exact_duplicates(d)
+    keep = d.select(F.col("doc_id").alias("representative"), "lang", "source")
+    return groups.join(keep, on="representative").select(
+        "fingerprint", "n_copies", "representative", "lang", "source"
+    )
 
 
 _NUM_HASHES, _BANDS, _RPB = 12, 3, 4
@@ -253,114 +253,72 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_signatures(spread(spark, load(spark, sf_dir, "documents")))
 
 
-@q(
-    "dedup_keep_first",
-    """
-    SELECT doc_id, lang, source FROM (
-      SELECT doc_id, lang, source,
-             row_number() OVER (
-               PARTITION BY md5(trim(regexp_replace(text, '\\s+', ' ', 'g')))
-               ORDER BY doc_id) AS rk
-      FROM documents
-    ) WHERE rk = 1
-    """,
-    "dedup keeping full first row per fingerprint (rank window over the "
-    "hash partition — the keep-one variant of exact dedup)",
-)
-def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
-    d = load(spark, sf_dir, "documents")
-    fp = F.md5(F.trim(F.regexp_replace("text", r"\s+", " ")))
-    w = Window.partitionBy(fp).orderBy("doc_id")
-    return (
-        d.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("doc_id", "lang", "source")
-    )
+_CHUNK, _STRIDE = 200, 150  # 50-char overlap
 
 
 @q(
-    "text_quality_filter",
+    "text_quality_chunks",
     f"""
     WITH t AS (
       SELECT doc_id, {_TOKS_SQL} AS tk, text FROM documents
     ),
     s AS (
-      SELECT doc_id,
+      SELECT doc_id, text,
              CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS diversity,
              CASE WHEN len(tk) BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.5 END AS len_ok,
-             CAST(len(list_filter(tk, x -> list_contains([{{stopwords}}], x)))
+             CAST(len(list_filter(tk, x -> list_contains([{_STOPWORDS_LIST_SQL}], x)))
                   AS DOUBLE) / len(tk) AS stop_r,
              CAST(len(text) - len(regexp_replace(text, '\\d', '', 'g')) AS DOUBLE)
                / len(text) AS digit_r,
              CAST(len(text) - len(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
                / len(text) AS punct_r
       FROM t
-    )
-    SELECT doc_id,
-           round((0.4 * diversity + 0.3 * len_ok
-                  + 0.3 * (CASE WHEN stop_r >= 0.05 AND stop_r <= 0.6
-                                THEN 1.0 ELSE 0.5 END))
-                 - 0.2 * (digit_r + punct_r), 6) AS quality
-    FROM s
-    WHERE (0.4 * diversity + 0.3 * len_ok
-           + 0.3 * (CASE WHEN stop_r >= 0.05 AND stop_r <= 0.6
-                         THEN 1.0 ELSE 0.5 END))
-          - 0.2 * (digit_r + punct_r) >= 0.5
-    """.replace(
-        "{stopwords}",
-        ", ".join(
-            "'" + w.replace("'", "''") + "'"
-            for w in __import__(
-                "pyspark_entity_resolution_spark.functions.stopwords",
-                fromlist=["ENGLISH_STOPWORDS"],
-            ).ENGLISH_STOPWORDS
-        ),
     ),
-    "C4-style training-data quality gate: heuristic score (diversity, "
-    "length band, prose-ness, digit/punct noise) with threshold filter",
-)
-def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
-    score = T.quality_score(F.col("text"))
-    return (
-        d.withColumn("__q", score)
-        .filter(F.col("__q") >= 0.5)
-        .select("doc_id", F.round("__q", 6).alias("quality"))
+    kept AS (
+      SELECT doc_id, text,
+             round((0.4 * diversity + 0.3 * len_ok
+                    + 0.3 * (CASE WHEN stop_r >= 0.05 AND stop_r <= 0.6
+                                  THEN 1.0 ELSE 0.5 END))
+                   - 0.2 * (digit_r + punct_r), 6) AS quality
+      FROM s
+      WHERE (0.4 * diversity + 0.3 * len_ok
+             + 0.3 * (CASE WHEN stop_r >= 0.05 AND stop_r <= 0.6
+                           THEN 1.0 ELSE 0.5 END))
+            - 0.2 * (digit_r + punct_r) >= 0.5
     )
-
-
-_CHUNK, _STRIDE = 200, 150  # 50-char overlap
-
-
-@q(
-    "text_chunking",
-    f"""
-    SELECT doc_id,
+    SELECT doc_id, quality,
            CAST(i AS BIGINT) AS chunk_idx,
            substr(text, i * {_STRIDE} + 1, {_CHUNK}) AS chunk
-    FROM documents,
+    FROM kept,
          UNNEST(range(0, CAST(ceil(greatest(len(text) - {_CHUNK}, 0)
                                    / {_STRIDE}.0) AS BIGINT) + 1)) AS u(i)
     """,
-    "LLM-prep document chunking: fixed-size overlapping character chunks "
-    "(chunk 200, stride 150) via explode(sequence) + substr — one "
-    "generator node, no Python",
+    "C4-style training-data quality gate (heuristic score: diversity, "
+    "length band, prose-ness, digit/punct noise; threshold filter) feeding "
+    "LLM-prep chunking of the surviving docs: fixed-size overlapping "
+    "character chunks (chunk 200, stride 150) via explode(sequence) + "
+    "substr — one generator node, no Python",
 )
-def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+def text_quality_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     text = F.col("text")
+    kept = (
+        d.withColumn("__q", T.quality_score(text))
+        .filter(F.col("__q") >= 0.5)
+        .select("doc_id", F.round("__q", 6).alias("quality"), text.alias("__text"))
+    )
     n_chunks = (
-        F.ceil(F.greatest(F.length(text) - _CHUNK, F.lit(0)) / float(_STRIDE))
+        F.ceil(F.greatest(F.length("__text") - _CHUNK, F.lit(0)) / float(_STRIDE))
         .cast("bigint") + 1
     )
-    return d.select(
+    return kept.select(
         "doc_id",
+        "quality",
         F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks - 1)).alias("chunk_idx"),
-        text.alias("__text"),
+        "__text",
     ).select(
         "doc_id",
+        "quality",
         "chunk_idx",
         F.expr(f"substr(__text, chunk_idx * {_STRIDE} + 1, {_CHUNK})").alias("chunk"),
     )

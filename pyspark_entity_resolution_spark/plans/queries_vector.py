@@ -101,35 +101,127 @@ _BUCKET_SQL = " || ".join(
 )
 
 
+def _flip_sql(i: int, n: int = 4) -> str:
+    return (
+        f"substr(bucket, 1, {i}) || "
+        f"(CASE WHEN substr(bucket, {i + 1}, 1) = '1' THEN '0' ELSE '1' END)"
+        f" || substr(bucket, {i + 2}, {n - i - 1})"
+    )
+
+
+_PROBES_SQL = "[bucket, " + ", ".join(_flip_sql(i) for i in range(4)) + "]"
+
+_IVF_CENT = "vec_id % 50 = 0 AND vec_id < 500"  # 10 fixed coarse centroids
+
+
 @q(
-    "ann_lsh_bucketed",
+    "ann_methods_topk",
     f"""
     WITH b AS (
       SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM embeddings
     ),
-    q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM b WHERE vec_id < 10),
-    c AS (SELECT vec_id AS neighbor_id, embedding AS cv, bucket FROM b),
-    scored AS (
+    lsh_q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM b WHERE vec_id < 10),
+    lsh_c AS (SELECT vec_id AS neighbor_id, embedding AS cv, bucket FROM b),
+    lsh_scored AS (
       SELECT q.query_id, c.neighbor_id,
              {_COS.format(a='q.qv', b='c.cv')} AS cos_full
-      FROM q JOIN c ON q.bucket = c.bucket AND q.query_id <> c.neighbor_id
+      FROM lsh_q q JOIN lsh_c c
+        ON q.bucket = c.bucket AND q.query_id <> c.neighbor_id
     ),
-    ranked AS (
+    lsh_ranked AS (
       SELECT query_id, neighbor_id, cos_full,
              row_number() OVER (PARTITION BY query_id
                                 ORDER BY cos_full DESC, neighbor_id) AS rank
-      FROM scored
+      FROM lsh_scored
+    ),
+    mp_q AS (
+      SELECT vec_id AS query_id, embedding AS qv,
+             unnest({_PROBES_SQL}) AS bucket
+      FROM b WHERE vec_id < 10
+    ),
+    mp_scored AS (
+      SELECT q.query_id, c.neighbor_id,
+             {_COS.format(a='q.qv', b='c.cv')} AS cos_full
+      FROM mp_q q JOIN lsh_c c
+        ON q.bucket = c.bucket AND q.query_id <> c.neighbor_id
+    ),
+    mp_ranked AS (
+      SELECT query_id, neighbor_id, cos_full,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_full DESC, neighbor_id) AS rank
+      FROM mp_scored
+    ),
+    cent AS (
+      SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
+      WHERE {_IVF_CENT}
+    ),
+    assigned AS (
+      SELECT e.vec_id, e.embedding, c.centroid_id,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_COS.format(a='e.embedding', b='c.cv')} DESC,
+                        c.centroid_id) AS rk
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    ivf_b AS (
+      SELECT vec_id, embedding, centroid_id AS ivf_bucket
+      FROM assigned WHERE rk = 1
+    ),
+    ivf_q AS (SELECT vec_id AS query_id, embedding AS qv, ivf_bucket
+              FROM ivf_b WHERE vec_id < 10),
+    ivf_c AS (SELECT vec_id AS neighbor_id, embedding AS nv, ivf_bucket FROM ivf_b),
+    ivf_scored AS (
+      SELECT q.query_id, c.neighbor_id,
+             {_COS.format(a='q.qv', b='c.nv')} AS cos_full
+      FROM ivf_q q JOIN ivf_c c
+        ON q.ivf_bucket = c.ivf_bucket AND q.query_id <> c.neighbor_id
+    ),
+    ivf_ranked AS (
+      SELECT query_id, neighbor_id, cos_full,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_full DESC, neighbor_id) AS rank
+      FROM ivf_scored
     )
-    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+    SELECT 'lsh' AS method, query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
            round(cos_full, 4) AS cos_sim
-    FROM ranked WHERE rank <= 3
+    FROM lsh_ranked WHERE rank <= 3
+    UNION ALL
+    SELECT 'multiprobe', query_id, neighbor_id, CAST(rank AS BIGINT),
+           round(cos_full, 4)
+    FROM mp_ranked WHERE rank <= 3
+    UNION ALL
+    SELECT 'ivf', query_id, neighbor_id, CAST(rank AS BIGINT),
+           round(cos_full, 4)
+    FROM ivf_ranked WHERE rank <= 3
     """,
-    "LSH-bucketed ANN (sign-of-projection on md5-derived hyperplanes): "
-    "the candidate scan becomes an equi-join on the bucket key",
+    "three ANN strategies over one corpus, tagged by method: LSH-bucketed "
+    "(sign-of-projection on md5-derived hyperplanes — the candidate scan "
+    "becomes an equi-join on the bucket key), multi-probe LSH (queries "
+    "probe their bucket + all Hamming-1 buckets — near-brute-force recall, "
+    "still an equi-join), and IVF-flat (coarse-quantize to 10 fixed "
+    "broadcast centroids, probe only the query's inverted list)",
 )
-def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_methods_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
-    return A.lsh_topk(e.filter(F.col("vec_id") < 10), spread(spark, e), k=3)
+    queries = e.filter(F.col("vec_id") < 10)
+    corpus = spread(spark, e)
+    centroids = e.filter(
+        (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 500)
+    ).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    lsh = A.lsh_topk(queries, corpus, k=3).select(
+        F.lit("lsh").alias("method"), "query_id", "neighbor_id", "rank", "cos_sim"
+    )
+    mp = A.multiprobe_lsh_topk(queries, corpus, k=3).select(
+        F.lit("multiprobe").alias("method"),
+        "query_id", "neighbor_id", "rank", "cos_sim",
+    )
+    ivf = A.ivf_topk(queries, corpus, centroids, k=3).select(
+        F.lit("ivf").alias("method"), "query_id", "neighbor_id", "rank", "cos_sim"
+    )
+    return lsh.unionByName(mp).unionByName(ivf)
 
 
 @q(
@@ -147,108 +239,6 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     return A.embedding_near_duplicates(spread(spark, e), threshold=0.25)
-
-
-_IVF_CENT = "vec_id % 50 = 0 AND vec_id < 500"  # 10 fixed coarse centroids
-
-
-@q(
-    "ann_ivf_topk",
-    f"""
-    WITH cent AS (
-      SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
-      WHERE {_IVF_CENT}
-    ),
-    assigned AS (
-      SELECT e.vec_id, e.embedding, c.centroid_id,
-             row_number() OVER (
-               PARTITION BY e.vec_id
-               ORDER BY {_COS.format(a='e.embedding', b='c.cv')} DESC,
-                        c.centroid_id) AS rk
-      FROM embeddings e CROSS JOIN cent c
-    ),
-    b AS (
-      SELECT vec_id, embedding, centroid_id AS ivf_bucket
-      FROM assigned WHERE rk = 1
-    ),
-    q AS (SELECT vec_id AS query_id, embedding AS qv, ivf_bucket FROM b WHERE vec_id < 10),
-    c2 AS (SELECT vec_id AS neighbor_id, embedding AS nv, ivf_bucket FROM b),
-    scored AS (
-      SELECT q.query_id, c2.neighbor_id,
-             {_COS.format(a='q.qv', b='c2.nv')} AS cos_full
-      FROM q JOIN c2 ON q.ivf_bucket = c2.ivf_bucket
-       AND q.query_id <> c2.neighbor_id
-    ),
-    ranked AS (
-      SELECT query_id, neighbor_id, cos_full,
-             row_number() OVER (PARTITION BY query_id
-                                ORDER BY cos_full DESC, neighbor_id) AS rank
-      FROM scored
-    )
-    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
-           round(cos_full, 4) AS cos_sim
-    FROM ranked WHERE rank <= 3
-    """,
-    "IVF-flat ANN: coarse-quantize to 10 fixed centroids (broadcast), "
-    "probe only the query's inverted list — an equi-join on ivf_bucket",
-)
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings")
-    centroids = e.filter(
-        (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 500)
-    ).select(
-        F.col("vec_id").alias("centroid_id"),
-        F.col("embedding").alias("centroid_vec"),
-    )
-    return A.ivf_topk(
-        e.filter(F.col("vec_id") < 10), spread(spark, e), centroids, k=3
-    )
-
-
-def _flip_sql(i: int, n: int = 4) -> str:
-    return (
-        f"substr(bucket, 1, {i}) || "
-        f"(CASE WHEN substr(bucket, {i + 1}, 1) = '1' THEN '0' ELSE '1' END)"
-        f" || substr(bucket, {i + 2}, {n - i - 1})"
-    )
-
-
-_PROBES_SQL = "[bucket, " + ", ".join(_flip_sql(i) for i in range(4)) + "]"
-
-
-@q(
-    "ann_lsh_multiprobe",
-    f"""
-    WITH b AS (
-      SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM embeddings
-    ),
-    q AS (
-      SELECT vec_id AS query_id, embedding AS qv,
-             unnest({_PROBES_SQL}) AS bucket
-      FROM b WHERE vec_id < 10
-    ),
-    c AS (SELECT vec_id AS neighbor_id, embedding AS cv, bucket FROM b),
-    scored AS (
-      SELECT q.query_id, c.neighbor_id,
-             {_COS.format(a='q.qv', b='c.cv')} AS cos_full
-      FROM q JOIN c ON q.bucket = c.bucket AND q.query_id <> c.neighbor_id
-    ),
-    ranked AS (
-      SELECT query_id, neighbor_id, cos_full,
-             row_number() OVER (PARTITION BY query_id
-                                ORDER BY cos_full DESC, neighbor_id) AS rank
-      FROM scored
-    )
-    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
-           round(cos_full, 4) AS cos_sim
-    FROM ranked WHERE rank <= 3
-    """,
-    "multi-probe LSH ANN: queries probe their bucket + all Hamming-1 "
-    "buckets — near-brute-force recall, still an equi-join",
-)
-def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings")
-    return A.multiprobe_lsh_topk(e.filter(F.col("vec_id") < 10), spread(spark, e), k=3)
 
 
 @q(

@@ -54,8 +54,8 @@ def windowed_counts(
     """Tumbling (or, with ``slide``, sliding) window counts/sums per event
     type with late-data bound.
 
-    Streaming twin of the batch ``events_tumbling_window`` /
-    ``events_sliding_window`` queries.
+    Streaming twin of the batch ``events_windowed_agg`` query (both
+    window kinds).
     """
     win = (
         F.window("ts", window_duration, slide)

@@ -42,7 +42,7 @@ def test_column_pruning_reaches_scan(spark):
 
 
 def test_dimension_join_broadcasts(spark):
-    plan = _plan(spark, "left_join_dim")
+    plan = _plan(spark, "join_kinds_pack")
     assert "BroadcastHashJoin" in plan
 
 
@@ -60,16 +60,34 @@ def test_aggregate_has_partial_phase(spark):
 
 def test_no_python_eval_in_native_clean_path(spark):
     # D1/D2/D3/D5/D6 compile to pure JVM expressions — no BatchEvalPython /
-    # ArrowEvalPython nodes anywhere in the plan
-    for name in ["clean_sort_authors", "clean_record_pack", "clean_remove_stopwords"]:
-        plan = _plan(spark, name)
-        assert "EvalPython" not in plan, name
+    # ArrowEvalPython nodes anywhere in the plan. clean_customer_pack and
+    # text_analysis_pack bundle these with the (sanctioned-Python) accent
+    # fold, so assert on the expressions directly.
+    from pyspark.sql import functions as F
+
+    from pyspark_entity_resolution_spark.functions import cleaning as C
+    from pyspark_entity_resolution_spark.plans.common import load
+
+    d = (
+        load(spark, SF, "documents")
+        .select(
+            C.sort_authors(F.col("text")).alias("a"),
+            C.remove_nums(F.col("text")).alias("b"),
+            C.clean_record(F.col("text")).alias("c"),
+            C.remove_stopwords(F.col("text")).alias("d"),
+            C.get_num_authors(F.col("text")).alias("e"),
+        )
+    )
+    plan = d._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    plan2 = _plan(spark, "clean_record_pack")
+    assert "EvalPython" not in plan2
 
 
 def test_accent_folding_is_arrow_vectorized(spark):
     # D4 is the ONE sanctioned Python op — and it must be Arrow, not
     # row-pickled
-    plan = _plan(spark, "clean_remove_accents")
+    plan = _plan(spark, "clean_customer_pack")
     assert "ArrowEvalPython" in plan
 
 
