@@ -7,10 +7,17 @@ O(k·dim), independent of data size). Deterministic by construction:
 centroids initialize from the k smallest ids and ties in assignment break
 toward the lower centroid id, so repeated runs agree.
 
-This is the engine's representative for genuinely non-SQL-expressible
-iterative operators (driver-coordinated fixpoint like connected
-components, but with floating-point state), hence its driver-contract
-query is a rows-only check.
+Oracle-grade determinism (``quantize=d``): embedding components are first
+quantized to integers via ``floor(x * 10^d + 0.5)``. Every subsequent
+operation is then bit-deterministic across engines and shuffle orders:
+integer-valued doubles below 2^53 sum exactly (associative), centroid
+means are exact-integer-sum / count (one IEEE division), and distances
+fold in element order. That makes a fixed-iteration Lloyd's run exactly
+reproducible in ANSI SQL — the driver-contract query unrolls the same
+iterations in DuckDB (see plans/queries_vector.kmeans_assignments).
+With ``quantize=None`` (default) the operator runs on raw floats; the
+float mean is shuffle-order dependent, so that mode is rows-only
+checkable.
 """
 
 from __future__ import annotations
@@ -36,6 +43,7 @@ def kmeans(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_iterations: int = 5,
+    quantize: int | None = None,
 ) -> DataFrame:
     """Return ``(id, cluster, sq_dist)`` assignments after Lloyd iterations.
 
@@ -43,33 +51,45 @@ def kmeans(
     Each iteration: centroids are collected to the driver (k·dim floats),
     embedded as literals in the assignment expression (a broadcast in
     spirit — no join shuffle at all), and recomputed with one groupBy.
+
+    ``quantize=d`` runs on ``floor(x * 10^d + 0.5)``-quantized components
+    for cross-engine bit determinism (see module docstring); ``sq_dist``
+    is then in quantized-squared units and emitted unrounded (it is
+    bit-exact, so no rounding is needed for oracle comparison).
     """
-    init = (
-        df.orderBy(id_col)
-        .limit(k)
-        .select(vec_col)
-        .collect()
-    )
-    centroids: list[list[float]] = [
-        [float(x) for x in row[vec_col]] for row in init
-    ]
+    if quantize is not None:
+        scale = float(10 ** quantize)
+        work = df.select(
+            id_col,
+            F.transform(
+                as_double(vec_col),
+                lambda x: F.floor(x * scale + F.lit(0.5)).cast("double"),
+            ).alias("__v"),
+        )
+    else:
+        work = df.select(id_col, as_double(vec_col).alias("__v"))
+
+    init = work.orderBy(id_col).limit(k).select("__v").collect()
+    centroids: list[list[float]] = [[float(x) for x in row["__v"]] for row in init]
 
     assignments = None
     for _ in range(max_iterations):
-        dists = F.array(*[_sq_dist(F.col(vec_col), c) for c in centroids])
-        assignments = df.select(
+        dists = F.array(*[_sq_dist(F.col("__v"), c) for c in centroids])
+        assignments = work.select(
             F.col(id_col),
-            F.col(vec_col),
-            F.array_position(dists, F.array_min(dists)).cast("int").alias("cluster"),
+            F.col("__v"),
+            F.array_position(dists, F.array_min(dists)).cast("bigint").alias("cluster"),
             F.array_min(dists).alias("sq_dist"),
         )
-        # recompute centroids: per-cluster elementwise mean via posexplode
+        # recompute centroids: per-cluster elementwise mean via posexplode.
+        # Quantized mode: __v holds integer-valued doubles, so sum() is
+        # exact in any order and sum/count is ONE deterministic division.
         exploded = assignments.select(
-            "cluster", F.posexplode(as_double(vec_col)).alias("dim", "val")
+            "cluster", F.posexplode("__v").alias("dim", "val")
         )
         means = (
             exploded.groupBy("cluster", "dim")
-            .agg(F.avg("val").alias("m"))
+            .agg((F.sum("val") / F.count(F.lit(1))).alias("m"))
             .groupBy("cluster")
             .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dims"))
             .select(
@@ -85,6 +105,8 @@ def kmeans(
             break
         centroids = new_centroids
 
+    if quantize is not None:
+        return assignments.select(id_col, "cluster", "sq_dist")
     return assignments.select(id_col, "cluster", F.round("sq_dist", 4).alias("sq_dist"))
 
 

@@ -241,15 +241,71 @@ def embedding_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.embedding_near_duplicates(spread(spark, e), threshold=0.25)
 
 
+def _kmeans_oracle_sql(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+    """Unrolled fixed-iteration Lloyd's in ANSI SQL. Exactly mirrors
+    operators.kmeans.kmeans(quantize=6): integer-quantized components,
+    exact integer sums, one IEEE division per centroid component, ordered
+    distance folds, ties toward the lower centroid id."""
+    dist = (
+        "list_reduce(list_transform(range(1, {d} + 1),"
+        " i -> (e.qv[i] - c.cv[i]) * (e.qv[i] - c.cv[i])),"
+        " (x, y) -> x + y)"
+    ).format(d=dim)
+    parts = [
+        "WITH e AS (",
+        "  SELECT vec_id,",
+        "         list_transform(embedding, x -> floor(x::DOUBLE * 1000000 + 0.5)) AS qv",
+        "  FROM embeddings",
+        "),",
+        "c0 AS (",
+        "  SELECT row_number() OVER (ORDER BY vec_id) AS cl, qv AS cv",
+        f"  FROM (SELECT vec_id, qv FROM e ORDER BY vec_id LIMIT {k})",
+        ")",
+    ]
+    for j in range(1, iters + 1):
+        prev = f"c{j - 1}"
+        parts.append(f""",
+a{j} AS (
+  SELECT vec_id, qv, cl, dist,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rk
+  FROM (
+    SELECT e.vec_id, e.qv, c.cl, {dist} AS dist
+    FROM e CROSS JOIN {prev} c
+  )
+)""")
+        if j < iters:  # the last assignment pass needs no centroid update
+            parts.append(f""",
+m{j} AS (
+  SELECT cl, list(sm / cnt ORDER BY dim) AS cv
+  FROM (
+    SELECT cl, i AS dim, SUM(qv[i]) AS sm, COUNT(*) AS cnt
+    FROM (SELECT cl, qv FROM a{j} WHERE rk = 1) t,
+         UNNEST(range(1, {dim} + 1)) AS u(i)
+    GROUP BY cl, i
+  )
+  GROUP BY cl
+),
+c{j} AS (
+  SELECT c.cl, coalesce(m.cv, c.cv) AS cv
+  FROM {prev} c LEFT JOIN m{j} m ON m.cl = c.cl
+)""")
+    parts.append(f"""
+SELECT vec_id, CAST(cl AS BIGINT) AS cluster, dist AS sq_dist
+FROM a{iters} WHERE rk = 1
+""")
+    return "\n".join(parts)
+
+
 @q(
     "kmeans_assignments",
-    None,  # iterative float-state algorithm: genuinely non-SQL-expressible
-           # (driver-coordinated Lloyd fixpoint) -> rows-only check
+    _kmeans_oracle_sql(),
     "distributed k-means over embeddings: deterministic init (k smallest "
-    "ids), literal-broadcast assignment pass + one groupBy per iteration",
+    "ids), literal-broadcast assignment pass + one groupBy per iteration; "
+    "quantize=6 makes the fixed-iteration run bit-reproducible, so the "
+    "oracle unrolls the same 3 Lloyd iterations in SQL",
 )
 def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.kmeans import kmeans
 
     e = load(spark, sf_dir, "embeddings")
-    return kmeans(spread(spark, e), k=8, max_iterations=3)
+    return kmeans(spread(spark, e), k=8, max_iterations=3, quantize=6)
