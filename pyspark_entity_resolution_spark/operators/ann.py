@@ -25,6 +25,29 @@ from pyspark.sql.window import Window
 
 from ..functions.vectors import as_double, cosine
 
+# Query sides larger than this are NOT broadcast (a driver/executor OOM
+# at scale); the join degrades to a partitioned cross join instead.
+MAX_BROADCAST_QUERY_ROWS = 100_000
+
+# Adaptive LSH sizing: aim for buckets of roughly this many vectors.
+TARGET_BUCKET_SIZE = 1024
+
+
+def choose_num_planes(
+    corpus_rows: int, target_bucket_size: int = TARGET_BUCKET_SIZE
+) -> int:
+    """Plane count so that 2^planes buckets hold ~target_bucket_size
+    vectors each. A fixed plane count degenerates at scale (16 buckets
+    over 10^9 vectors -> ~6*10^7-vector buckets -> near-quadratic
+    within-bucket scans); growing planes with log2(n) keeps the
+    per-bucket candidate cost flat. Floor of 4 keeps small corpora from
+    collapsing into 1-2 buckets."""
+    import math
+
+    if corpus_rows <= target_bucket_size:
+        return 4
+    return max(4, math.ceil(math.log2(corpus_rows / target_bucket_size)))
+
 
 def hyperplanes(num_planes: int, dim: int) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes in [-1, 1]^dim.
@@ -79,10 +102,17 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    broadcast_queries: bool | None = None,
 ) -> DataFrame:
     """Exact cosine top-k: returns (query_id, neighbor_id, rank, cos_sim).
 
     Ties broken by neighbor id; self-matches excluded.
+
+    ``broadcast_queries=None`` (default) probes the query side with a
+    cheap limit-count and broadcasts only if it is at most
+    ``MAX_BROADCAST_QUERY_ROWS`` — an oversized query set degrades to a
+    partitioned cross join instead of OOMing the driver. Pass True/False
+    to skip the probe when the caller already knows the size.
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
@@ -90,8 +120,13 @@ def brute_force_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
+    if broadcast_queries is None:
+        # limit(N+1).count() early-exits the scan — O(threshold), not O(|Q|)
+        probe = q.select("query_id").limit(MAX_BROADCAST_QUERY_ROWS + 1).count()
+        broadcast_queries = probe <= MAX_BROADCAST_QUERY_ROWS
+    q_side = F.broadcast(q) if broadcast_queries else q
     scored = (
-        F.broadcast(q)
+        q_side
         .crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cos_sim", cosine("q_vec", "c_vec"))
@@ -117,19 +152,63 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 3,
-    num_planes: int = 4,
+    num_planes: int | None = None,
     dim: int = 64,
+    num_tables: int = 1,
 ) -> DataFrame:
-    """Bucketed ANN: candidates share the LSH bucket, then exact cosine
-    top-k within candidates. The scan becomes an equi-join on ``bucket``."""
-    qb = random_hyperplane_buckets(queries, vec_col, num_planes, dim).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "bucket"
-    )
-    cb = random_hyperplane_buckets(corpus, vec_col, num_planes, dim).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "bucket"
-    )
+    """Bucketed ANN: candidates share an LSH bucket, then exact cosine
+    top-k within candidates. The scan becomes an equi-join on ``bucket``.
+
+    ``num_planes=None`` sizes the bucket space from the corpus row count
+    (one planning-time count; see :func:`choose_num_planes`) so bucket
+    occupancy stays ~TARGET_BUCKET_SIZE at any scale. Pass an explicit
+    count for reproducible bucketing (the driver-contract query pins 4 to
+    match its SQL oracle).
+
+    ``num_tables=L > 1`` is the recall dial: L independent hash tables
+    (disjoint plane sets), candidates unioned across tables — collision
+    probability rises from p^b to 1-(1-p^b)^L for per-plane agreement p.
+    Each side explodes to L (table, bucket) keys, so candidate cost
+    scales ~L×; the join stays a hash equi-join on (table, bucket) and a
+    pair-level dropDuplicates dedups multi-table collisions before
+    scoring."""
+    if num_planes is None:
+        num_planes = choose_num_planes(corpus.count())
+    if num_tables == 1:
+        qb = random_hyperplane_buckets(queries, vec_col, num_planes, dim).select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "bucket"
+        )
+        cb = random_hyperplane_buckets(corpus, vec_col, num_planes, dim).select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "bucket"
+        )
+        cands = qb.join(cb, on="bucket")
+    else:
+        all_planes = hyperplanes(num_planes * num_tables, dim)
+        tables = [
+            all_planes[t * num_planes:(t + 1) * num_planes]
+            for t in range(num_tables)
+        ]
+        keys = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("tbl"), _bucket_expr(F.col(vec_col), planes).alias("bits")
+                )
+                for t, planes in enumerate(tables)
+            ]
+        )
+        qb = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.explode(keys).alias("bucket"),
+        )
+        cb = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            F.explode(keys).alias("bucket"),
+        )
+        cands = qb.join(cb, on="bucket").dropDuplicates(["query_id", "neighbor_id"])
     scored = (
-        qb.join(cb, on="bucket")
+        cands
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cos_sim", cosine("q_vec", "c_vec"))
     )
@@ -251,7 +330,7 @@ def multiprobe_lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 3,
-    num_planes: int = 4,
+    num_planes: int | None = None,
     dim: int = 64,
 ) -> DataFrame:
     """Multi-probe LSH: each query probes its own bucket PLUS every bucket
@@ -259,7 +338,12 @@ def multiprobe_lsh_topk(
     brute-force baseline at (num_planes+1)x the candidate cost, still an
     equi-join on the bucket key. Corpus vectors keep a single bucket, so
     a (query, neighbor) pair can match through at most one probe — no
-    dedup pass needed."""
+    dedup pass needed.
+
+    ``num_planes=None`` sizes the bucket space from the corpus row count
+    (see :func:`choose_num_planes`)."""
+    if num_planes is None:
+        num_planes = choose_num_planes(corpus.count())
     qb = random_hyperplane_buckets(queries, vec_col, num_planes, dim)
 
     def flip(bucket: Column, i: int) -> Column:

@@ -204,27 +204,65 @@ def simhash_signatures(
 
 
 def simhash_candidates(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    length_band: bool = True,
 ) -> DataFrame:
     """Near-duplicate candidates: pairs sharing at least one of the four
     16-bit simhash chunks (4-char hex slices) — pigeonhole guarantee for
-    Hamming distance <= 3. Equi-join on (chunk_idx, chunk)."""
+    Hamming distance <= 3. Equi-join on (chunk_idx, chunk).
+
+    A 16-bit chunk bounds the bucket space at 2^16 values, so at billions
+    of documents each bucket holds O(n/65k) rows and the within-bucket
+    pairing turns near-quadratic. ``length_band=True`` (default) composes
+    the join key with a log2 token-count band to re-shard those buckets:
+    one side probes its own band plus both neighbors, so any pair whose
+    token counts are within ~2x of each other (every realistic simhash
+    near-dup; wildly different-length docs differ in far more than 3
+    bits) is still generated, while the bucket key space scales with
+    document-length diversity. Set False for the raw pigeonhole contract.
+    """
     sigs = simhash_signatures(df, id_col, text_col)
+    if length_band:
+        n_toks = df.select(
+            F.col(id_col), F.size(tokens(F.col(text_col))).alias("__nt")
+        )
+        band = F.floor(F.log2(F.col("__nt") + 2)).cast("int")
+        sigs = sigs.join(n_toks, on=id_col).withColumn("band", band)
+    chunk_arr = F.array(*[F.substring("simhash", 1 + 4 * i, 4) for i in range(4)])
     chunks = sigs.select(
         F.col(id_col),
         "simhash",
-        F.posexplode(
-            F.array(*[F.substring("simhash", 1 + 4 * i, 4) for i in range(4)])
-        ).alias("chunk_idx", "chunk"),
+        *(["band"] if length_band else []),
+        F.posexplode(chunk_arr).alias("chunk_idx", "chunk"),
     )
+    join_keys = ["chunk_idx", "chunk"]
     a = chunks.select(
-        F.col(id_col).alias("a_id"), F.col("simhash").alias("a_sim"), "chunk_idx", "chunk"
+        F.col(id_col).alias("a_id"), F.col("simhash").alias("a_sim"),
+        *(["band"] if length_band else []), "chunk_idx", "chunk",
     )
-    b = chunks.select(
-        F.col(id_col).alias("b_id"), F.col("simhash").alias("b_sim"), "chunk_idx", "chunk"
-    )
+    if length_band:
+        # probe own band +- 1 on one side only: a pair lands in exactly one
+        # (band_a, probe) combination per shared chunk
+        b_base = chunks.select(
+            F.col(id_col).alias("b_id"), F.col("simhash").alias("b_sim"),
+            "band", "chunk_idx", "chunk",
+        )
+        b = b_base.select(
+            "b_id", "b_sim", "chunk_idx", "chunk",
+            F.explode(
+                F.array(F.col("band") - 1, F.col("band"), F.col("band") + 1)
+            ).alias("band"),
+        )
+        join_keys = ["chunk_idx", "chunk", "band"]
+    else:
+        b = chunks.select(
+            F.col(id_col).alias("b_id"), F.col("simhash").alias("b_sim"),
+            "chunk_idx", "chunk",
+        )
     return (
-        a.join(b, on=["chunk_idx", "chunk"])
+        a.join(b, on=join_keys)
         .filter(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id", "a_sim", "b_sim")
         .distinct()

@@ -83,7 +83,10 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
-    return A.brute_force_topk(e.filter(F.col("vec_id") < 10), spread(spark, e), k=5)
+    return A.brute_force_topk(
+        e.filter(F.col("vec_id") < 10), spread(spark, e), k=5,
+        broadcast_queries=True,  # 10 rows; skip the planning probe
+    )
 
 
 def _planes_sql(num_planes: int = 4, dim: int = 64) -> list[str]:
@@ -211,10 +214,10 @@ def ann_methods_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("centroid_id"),
         F.col("embedding").alias("centroid_vec"),
     )
-    lsh = A.lsh_topk(queries, corpus, k=3).select(
+    lsh = A.lsh_topk(queries, corpus, k=3, num_planes=4).select(
         F.lit("lsh").alias("method"), "query_id", "neighbor_id", "rank", "cos_sim"
     )
-    mp = A.multiprobe_lsh_topk(queries, corpus, k=3).select(
+    mp = A.multiprobe_lsh_topk(queries, corpus, k=3, num_planes=4).select(
         F.lit("multiprobe").alias("method"),
         "query_id", "neighbor_id", "rank", "cos_sim",
     )
