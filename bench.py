@@ -125,6 +125,33 @@ def _bench_er_pipeline(spark) -> float:
     return round(time.perf_counter() - start, 3)
 
 
+def _bench_er_pipeline_e2e(spark) -> float:
+    """TRUE end-to-end ER pipeline: parse -> clean -> block N=3 -> match
+    -> connected-components cluster -> representative resolve -> CSV
+    entity table with part rename — the full stage set behind BASELINE's
+    python-pipeline column (reference 54 s at N=3 incl. cluster + pivot
+    + write, report.pdf p.8 Table 2)."""
+    import shutil
+    import tempfile
+
+    from pyspark_entity_resolution_spark.pipeline import ERConfig, run_er_pipeline
+    from pyspark_entity_resolution_spark.sources.io import write_csv
+
+    pa, pb = _gen_er_corpus("/tmp/er_bench_corpus_v1")
+    dest = tempfile.mkdtemp(prefix="er_bench_out_")
+    try:
+        start = time.perf_counter()
+        out = run_er_pipeline(spark, pa, pb, ERConfig(window=3))
+        # cache matches: both the cluster stage and the entity join read it
+        out["matches"].cache()
+        write_csv(out["entities"], f"{dest}/entities", sep="\t")
+        elapsed = round(time.perf_counter() - start, 3)
+        out["matches"].unpersist()
+        return elapsed
+    finally:
+        shutil.rmtree(dest, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     match = re.search(r"sf([0-9.]+)", sf_dir)
@@ -158,6 +185,13 @@ def main() -> None:
     print(f"[bench] er_pipeline_blocked_n3: {er_elapsed}s", file=sys.stderr, flush=True)
     per_query["er_pipeline_blocked_n3"] = er_elapsed
     total += er_elapsed
+
+    e2e_elapsed = _bench_er_pipeline_e2e(spark)
+    print(
+        f"[bench] er_pipeline_e2e_n3: {e2e_elapsed}s", file=sys.stderr, flush=True
+    )
+    per_query["er_pipeline_e2e_n3"] = e2e_elapsed
+    total += e2e_elapsed
 
     print(
         json.dumps(

@@ -4,12 +4,14 @@ Images/audio/video ride in DataFrames as ``binary`` columns next to typed
 metadata, processed with Arrow-batched ``mapInPandas`` so payload bytes
 never round-trip through Python row objects one at a time.
 
-The decode kernels themselves are STUBBED (the container ships no
-image/audio libs): ``decode_image_batch`` raises ``NotImplementedError``
-unless ``fake=True``, in which case a deterministic md5-derived fake
-"decode" exercises the full Spark-side plumbing — schema, batching,
-partitioning — with real data flow. Swapping in PIL/ffmpeg later changes
-only the kernel body, not the plan.
+Decode kernels FAIL LOUD by default: ``fake=False`` (the default)
+requires a real codec — PIL for images (imported at plan-build time so a
+missing library errors on the driver, not mid-job) and ffmpeg for video
+frame sampling (not probed here). Where the codec is absent this raises
+``NotImplementedError``. Tests and environments without the libs opt
+into ``fake=True``, a deterministic md5-derived stand-in that exercises
+the full Spark-side plumbing — schema, batching, partitioning — with
+real data flow and an output shape identical to the real kernel's.
 """
 
 from __future__ import annotations
@@ -62,20 +64,29 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, str]:
     return width, height, channels, h
 
 
+def _real_decode(payload: bytes) -> tuple[int, int, int, str]:
+    """PIL-backed decode (only reached when PIL imported successfully)."""
+    import hashlib
+    import io
+
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(payload))
+    width, height = img.size
+    channels = len(img.getbands())
+    return width, height, channels, hashlib.md5(payload).hexdigest()
+
+
 def decode_image_batch(
-    batches: Iterator[pd.DataFrame], fake: bool = True
+    batches: Iterator[pd.DataFrame], fake: bool = False
 ) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel: (media_id, payload) -> IMAGE_FEATURES_SCHEMA."""
-    if not fake:
-        raise NotImplementedError(
-            "real image decoding requires PIL/libjpeg — not available in "
-            "this container; run with fake=True to exercise the plumbing"
-        )
+    decode = _fake_decode if fake else _real_decode
     for pdf in batches:
         rows = []
         for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
             payload = bytes(payload) if payload is not None else b""
-            w, h, c, digest = _fake_decode(payload)
+            w, h, c, digest = decode(payload)
             rows.append((media_id, len(payload), w, h, c, digest))
         yield pd.DataFrame(
             rows,
@@ -86,14 +97,27 @@ def decode_image_batch(
         )
 
 
-def extract_image_features(media: DataFrame, fake: bool = True) -> DataFrame:
+def extract_image_features(media: DataFrame, fake: bool = False) -> DataFrame:
     """Decode + feature-extract an image column.
 
     Plan shape: column-prune to (media_id, payload) BEFORE the Python
     boundary (payload bytes cross via Arrow once), mapInPandas with an
     explicit output schema. Partitioning is preserved; at scale,
     repartition upstream by size estimate so Arrow batches stay bounded.
+
+    Default ``fake=False`` needs PIL and fails loud AT PLAN BUILD if it
+    is missing — fabricated features never ship silently; opt into
+    ``fake=True`` for the deterministic stub kernel.
     """
+    if not fake:
+        try:
+            import PIL.Image  # noqa: F401  (driver-side availability check)
+        except ImportError as exc:
+            raise NotImplementedError(
+                "real image decoding requires PIL/libjpeg, which is not "
+                "installed; pass fake=True to run the deterministic stub "
+                "kernel (clearly-fabricated features for plumbing tests)"
+            ) from exc
     pruned = media.filter(F.col("media_type") == "image").select(
         "media_id", "payload"
     )
@@ -103,13 +127,19 @@ def extract_image_features(media: DataFrame, fake: bool = True) -> DataFrame:
 
 
 def sample_video_frames(
-    media: DataFrame, every_n_seconds: int = 10, fake: bool = True
+    media: DataFrame, every_n_seconds: int = 10, fake: bool = False
 ) -> DataFrame:
     """Frame-sampling plumbing for video payloads: emits one row per
     sampled frame with a deterministic fake frame hash (real
-    implementation would shell to ffmpeg per Arrow batch)."""
+    implementation would shell to ffmpeg per Arrow batch).
+
+    Default ``fake=False`` fails loud at plan build — ffmpeg is not
+    shipped here; opt into ``fake=True`` for the stub kernel."""
     if not fake:
-        raise NotImplementedError("real frame sampling requires ffmpeg")
+        raise NotImplementedError(
+            "real frame sampling requires ffmpeg, which is not installed; "
+            "pass fake=True to run the deterministic stub kernel"
+        )
 
     schema = StructType(
         [

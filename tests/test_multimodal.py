@@ -22,7 +22,10 @@ def media(spark):
 
 
 def test_image_feature_extraction(spark, media):
-    feats = {r["media_id"]: r for r in extract_image_features(media).collect()}
+    feats = {
+        r["media_id"]: r
+        for r in extract_image_features(media, fake=True).collect()
+    }
     assert set(feats) == {1, 2, 3}  # only images
     f1 = feats[1]
     assert f1["n_bytes"] == 20
@@ -30,20 +33,31 @@ def test_image_feature_extraction(spark, media):
     assert 1 <= f1["channels"] <= 4
     assert len(f1["content_hash"]) == 32
     # deterministic: same payload -> same features
-    again = {r["media_id"]: r for r in extract_image_features(media).collect()}
+    again = {
+        r["media_id"]: r
+        for r in extract_image_features(media, fake=True).collect()
+    }
     assert again[1] == f1
     # null payload handled
     assert feats[3]["n_bytes"] == 0
 
 
-def test_real_decode_is_explicitly_stubbed(spark, media):
-    with pytest.raises(Exception) as err:
-        extract_image_features(media, fake=False).collect()
-    assert "NotImplementedError" in str(err.value) or "PIL" in str(err.value)
+def test_default_is_fail_loud_not_fake(spark, media):
+    # fake features must never ship silently: the DEFAULT raises at plan
+    # build when the real codec is absent (PIL is not in this container)
+    try:
+        import PIL  # noqa: F401
+        pytest.skip("PIL installed here — the real path would run")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError, match="PIL"):
+        extract_image_features(media)
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        sample_video_frames(media)
 
 
 def test_video_frame_sampling(spark, media):
-    frames = sample_video_frames(media, every_n_seconds=10).collect()
+    frames = sample_video_frames(media, every_n_seconds=10, fake=True).collect()
     assert all(r["media_id"] == 4 for r in frames)
     assert len(frames) == 3  # 32000 bytes -> 3 fake frames
     assert [r["frame_idx"] for r in sorted(frames, key=lambda r: r["frame_idx"])] == [0, 1, 2]
