@@ -737,6 +737,35 @@ def math_functions_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "skew_salted_join_agg",
+    """
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    "skew-mitigated join: the large side carries a deterministic "
+    "xxhash64 salt, the small side replicates num_salts-fold, and the "
+    "join key becomes (custkey, salt) — spreading any hot key across 8 "
+    "reducers. The oracle is the PLAIN join: salting must be "
+    "result-invariant, which is exactly what this row proves",
+)
+def skew_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_totalprice"
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = salted_join(o, c, on=["c_custkey"], num_salts=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("DECIMAL(18,2)")).cast("double").alias("total"),
+    )
+
+
+@q(
     "sql_api_revenue_by_nation",
     """
     SELECT n.n_name AS nation_name,

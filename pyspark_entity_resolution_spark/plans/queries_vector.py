@@ -244,6 +244,75 @@ def embedding_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.embedding_near_duplicates(spread(spark, e), threshold=0.25)
 
 
+def _table_bucket_sql(table_idx: int, num_planes: int = 4, dim: int = 64) -> str:
+    """Bucket expression for one multi-table LSH table: planes
+    [t*b, (t+1)*b) of hyperplanes(b*L, dim) — mirrors lsh_topk's
+    num_tables slicing."""
+    all_planes = A.hyperplanes(num_planes * 4, dim)
+    planes = all_planes[table_idx * num_planes:(table_idx + 1) * num_planes]
+    plane_sqls = ["[" + ", ".join(repr(x) for x in p) + "]::DOUBLE[]" for p in planes]
+    return " || ".join(
+        f"(CASE WHEN list_reduce(list_transform(range(1, {dim + 1}),"
+        f" i -> embedding[i]::DOUBLE * ({p})[i]), (x, y) -> x + y) >= 0"
+        f" THEN '1' ELSE '0' END)"
+        for p in plane_sqls
+    )
+
+
+@q(
+    "ann_multitable_lsh",
+    f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             {_table_bucket_sql(0)} AS k0,
+             {_table_bucket_sql(1)} AS k1,
+             {_table_bucket_sql(2)} AS k2,
+             {_table_bucket_sql(3)} AS k3
+      FROM embeddings
+    ),
+    q AS (SELECT * FROM b WHERE vec_id < 10),
+    cand AS (
+      SELECT DISTINCT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM q JOIN b c ON q.k0 = c.k0
+        UNION ALL
+        SELECT q.vec_id, c.vec_id FROM q JOIN b c ON q.k1 = c.k1
+        UNION ALL
+        SELECT q.vec_id, c.vec_id FROM q JOIN b c ON q.k2 = c.k2
+        UNION ALL
+        SELECT q.vec_id, c.vec_id FROM q JOIN b c ON q.k3 = c.k3
+      ) WHERE query_id <> neighbor_id
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             {_COS.format(a='eq.embedding', b='ec.embedding')} AS cos_full
+      FROM cand
+      JOIN embeddings eq ON eq.vec_id = cand.query_id
+      JOIN embeddings ec ON ec.vec_id = cand.neighbor_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos_full,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_full DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+           round(cos_full, 4) AS cos_sim
+    FROM ranked WHERE rank <= 3
+    """,
+    "multi-table LSH ANN (L=4 tables x 4 planes, disjoint plane sets): "
+    "candidates unioned across tables with pair-level dedup — the "
+    "standard recall dial 1-(1-p^b)^L; still one hash equi-join per "
+    "table, no all-pairs scan",
+)
+def ann_multitable_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return A.lsh_topk(
+        e.filter(F.col("vec_id") < 10), spread(spark, e),
+        k=3, num_planes=4, num_tables=4,
+    )
+
+
 def _kmeans_oracle_sql(k: int = 8, iters: int = 3, dim: int = 64) -> str:
     """Unrolled fixed-iteration Lloyd's in ANSI SQL. Exactly mirrors
     operators.kmeans.kmeans(quantize=6): integer-quantized components,
