@@ -103,13 +103,16 @@ def candidate_pairs(
     rk = with_block_keys(
         right, venues, year_col_right, venue_col_right, lower, upper, window
     )
-    # spread the probe side: blocked inputs often come from a single file
-    # (one input partition), and the build side broadcasts — without this
-    # the entire O(pairs) scoring downstream runs on one task
+    # Spread the probe side ONLY when its input partitioning is actually
+    # degenerate (single small file -> one partition; the build side
+    # broadcasts, so all O(pairs) scoring would land on one task). A
+    # well-partitioned cluster-scale input skips the forced exchange
+    # entirely and AQE sizes the join shuffle instead — no hard width is
+    # imposed on a healthy plan.
     spark = left.sparkSession
-    lk = lk.repartition(
-        spark.sparkContext.defaultParallelism, "venue_tag", "window_start", left_id
-    )
+    target = spark.sparkContext.defaultParallelism
+    if left.rdd.getNumPartitions() < max(2, target // 4):
+        lk = lk.repartition(target, "venue_tag", "window_start", left_id)
     lk = lk.withColumnRenamed("venue_tags", "__l_tags")
     rk = rk.withColumnRenamed("venue_tags", "__r_tags")
 
