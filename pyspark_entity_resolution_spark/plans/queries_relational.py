@@ -257,18 +257,23 @@ def groupby_min_max_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
-    "pivot_status_counts",
+    "pivot_distinct_pack",
     """
-    SELECT o_orderpriority,
+    SELECT 'pivot' AS kind, o_orderpriority, CAST(NULL AS VARCHAR) AS o_orderstatus,
            COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS O,
            COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS F,
            COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS P
     FROM orders GROUP BY o_orderpriority
+    UNION ALL
+    SELECT DISTINCT 'distinct', o_orderpriority, o_orderstatus,
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+    FROM orders
     """,
     "A2 pivot aggregate with explicit pivot values (reference "
-    "src/create_graph.py:79-87; explicit values skip the distinct scan)",
+    "src/create_graph.py:79-87; explicit values skip the distinct scan) + "
+    "A4 distinct (reference src/match.py:118-120), tagged by kind",
 )
-def pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pivot_distinct_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     pivoted = (
         load(spark, sf_dir, "orders")
         .groupBy("o_orderpriority")
@@ -277,21 +282,74 @@ def pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Spark pivot yields NULL for absent combinations; the oracle's FILTER
     # count yields 0 — normalize.
-    return pivoted.select(
+    pivot_part = pivoted.select(
+        F.lit("pivot").alias("kind"),
         "o_orderpriority",
+        F.lit(None).cast("string").alias("o_orderstatus"),
         F.coalesce("O", F.lit(0)).alias("O"),
         F.coalesce("F", F.lit(0)).alias("F"),
         F.coalesce("P", F.lit(0)).alias("P"),
     )
+    distinct_part = (
+        load(spark, sf_dir, "orders")
+        .select("o_orderpriority", "o_orderstatus")
+        .distinct()
+        .select(
+            F.lit("distinct").alias("kind"),
+            "o_orderpriority",
+            "o_orderstatus",
+            F.lit(None).cast("bigint").alias("O"),
+            F.lit(None).cast("bigint").alias("F"),
+            F.lit(None).cast("bigint").alias("P"),
+        )
+    )
+    return pivot_part.unionByName(distinct_part)
 
 
 @q(
-    "distinct_pairs",
-    "SELECT DISTINCT o_orderpriority, o_orderstatus FROM orders",
-    "A4 distinct (reference src/match.py:118-120)",
+    "window_functions_pack",
+    """
+    SELECT o_custkey, o_orderkey,
+           lag(o_orderkey) OVER w AS prev_order,
+           lead(o_orderkey) OVER w AS next_order,
+           CAST(row_number() OVER w AS BIGINT) AS order_seq,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS 2 PRECEDING) AS DOUBLE)
+             / CAST(least(row_number() OVER w, 3) AS DOUBLE) AS moving_avg3
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    "window-frame scalar pack over a deterministic unique ordering: "
+    "lag/lead navigation, running decimal-exact cumulative sum (ROWS "
+    "UNBOUNDED PRECEDING), and a 3-row moving average (ROWS 2 PRECEDING, "
+    "exact decimal sum / explicit frame count) — the time-series frame "
+    "surface of the engine",
 )
-def distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load(spark, sf_dir, "orders").select("o_orderpriority", "o_orderstatus").distinct()
+def window_functions_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    dec = F.col("o_totalprice").cast("DECIMAL(18,2)")
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    last3 = w.rowsBetween(-2, Window.currentRow)
+    seq = F.row_number().over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+        seq.cast("bigint").alias("order_seq"),
+        F.sum(dec).over(running).cast("double").alias("running_total"),
+        (
+            F.sum(dec).over(last3).cast("double")
+            / F.least(seq, F.lit(3)).cast("double")
+        ).alias("moving_avg3"),
+    )
 
 
 # ----------------------------------------------------------- set ops --
