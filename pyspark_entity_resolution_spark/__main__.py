@@ -17,8 +17,6 @@ from __future__ import annotations
 import argparse
 import json
 
-from pyspark.sql import functions as F
-
 from .operators.metrics import match_quality
 from .pipeline import (
     ERConfig,

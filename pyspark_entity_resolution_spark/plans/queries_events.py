@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .common import QuerySpec, load, load_events
+from .common import QuerySpec, load_events
 
 QUERIES: dict[str, QuerySpec] = {}
 
