@@ -80,7 +80,10 @@ def connected_components(
     )
     prev_sig = None
     for _ in range(max_iterations):
-        e = _small_star(_large_star(e)).localCheckpoint()
+        # lazy checkpoint: the convergence aggregate below is the action
+        # that materializes it, so each round runs ONE job instead of an
+        # eager-checkpoint job followed by a signature job
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         sig = e.agg(
             F.count(F.lit(1)).alias("n"),
             F.bit_xor(F.xxhash64("u", "v")).alias("h"),

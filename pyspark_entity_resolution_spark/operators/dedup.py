@@ -126,14 +126,27 @@ def verify_token_jaccard(
     threshold: float = 0.5,
 ) -> DataFrame:
     """Join candidate pairs back to texts and keep pairs whose exact
-    distinct-token Jaccard clears the threshold."""
+    distinct-token Jaccard clears the threshold.
+
+    Set sizes are computed once per document before the pair join, so the
+    per-pair work is a single ``array_intersect``:
+    ``|A ∪ B| = |A| + |B| - |A ∩ B|`` for the deduplicated arrays. At
+    millions of candidate pairs this halves the dominant per-pair array
+    cost versus a second ``array_union`` pass (values are bit-identical).
+    """
     toks = F.array_distinct(tokens(F.col(text_col)))
-    sides = df.select(F.col(id_col), toks.alias("toks"))
-    a = sides.select(F.col(id_col).alias("a_id"), F.col("toks").alias("a_toks"))
-    b = sides.select(F.col(id_col).alias("b_id"), F.col("toks").alias("b_toks"))
+    sides = df.select(F.col(id_col), toks.alias("toks"), F.size(toks).alias("nt"))
+    a = sides.select(
+        F.col(id_col).alias("a_id"), F.col("toks").alias("a_toks"),
+        F.col("nt").alias("a_nt"),
+    )
+    b = sides.select(
+        F.col(id_col).alias("b_id"), F.col("toks").alias("b_toks"),
+        F.col("nt").alias("b_nt"),
+    )
+    inter = F.size(F.array_intersect("a_toks", "b_toks"))
     jac = F.try_divide(
-        F.size(F.array_intersect("a_toks", "b_toks")).cast("double"),
-        F.size(F.array_union("a_toks", "b_toks")),
+        inter.cast("double"), F.col("a_nt") + F.col("b_nt") - inter
     )
     return (
         candidates.join(a, on="a_id")
@@ -287,16 +300,23 @@ def ngram_jaccard_pairs(
     """
     block_cols = list(block_cols)
     grams = F.array_distinct(char_shingles(F.col(text_col), k))
-    base = df.select(F.col(id_col), *block_cols, grams.alias("grams"))
+    base = df.select(
+        F.col(id_col), *block_cols, grams.alias("grams"),
+        F.size(grams).alias("ng"),
+    )
     a = base.select(
-        F.col(id_col).alias("a_id"), *block_cols, F.col("grams").alias("a_grams")
+        F.col(id_col).alias("a_id"), *block_cols,
+        F.col("grams").alias("a_grams"), F.col("ng").alias("a_ng"),
     )
     b = base.select(
-        F.col(id_col).alias("b_id"), *block_cols, F.col("grams").alias("b_grams")
+        F.col(id_col).alias("b_id"), *block_cols,
+        F.col("grams").alias("b_grams"), F.col("ng").alias("b_ng"),
     )
+    # |A ∪ B| = |A| + |B| - |A ∩ B| (arrays are pre-deduplicated): one
+    # array pass per pair instead of two
+    inter = F.size(F.array_intersect("a_grams", "b_grams"))
     jac = F.try_divide(
-        F.size(F.array_intersect("a_grams", "b_grams")).cast("double"),
-        F.size(F.array_union("a_grams", "b_grams")),
+        inter.cast("double"), F.col("a_ng") + F.col("b_ng") - inter
     )
     return (
         a.join(b, on=block_cols)

@@ -286,20 +286,22 @@ def er_flagship_doc_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "source", "text",
         F.split("text", " ").alias("toks"),
         F.size(F.split("text", " ")).cast("bigint").alias("n_toks"),
+        F.size(F.array_distinct(F.split("text", " "))).alias("nd_toks"),
     )
     a = d.select(
         F.col("doc_id").alias("a_id"), F.col("lang"), F.col("source"),
         F.col("text").alias("a_text"), F.col("toks").alias("a_toks"),
-        F.col("n_toks").alias("a_n"),
+        F.col("n_toks").alias("a_n"), F.col("nd_toks").alias("a_nd"),
     )
     b = d.select(
         F.col("doc_id").alias("b_id"), F.col("lang"), F.col("source"),
         F.col("text").alias("b_text"), F.col("toks").alias("b_toks"),
-        F.col("n_toks").alias("b_n"),
+        F.col("n_toks").alias("b_n"), F.col("nd_toks").alias("b_nd"),
     )
-    jac = F.size(F.array_intersect("a_toks", "b_toks")).cast("double") / F.size(
-        F.array_union("a_toks", "b_toks")
-    )
+    # distinct-set union size from per-doc distinct counts: one array pass
+    # (intersect) per pair instead of intersect + union
+    inter = F.size(F.array_intersect("a_toks", "b_toks"))
+    jac = inter.cast("double") / (F.col("a_nd") + F.col("b_nd") - inter)
     return (
         spread(spark, a).join(b, on=["lang", "source"])
         .filter((F.col("a_id") < F.col("b_id")) & (F.abs(F.col("a_n") - F.col("b_n")) <= 10))
