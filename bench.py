@@ -115,14 +115,20 @@ def _bench_er_pipeline(spark) -> float:
     )
 
     pa, pb = _gen_er_corpus("/tmp/er_bench_corpus_v1")
-    start = time.perf_counter()
     cfg = ERConfig(window=3)
-    left = prepare_publications(spark, pa, cfg)
-    right = prepare_publications(spark, pb, cfg)
-    match_publications(left, right, cfg).write.format("noop").mode(
-        "overwrite"
-    ).save()
-    return round(time.perf_counter() - start, 3)
+    best = None
+    # min of 2, same as the headline queries: run 1 pays Python-worker
+    # startup for the accent-folding pandas UDF plus plan codegen
+    for _ in range(2):
+        start = time.perf_counter()
+        left = prepare_publications(spark, pa, cfg)
+        right = prepare_publications(spark, pb, cfg)
+        match_publications(left, right, cfg).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        elapsed = time.perf_counter() - start
+        best = elapsed if best is None else min(best, elapsed)
+    return round(best, 3)
 
 
 def _bench_er_pipeline_e2e(spark) -> float:
@@ -140,14 +146,17 @@ def _bench_er_pipeline_e2e(spark) -> float:
     pa, pb = _gen_er_corpus("/tmp/er_bench_corpus_v1")
     dest = tempfile.mkdtemp(prefix="er_bench_out_")
     try:
-        start = time.perf_counter()
-        out = run_er_pipeline(spark, pa, pb, ERConfig(window=3))
-        # cache matches: both the cluster stage and the entity join read it
-        out["matches"].cache()
-        write_csv(out["entities"], f"{dest}/entities", sep="\t")
-        elapsed = round(time.perf_counter() - start, 3)
-        out["matches"].unpersist()
-        return elapsed
+        best = None
+        # min of 2, same as the headline queries (stage outputs are
+        # checkpointed inside run_er_pipeline, so each run recomputes the
+        # full pipeline from the raw dumps)
+        for i in range(2):
+            start = time.perf_counter()
+            out = run_er_pipeline(spark, pa, pb, ERConfig(window=3))
+            write_csv(out["entities"], f"{dest}/entities_{i}", sep="\t")
+            elapsed = time.perf_counter() - start
+            best = elapsed if best is None else min(best, elapsed)
+        return round(best, 3)
     finally:
         shutil.rmtree(dest, ignore_errors=True)
 
@@ -161,8 +170,15 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     specs = all_queries()
 
-    # JVM/codegen warmup outside the measurement
+    # JVM/codegen warmup outside the measurement; the one-row pandas-UDF
+    # evaluation brings up the Arrow Python worker pool so no measured
+    # query pays worker-fork cost
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    from pyspark.sql import functions as F
+
+    from pyspark_entity_resolution_spark.functions.cleaning import remove_accents
+
+    spark.range(1).select(remove_accents(F.lit("café"))).count()
 
     per_query: dict[str, float] = {}
     total = 0.0

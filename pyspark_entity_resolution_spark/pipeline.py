@@ -134,11 +134,26 @@ def run_er_pipeline(
     right_path: str,
     cfg: ERConfig | None = None,
 ) -> dict[str, DataFrame]:
-    """Full pipeline from two raw AMiner dumps. Returns every stage output."""
+    """Full pipeline from two raw AMiner dumps. Returns every stage output.
+
+    Stage outputs are lazily local-checkpointed: each is materialized by
+    its first consumer and later consumers read the persisted rows instead
+    of replaying the plan. The cleaned tables feed both the match join and
+    the final entity join; the match table feeds the cluster stage twice
+    (node set + edge set) plus any caller writes. The reference persists
+    the same stage boundaries to parquet between its pipeline steps
+    (src/pipeline.sh); this keeps them in executor storage instead.
+    """
     cfg = cfg or ERConfig()
-    left_clean = prepare_publications(spark, left_path, cfg)
-    right_clean = prepare_publications(spark, right_path, cfg)
-    matches = match_publications(left_clean, right_clean, cfg)
+    left_clean = prepare_publications(spark, left_path, cfg).localCheckpoint(
+        eager=False
+    )
+    right_clean = prepare_publications(spark, right_path, cfg).localCheckpoint(
+        eager=False
+    )
+    matches = match_publications(left_clean, right_clean, cfg).localCheckpoint(
+        eager=False
+    )
     entities = resolve_pipeline(left_clean, right_clean, matches, cfg)
     return {
         "left_clean": left_clean,
