@@ -711,28 +711,103 @@ def array_agg_order_years(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
-    "percentiles_by_segment",
+    "data_profile_pack",
     """
-    SELECT c_mktsegment,
-           round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
-           round(quantile_cont(o_totalprice, 0.95), 4) AS p95_price
-    FROM customer JOIN orders ON c_custkey = o_custkey
-    GROUP BY c_mktsegment
+    WITH nn AS (SELECT COUNT(*) AS n FROM customer)
+    SELECT 'table' AS section, '*' AS key, 'n_rows' AS metric,
+           CAST(n AS DOUBLE) AS value_num, CAST(NULL AS VARCHAR) AS value_str
+    FROM nn
+    UNION ALL
+    SELECT 'column', 'c_custkey', 'n_null',
+           CAST(COUNT(*) - COUNT(c_custkey) AS DOUBLE), NULL FROM customer
+    UNION ALL
+    SELECT 'column', 'c_custkey', 'n_distinct',
+           CAST(COUNT(DISTINCT c_custkey) AS DOUBLE), NULL FROM customer
+    UNION ALL
+    SELECT 'column', 'c_custkey', 'min', CAST(MIN(c_custkey) AS DOUBLE), NULL
+    FROM customer
+    UNION ALL
+    SELECT 'column', 'c_custkey', 'max', CAST(MAX(c_custkey) AS DOUBLE), NULL
+    FROM customer
+    UNION ALL
+    SELECT 'column', 'c_custkey', 'avg',
+           round(CAST(SUM(CAST(c_custkey AS DECIMAL(30,6))) AS DOUBLE)
+                 / COUNT(c_custkey), 4), NULL
+    FROM customer
+    UNION ALL
+    SELECT 'column', 'c_acctbal', 'n_null',
+           CAST(COUNT(*) - COUNT(c_acctbal) AS DOUBLE), NULL FROM customer
+    UNION ALL
+    SELECT 'column', 'c_acctbal', 'n_distinct',
+           CAST(COUNT(DISTINCT c_acctbal) AS DOUBLE), NULL FROM customer
+    UNION ALL
+    SELECT 'column', 'c_acctbal', 'min', CAST(MIN(c_acctbal) AS DOUBLE), NULL
+    FROM customer
+    UNION ALL
+    SELECT 'column', 'c_acctbal', 'max', CAST(MAX(c_acctbal) AS DOUBLE), NULL
+    FROM customer
+    UNION ALL
+    SELECT 'column', 'c_acctbal', 'avg',
+           round(CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE)
+                 / COUNT(c_acctbal), 4), NULL
+    FROM customer
+    UNION ALL
+    SELECT 'column', 'c_mktsegment', 'n_null',
+           CAST(COUNT(*) - COUNT(c_mktsegment) AS DOUBLE), NULL FROM customer
+    UNION ALL
+    SELECT 'column', 'c_mktsegment', 'n_distinct',
+           CAST(COUNT(DISTINCT c_mktsegment) AS DOUBLE), NULL FROM customer
+    UNION ALL
+    SELECT 'column', 'c_mktsegment', 'min', NULL, MIN(c_mktsegment) FROM customer
+    UNION ALL
+    SELECT 'column', 'c_mktsegment', 'max', NULL, MAX(c_mktsegment) FROM customer
+    UNION ALL
+    SELECT 'column', 'c_name', 'n_null',
+           CAST(COUNT(*) - COUNT(c_name) AS DOUBLE), NULL FROM customer
+    UNION ALL
+    SELECT 'column', 'c_name', 'n_distinct',
+           CAST(COUNT(DISTINCT c_name) AS DOUBLE), NULL FROM customer
+    UNION ALL
+    SELECT 'column', 'c_name', 'min', NULL, MIN(c_name) FROM customer
+    UNION ALL
+    SELECT 'column', 'c_name', 'max', NULL, MAX(c_name) FROM customer
+    UNION ALL
+    SELECT 'percentile', c_mktsegment, 'median_price',
+           round(quantile_cont(o_totalprice, 0.5), 4), NULL
+    FROM customer JOIN orders ON c_custkey = o_custkey GROUP BY c_mktsegment
+    UNION ALL
+    SELECT 'percentile', c_mktsegment, 'p95_price',
+           round(quantile_cont(o_totalprice, 0.95), 4), NULL
+    FROM customer JOIN orders ON c_custkey = o_custkey GROUP BY c_mktsegment
+    UNION ALL
+    SELECT 'topk', v, 'count', CAST(c AS DOUBLE), NULL FROM (
+      SELECT c_mktsegment AS v, COUNT(*) AS c FROM customer
+      GROUP BY c_mktsegment ORDER BY c DESC, v LIMIT 3
+    )
     """,
-    "exact continuous percentiles per group (full-sort-free percentile "
-    "aggregate; both engines use linear interpolation)",
+    "dataset profiling pack: single-scan per-column profile (nulls, exact "
+    "cardinality, range, decimal-accumulated mean), exact interpolated "
+    "percentiles per group, and exact heavy hitters — the long-format "
+    "(section, key, metric, value) report a 100 TB ingest runs first; "
+    "the HLL/percentile-sketch variant is profile_columns_approx",
 )
-def percentiles_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+def data_profile_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import profile as P
+
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
-    return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .groupBy("c_mktsegment")
-        .agg(
-            F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("median_price"),
-            F.round(F.percentile("o_totalprice", F.lit(0.95)), 4).alias("p95_price"),
-        )
+    prof = P.profile_columns(
+        c, ["c_custkey", "c_acctbal", "c_mktsegment", "c_name"],
+        include_stddev=False,
     )
+    pct = P.group_percentiles(
+        c.join(o, c.c_custkey == o.o_custkey),
+        "c_mktsegment",
+        "o_totalprice",
+        {"median_price": 0.5, "p95_price": 0.95},
+    )
+    top = P.heavy_hitters(c, "c_mktsegment", k=3)
+    return prof.unionByName(pct).unionByName(top)
 
 
 @q(
