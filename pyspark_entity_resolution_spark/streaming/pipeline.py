@@ -205,6 +205,76 @@ def _make_totals_update(reap_idle_state: bool):
     return update
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    within: str = "30 minutes",
+    left_watermark: str = "1 hour",
+    right_watermark: str = "2 hours",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream join: pair each left event with right
+    events for the same ``key`` whose timestamp falls in
+    ``[left.ts, left.ts + within]`` (the ad-tech impression->click /
+    trigger->conversion attribution shape).
+
+    Both inputs buffer rows in join state; the watermarks plus the
+    explicit time-range condition let Spark derive per-side state
+    watermarks and evict buffered rows as event time advances — state
+    stays bounded by ``watermark + within`` regardless of stream length,
+    and the state store shards by the equi-join key across executors.
+    ``how="left_outer"`` additionally emits null-padded left rows once
+    the watermark proves no match can arrive (outer results are
+    therefore delayed by the watermark, not dropped).
+
+    Output columns are prefixed ``l_``/``r_`` (the two sides usually
+    share a schema).
+    """
+    l = left.withWatermark("ts", left_watermark).select(
+        *[F.col(c).alias(f"l_{c}") for c in left.columns]
+    )
+    r = right.withWatermark("ts", right_watermark).select(
+        *[F.col(c).alias(f"r_{c}") for c in right.columns]
+    )
+    cond = (
+        (F.col(f"l_{key}") == F.col(f"r_{key}"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond, how)
+
+
+def attribute_conversions(
+    events: DataFrame,
+    trigger_type: str = "click",
+    conversion_type: str = "purchase",
+    within: str = "30 minutes",
+    left_watermark: str = "1 hour",
+    right_watermark: str = "2 hours",
+) -> DataFrame:
+    """Split one event stream by type and attribute conversions to the
+    trigger events that precede them: (trigger event) x (conversion by
+    the same user within ``within``). Returns (user_id, trigger_id,
+    conversion_id, trigger_ts, conversion_ts, conversion_value)."""
+    joined = stream_stream_interval_join(
+        events.filter(F.col("event_type") == trigger_type),
+        events.filter(F.col("event_type") == conversion_type),
+        key="user_id",
+        within=within,
+        left_watermark=left_watermark,
+        right_watermark=right_watermark,
+    )
+    return joined.select(
+        F.col("l_user_id").alias("user_id"),
+        F.col("l_event_id").alias("trigger_id"),
+        F.col("r_event_id").alias("conversion_id"),
+        F.col("l_ts").alias("trigger_ts"),
+        F.col("r_ts").alias("conversion_ts"),
+        F.col("r_value").alias("conversion_value"),
+    )
+
+
 def run_foreach_batch_parquet(
     stream: DataFrame,
     dest: str,

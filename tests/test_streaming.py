@@ -210,6 +210,97 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert rows.get(noon) == 3, rows  # late event 5 NOT counted
 
 
+def test_stream_stream_join_matches_batch(spark, event_dir):
+    """Inner watermarked stream-stream interval join == the equivalent
+    batch join (every click x purchase by the same user within 30 min)."""
+    from pyspark_entity_resolution_spark.streaming.pipeline import (
+        attribute_conversions,
+    )
+
+    stream = read_event_stream(spark, event_dir)
+    query = run_to_memory_sink(attribute_conversions(stream), "attributions")
+    query.processAllAvailable()
+    query.stop()
+    got = {
+        (r["trigger_id"], r["conversion_id"])
+        for r in spark.sql("select * from attributions").collect()
+    }
+
+    ev = spark.read.parquet(event_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id"), F.col("event_id").alias("trigger_id"), F.col("ts").alias("l_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"), F.col("event_id").alias("conversion_id"), F.col("ts").alias("r_ts")
+    )
+    batch = clicks.join(purchases, "user_id").filter(
+        (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 30 minutes"))
+    )
+    expected = {
+        (r["trigger_id"], r["conversion_id"]) for r in batch.collect()
+    }
+    assert got == expected
+    assert len(got) > 0  # fixture actually exercises the join
+
+
+def test_stream_stream_left_outer_emits_unmatched(spark, tmp_path):
+    """left_outer: once the watermark passes, an unmatched left row is
+    emitted null-padded rather than dropped."""
+    from datetime import datetime
+
+    from pyspark_entity_resolution_spark.streaming.pipeline import (
+        EVENT_SCHEMA,
+        stream_stream_interval_join,
+    )
+
+    src = tmp_path / "src"
+
+    def ev(eid, ts, etype, uid=1):
+        return (eid, ts, uid, etype, 1.0, "{}")
+
+    rows = [
+        ev(1, datetime(2024, 6, 1, 12, 0, 0), "click"),       # matched
+        ev(2, datetime(2024, 6, 1, 12, 10, 0), "purchase"),   # its match
+        ev(3, datetime(2024, 6, 1, 13, 0, 0), "click"),       # never matched
+        # watermark pusher: far enough ahead that click 3's join window
+        # (13:00 + 30min + 1h watermark) is provably closed
+        ev(4, datetime(2024, 6, 2, 0, 0, 0), "click"),
+        ev(5, datetime(2024, 6, 2, 0, 0, 0), "purchase", uid=2),
+    ]
+    spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.parquet(str(src))
+
+    stream = read_event_stream(spark, str(src))
+    joined = stream_stream_interval_join(
+        stream.filter(F.col("event_type") == "click"),
+        stream.filter(F.col("event_type") == "purchase"),
+        how="left_outer",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("outer_join")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # second batch advances the watermark past click 3's window so the
+        # outer (null-padded) result can finalize
+        spark.createDataFrame(
+            [ev(6, datetime(2024, 6, 3, 0, 0, 0), "click", uid=3)], EVENT_SCHEMA
+        ).coalesce(1).write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        r["l_event_id"]: r["r_event_id"]
+        for r in spark.sql("select * from outer_join").collect()
+    }
+    assert got.get(1) == 2      # matched pair survives
+    assert 3 in got and got[3] is None  # unmatched click emitted null-padded
+
+
 class _StubState:
     """Minimal GroupState stand-in for driving _make_totals_update."""
 
