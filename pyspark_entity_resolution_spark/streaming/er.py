@@ -1,0 +1,159 @@
+"""Streaming entity resolution: the reference's blocking + matching
+semantics over live record streams.
+
+The reference's batch pipeline (SURVEY.md §2: P6-P9, G4) blocks records
+into candidate pairs and scores them with venue/Levenshtein/Jaccard
+predicates. These operators run the SAME match predicates incrementally:
+records arrive on a watermarked stream, candidate pairs form via a
+stream-stream equi-join on the block key bounded by an event-time
+interval, and matches emit as soon as both sides are present.
+
+Scale design: the join state shards by the equi-join block key across
+executors, and the watermark + interval condition let Spark evict
+buffered rows once no future match can land — state is bounded by
+``watermark + within`` per key regardless of stream length. Everything is
+built-in stream-stream join machinery; the match predicates are the exact
+Column expressions the batch pipeline uses (functions/similarity.py), so
+batch and streaming agree row-for-row on the same data (tested against
+the batch twin in tests/test_streaming_er.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def streaming_candidate_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    block_cols: list[str],
+    ts_col: str = "ts",
+    within: str = "10 minutes",
+    left_watermark: str = "30 minutes",
+    right_watermark: str = "30 minutes",
+    left_prefix: str = "a",
+    right_prefix: str = "b",
+) -> DataFrame:
+    """Blocked candidate pairs from two record streams.
+
+    Equi-join on ``block_cols`` (the blocking predicate — same role as the
+    batch exploded-block-key join, operators/blocking.py) restricted to
+    right-side records whose event time falls in
+    ``[left.ts, left.ts + within]``. Output columns are prefixed
+    ``{left_prefix}_`` / ``{right_prefix}_``; the block columns keep both
+    prefixed copies so downstream predicates can reference either side.
+    """
+    l, r = left_prefix, right_prefix
+    lw = left.withWatermark(ts_col, left_watermark).select(
+        *[F.col(c).alias(f"{l}_{c}") for c in left.columns]
+    )
+    rw = right.withWatermark(ts_col, right_watermark).select(
+        *[F.col(c).alias(f"{r}_{c}") for c in right.columns]
+    )
+    cond = F.lit(True)
+    for c in block_cols:
+        cond = cond & (F.col(f"{l}_{c}") == F.col(f"{r}_{c}"))
+    cond = (
+        cond
+        & (F.col(f"{r}_{ts_col}") >= F.col(f"{l}_{ts_col}"))
+        & (
+            F.col(f"{r}_{ts_col}")
+            <= F.col(f"{l}_{ts_col}") + F.expr(f"INTERVAL {within}")
+        )
+    )
+    return lw.join(rw, cond, "inner")
+
+
+def streaming_match_documents(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ts",
+    block_cols: list[str] = ("lang", "source"),
+    within: str = "10 minutes",
+    watermark: str = "30 minutes",
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Streaming near-duplicate document matching — the flagship batch
+    query's (er_flagship_doc_matching) streaming twin.
+
+    Blocks on ``block_cols``, bounds pairs to an event-time interval, and
+    applies the batch token-set Jaccard threshold. Emits
+    ``(a_id, b_id, a_ts, b_ts, jaccard)`` incrementally. Self-match rows
+    (same id) are excluded; pass the same stream twice for self-matching.
+    """
+    from ..functions.similarity import token_jaccard
+
+    pairs = streaming_candidate_pairs(
+        left,
+        right,
+        block_cols=list(block_cols),
+        ts_col=ts_col,
+        within=within,
+        left_watermark=watermark,
+        right_watermark=watermark,
+    )
+    jac: Column = token_jaccard(f"a_{text_col}", f"b_{text_col}")
+    return (
+        pairs.filter(F.col(f"a_{id_col}") != F.col(f"b_{id_col}"))
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select(
+            F.col(f"a_{id_col}").alias("a_id"),
+            F.col(f"b_{id_col}").alias("b_id"),
+            F.col(f"a_{ts_col}").alias("a_ts"),
+            F.col(f"b_{ts_col}").alias("b_ts"),
+            "jaccard",
+        )
+    )
+
+
+def streaming_match_publications(
+    left: DataFrame,
+    right: DataFrame,
+    ts_col: str = "ts",
+    within: str = "10 minutes",
+    watermark: str = "30 minutes",
+    venues: list[str] | None = None,
+    max_levenshtein: int = 10,
+    min_jaccard: float = 0.6,
+) -> DataFrame:
+    """Streaming twin of the batch publication matcher
+    (operators/matching.py score_and_match): block on ``year``, then the
+    reference's exact predicate chain — venue agreement, bounded author
+    Levenshtein, three-band match rule, title Jaccard threshold.
+
+    Inputs are cleaned publication streams with at least
+    (id, title, authors, year, venue, num_authors, ts). Emits matched
+    pairs with the batch matcher's column contract
+    (a_id, b_id, scores, title_jaccard_sim).
+    """
+    from ..functions.similarity import both_contain, match_rule, token_jaccard
+    from ..operators.matching import DEFAULT_VENUES
+
+    venues = DEFAULT_VENUES if venues is None else venues
+    pairs = streaming_candidate_pairs(
+        left,
+        right,
+        block_cols=["year"],
+        ts_col=ts_col,
+        within=within,
+        left_watermark=watermark,
+        right_watermark=watermark,
+    )
+    scores = F.levenshtein("a_authors", "b_authors", max_levenshtein - 1)
+    return (
+        pairs.filter(both_contain("a_venue", "b_venue", venues))
+        .withColumn("scores", scores)
+        .filter(F.col("scores") >= 0)
+        .filter(match_rule("scores", "a_num_authors", "b_num_authors", max_levenshtein))
+        .withColumn("title_jaccard_sim", token_jaccard("a_title", "b_title"))
+        .filter(F.col("title_jaccard_sim") >= min_jaccard)
+        .select(
+            "a_id", "b_id", "scores", "title_jaccard_sim",
+            F.col(f"a_{ts_col}").alias("a_ts"),
+            F.col(f"b_{ts_col}").alias("b_ts"),
+        )
+    )
