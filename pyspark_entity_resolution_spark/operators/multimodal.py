@@ -230,6 +230,127 @@ def probe_image_metadata(media: DataFrame) -> DataFrame:
     return pruned.mapInPandas(probe_image_batch, IMAGE_METADATA_SCHEMA)
 
 
+AUDIO_METADATA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("format", StringType()),       # wav | flac | mp3 | ogg | NULL
+        StructField("sample_rate", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("bits_per_sample", IntegerType()),
+        StructField("duration_ms", LongType()),
+        StructField("content_hash", StringType()),
+    ]
+)
+
+
+def _probe_audio_header(
+    payload: bytes,
+) -> tuple[str | None, int | None, int | None, int | None, int | None]:
+    """(format, sample_rate, channels, bits_per_sample, duration_ms) from
+    WAV/FLAC/MP3/OGG container headers — byte inspection only, all-None
+    for unrecognized payloads (quarantine, not task failure)."""
+    import struct
+
+    try:
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            # walk RIFF chunks for fmt (rate/channels/bits) and data (size)
+            i = 12
+            rate = ch = bits = None
+            data_size = None
+            while i + 8 <= len(payload):
+                tag = payload[i : i + 4]
+                size = struct.unpack("<I", payload[i + 4 : i + 8])[0]
+                if tag == b"fmt " and i + 24 <= len(payload):
+                    ch, rate = struct.unpack("<HI", payload[i + 10 : i + 16])
+                    bits = struct.unpack("<H", payload[i + 22 : i + 24])[0]
+                elif tag == b"data":
+                    data_size = size
+                i += 8 + size + (size % 2)
+            dur = None
+            if rate and ch and bits and data_size is not None:
+                dur = int(data_size * 8000 / (rate * ch * bits))
+            return "wav", rate, ch, bits, dur
+        if payload[:4] == b"fLaC" and len(payload) >= 26:
+            # STREAMINFO is the mandatory first metadata block: rate is
+            # 20 bits, channels-1 is 3 bits, bits-1 is 5 bits, total
+            # samples is 36 bits, packed from byte 18 of the stream
+            b = payload[18:26]
+            rate = (b[0] << 12) | (b[1] << 4) | (b[2] >> 4)
+            ch = ((b[2] >> 1) & 0x07) + 1
+            bits = (((b[2] & 0x01) << 4) | (b[3] >> 4)) + 1
+            total = ((b[3] & 0x0F) << 32) | (b[4] << 24) | (b[5] << 16) | (b[6] << 8) | b[7]
+            dur = int(total * 1000 / rate) if rate else None
+            return "flac", rate, ch, bits, dur
+        if payload[:3] == b"ID3" or (
+            len(payload) >= 4 and payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0
+        ):
+            # MPEG audio: skip a leading ID3v2 tag, then read the first
+            # frame header's version/sample-rate/channel-mode fields
+            i = 0
+            if payload[:3] == b"ID3" and len(payload) >= 10:
+                syncsafe = payload[6:10]
+                i = 10 + (
+                    (syncsafe[0] << 21) | (syncsafe[1] << 14)
+                    | (syncsafe[2] << 7) | syncsafe[3]
+                )
+            if i + 4 > len(payload) or payload[i] != 0xFF:
+                return "mp3", None, None, None, None
+            h1, h2, h3 = payload[i + 1], payload[i + 2], payload[i + 3]
+            version = (h1 >> 3) & 0x03          # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+            rates = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000),
+                     0: (11025, 12000, 8000)}.get(version)
+            rate_idx = (h2 >> 2) & 0x03
+            rate = rates[rate_idx] if rates and rate_idx < 3 else None
+            ch = 1 if ((h3 >> 6) & 0x03) == 3 else 2
+            return "mp3", rate, ch, None, None
+        if payload[:4] == b"OggS":
+            # vorbis identification header rides in the first page
+            j = payload.find(b"\x01vorbis")
+            if j >= 0 and j + 16 <= len(payload):
+                ch = payload[j + 11]
+                rate = struct.unpack("<I", payload[j + 12 : j + 16])[0]
+                return "ogg", rate, ch, None, None
+            return "ogg", None, None, None, None
+    except (struct.error, IndexError):
+        pass
+    return None, None, None, None, None
+
+
+def probe_audio_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: (media_id, payload) -> AUDIO_METADATA_SCHEMA."""
+    import hashlib
+
+    for pdf in batches:
+        rows = []
+        for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+            payload = bytes(payload) if payload is not None else b""
+            fmt, rate, ch, bits, dur = _probe_audio_header(payload)
+            rows.append(
+                (media_id, len(payload), fmt, rate, ch, bits, dur,
+                 hashlib.md5(payload).hexdigest())
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "media_id", "n_bytes", "format", "sample_rate", "channels",
+                "bits_per_sample", "duration_ms", "content_hash",
+            ],
+        )
+
+
+def probe_audio_metadata(media: DataFrame) -> DataFrame:
+    """REAL audio metadata decode (no codec dependency): parse sample
+    rate / channels / bit depth / duration from WAV, FLAC, MP3, and OGG
+    container headers. Same contract as ``probe_image_metadata``:
+    column-prune before the Python boundary, Arrow batches, NULL-format
+    quarantine rows for unrecognized payloads."""
+    pruned = media.filter(F.col("media_type") == "audio").select(
+        "media_id", "payload"
+    )
+    return pruned.mapInPandas(probe_audio_batch, AUDIO_METADATA_SCHEMA)
+
+
 def sample_video_frames(
     media: DataFrame, every_n_seconds: int = 10, fake: bool = False
 ) -> DataFrame:

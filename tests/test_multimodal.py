@@ -154,3 +154,79 @@ def test_probe_grayscale_png_channels(spark):
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
     r = probe_image_metadata(media).collect()[0]
     assert (r["format"], r["width"], r["height"], r["channels"]) == ("png", 32, 16, 1)
+
+
+def _wav_bytes(rate=16000, channels=1, bits=16, n_samples=16000):
+    import struct
+
+    data_size = n_samples * channels * bits // 8
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * bits // 8,
+                      channels * bits // 8, bits)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", data_size) + b"\x00" * data_size)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _flac_bytes(rate=44100, channels=2, bits=16, total_samples=44100 * 3):
+    # fLaC + STREAMINFO block header + 34-byte STREAMINFO body
+    head = b"fLaC" + bytes([0x80, 0, 0, 34])  # last-block flag + type 0 + len
+    body = bytearray(34)
+    # min/max blocksize + min/max framesize: 10 bytes, zeros fine
+    body[10] = (rate >> 12) & 0xFF
+    body[11] = (rate >> 4) & 0xFF
+    body[12] = ((rate & 0x0F) << 4) | ((channels - 1) << 1) | ((bits - 1) >> 4)
+    body[13] = (((bits - 1) & 0x0F) << 4) | ((total_samples >> 32) & 0x0F)
+    body[14] = (total_samples >> 24) & 0xFF
+    body[15] = (total_samples >> 16) & 0xFF
+    body[16] = (total_samples >> 8) & 0xFF
+    body[17] = total_samples & 0xFF
+    return head + bytes(body)
+
+
+def _mp3_bytes(with_id3=False):
+    # MPEG1 Layer3, 44100 Hz (rate_idx 0), stereo
+    frame = bytes([0xFF, 0xFB, 0x90, 0x00]) + b"\x00" * 32
+    if with_id3:
+        tag_body = b"\x00" * 20
+        header = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 20])
+        return header + tag_body + frame
+    return frame
+
+
+def _ogg_bytes(rate=48000, channels=2):
+    import struct
+
+    page = b"OggS" + b"\x00" * 22 + b"\x01" + b"\x1e"
+    ident = b"\x01vorbis" + b"\x00\x00\x00\x00" + bytes([channels]) + struct.pack("<I", rate)
+    return page + ident + b"\x00" * 8
+
+
+def test_probe_audio_metadata_real_headers(spark):
+    from pyspark_entity_resolution_spark.operators.multimodal import (
+        probe_audio_metadata,
+    )
+
+    rows = [
+        (1, "audio", _wav_bytes(16000, 1, 16, 16000), "audio/wav", "s3://a/1.wav"),
+        (2, "audio", _flac_bytes(44100, 2, 16, 44100 * 3), "audio/flac", "s3://a/2.flac"),
+        (3, "audio", _mp3_bytes(), "audio/mpeg", "s3://a/3.mp3"),
+        (4, "audio", _mp3_bytes(with_id3=True), "audio/mpeg", "s3://a/4.mp3"),
+        (5, "audio", _ogg_bytes(48000, 2), "audio/ogg", "s3://a/5.ogg"),
+        (6, "audio", b"white noise, literally", "audio/wav", "s3://a/6.wav"),
+        (7, "image", _wav_bytes(), "image/png", "s3://a/7.png"),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in probe_audio_metadata(media).collect()}
+
+    assert set(got) == {1, 2, 3, 4, 5, 6}
+    r1 = got[1]
+    assert (r1["format"], r1["sample_rate"], r1["channels"], r1["bits_per_sample"]) == ("wav", 16000, 1, 16)
+    assert r1["duration_ms"] == 1000  # 16000 samples at 16 kHz
+    r2 = got[2]
+    assert (r2["format"], r2["sample_rate"], r2["channels"], r2["bits_per_sample"]) == ("flac", 44100, 2, 16)
+    assert r2["duration_ms"] == 3000
+    assert (got[3]["format"], got[3]["sample_rate"], got[3]["channels"]) == ("mp3", 44100, 2)
+    assert (got[4]["format"], got[4]["sample_rate"]) == ("mp3", 44100)
+    assert (got[5]["format"], got[5]["sample_rate"], got[5]["channels"]) == ("ogg", 48000, 2)
+    assert got[6]["format"] is None and got[6]["sample_rate"] is None
