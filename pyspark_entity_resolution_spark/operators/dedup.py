@@ -176,9 +176,18 @@ def verify_token_jaccard(
     jac = F.try_divide(
         inter.cast("double"), F.col("a_nt") + F.col("b_nt") - inter
     )
+    # size-band prefilter, implied by the threshold: jaccard >= t forces
+    # |A| >= t|B| and |B| >= t|A| (intersection <= min, union >= max), so
+    # pairs outside the band skip the expensive per-pair array_intersect.
+    # Result set provably unchanged.
+    size_band = (
+        (F.col("a_nt") >= F.lit(threshold) * F.col("b_nt"))
+        & (F.col("b_nt") >= F.lit(threshold) * F.col("a_nt"))
+    )
     return (
         candidates.join(a, on="a_id")
         .join(b, on="b_id")
+        .filter(size_band)
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("a_id", "b_id", "jaccard")
@@ -361,9 +370,16 @@ def ngram_jaccard_pairs(
     jac = F.try_divide(
         inter.cast("double"), F.col("a_ng") + F.col("b_ng") - inter
     )
+    # jaccard >= t implies the gram-set sizes are within a 1/t factor:
+    # cheap scalar band filter ahead of the per-pair array_intersect
+    # (result set provably unchanged)
+    size_band = (
+        (F.col("a_ng") >= F.lit(threshold) * F.col("b_ng"))
+        & (F.col("b_ng") >= F.lit(threshold) * F.col("a_ng"))
+    )
     return (
         a.join(b, on=block_cols)
-        .filter(F.col("a_id") < F.col("b_id"))
+        .filter((F.col("a_id") < F.col("b_id")) & size_band)
         .withColumn("ngram_jaccard", jac)
         .filter(F.col("ngram_jaccard") >= threshold)
         .select("a_id", "b_id", "ngram_jaccard")
