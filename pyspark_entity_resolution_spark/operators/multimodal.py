@@ -351,6 +351,127 @@ def probe_audio_metadata(media: DataFrame) -> DataFrame:
     return pruned.mapInPandas(probe_audio_batch, AUDIO_METADATA_SCHEMA)
 
 
+VIDEO_METADATA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("format", StringType()),       # mp4 | webm | avi | NULL
+        StructField("duration_ms", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("content_hash", StringType()),
+    ]
+)
+
+
+def _probe_video_header(
+    payload: bytes,
+) -> tuple[str | None, int | None, int | None, int | None]:
+    """(format, duration_ms, width, height) from MP4/WebM/AVI container
+    headers — box/chunk walking, no codec. All-None for unrecognized
+    payloads."""
+    import struct
+
+    def mp4_boxes(buf, start, end):
+        i = start
+        while i + 8 <= end:
+            size = struct.unpack(">I", buf[i : i + 4])[0]
+            tag = buf[i + 4 : i + 8]
+            if size == 1:  # 64-bit extended size
+                if i + 16 > end:
+                    return
+                size = struct.unpack(">Q", buf[i + 8 : i + 16])[0]
+            if size < 8 or i + size > end:
+                return
+            yield tag, i + 8, i + size
+            i += size
+
+    try:
+        if len(payload) >= 12 and payload[4:8] == b"ftyp":
+            dur = w = h = None
+            for tag, s, e in mp4_boxes(payload, 0, len(payload)):
+                if tag != b"moov":
+                    continue
+                for t2, s2, e2 in mp4_boxes(payload, s, e):
+                    if t2 == b"mvhd" and s2 + 20 <= e2:
+                        version = payload[s2]
+                        if version == 1:
+                            timescale = struct.unpack(">I", payload[s2 + 20 : s2 + 24])[0]
+                            duration = struct.unpack(">Q", payload[s2 + 24 : s2 + 32])[0]
+                        else:
+                            timescale = struct.unpack(">I", payload[s2 + 12 : s2 + 16])[0]
+                            duration = struct.unpack(">I", payload[s2 + 16 : s2 + 20])[0]
+                        if timescale:
+                            dur = int(duration * 1000 / timescale)
+                    elif t2 == b"trak":
+                        for t3, s3, e3 in mp4_boxes(payload, s2, e2):
+                            if t3 == b"tkhd" and e3 - s3 >= 84:
+                                # width/height: 16.16 fixed point at the
+                                # end of the box body
+                                tw, th = struct.unpack(">II", payload[e3 - 8 : e3])
+                                if tw and th:
+                                    w, h = tw >> 16, th >> 16
+            return "mp4", dur, w, h
+        if payload[:4] == b"\x1a\x45\xdf\xa3":
+            # EBML (WebM/MKV): full element parsing needs vint decoding;
+            # report the container, leave fields to the ffmpeg stage
+            return "webm", None, None, None
+        if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+            # avih (main AVI header): microseconds/frame + total frames
+            j = payload.find(b"avih")
+            if j >= 0 and j + 24 <= len(payload):
+                us_per_frame, _, _, _, total_frames = struct.unpack(
+                    "<IIIII", payload[j + 8 : j + 28]
+                )
+                dur = (
+                    int(us_per_frame * total_frames / 1000)
+                    if us_per_frame and total_frames
+                    else None
+                )
+                w = h = None
+                if j + 48 <= len(payload):
+                    w, h = struct.unpack("<II", payload[j + 40 : j + 48])
+                return "avi", dur, w or None, h or None
+            return "avi", None, None, None
+    except (struct.error, IndexError):
+        pass
+    return None, None, None, None
+
+
+def probe_video_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: (media_id, payload) -> VIDEO_METADATA_SCHEMA."""
+    import hashlib
+
+    for pdf in batches:
+        rows = []
+        for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+            payload = bytes(payload) if payload is not None else b""
+            fmt, dur, w, h = _probe_video_header(payload)
+            rows.append(
+                (media_id, len(payload), fmt, dur, w, h,
+                 hashlib.md5(payload).hexdigest())
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "media_id", "n_bytes", "format", "duration_ms", "width",
+                "height", "content_hash",
+            ],
+        )
+
+
+def probe_video_metadata(media: DataFrame) -> DataFrame:
+    """REAL video container metadata decode (no codec dependency):
+    MP4 box walk (moov/mvhd duration, tkhd track dimensions), WebM/EBML
+    detection, AVI avih header. Same contract as the image/audio probes:
+    prune to (media_id, payload), Arrow batches, NULL-format quarantine.
+    Frame-level work stays in ``sample_video_frames`` (ffmpeg)."""
+    pruned = media.filter(F.col("media_type") == "video").select(
+        "media_id", "payload"
+    )
+    return pruned.mapInPandas(probe_video_batch, VIDEO_METADATA_SCHEMA)
+
+
 def sample_video_frames(
     media: DataFrame, every_n_seconds: int = 10, fake: bool = False
 ) -> DataFrame:

@@ -230,3 +230,60 @@ def test_probe_audio_metadata_real_headers(spark):
     assert (got[4]["format"], got[4]["sample_rate"]) == ("mp3", 44100)
     assert (got[5]["format"], got[5]["sample_rate"], got[5]["channels"]) == ("ogg", 48000, 2)
     assert got[6]["format"] is None and got[6]["sample_rate"] is None
+
+
+def _mp4_box(tag, body):
+    import struct
+
+    return struct.pack(">I", 8 + len(body)) + tag + body
+
+
+def _mp4_bytes(duration_ms=5000, timescale=1000, width=1280, height=720):
+    import struct
+
+    mvhd = (b"\x00" + b"\x00" * 3          # version 0 + flags
+            + b"\x00" * 8                   # ctime/mtime
+            + struct.pack(">II", timescale, duration_ms * timescale // 1000)
+            + b"\x00" * 80)
+    tkhd = (b"\x00" + b"\x00" * 3
+            + b"\x00" * 72
+            + struct.pack(">II", width << 16, height << 16))
+    trak = _mp4_box(b"trak", _mp4_box(b"tkhd", tkhd))
+    moov = _mp4_box(b"moov", _mp4_box(b"mvhd", mvhd) + trak)
+    ftyp = _mp4_box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    return ftyp + moov
+
+
+def _avi_bytes(us_per_frame=40000, total_frames=250, width=640, height=360):
+    import struct
+
+    avih = (struct.pack("<IIIII", us_per_frame, 0, 0, 0, total_frames)
+            + struct.pack("<III", 0, 0, 0)
+            + struct.pack("<II", width, height)
+            + b"\x00" * 16)
+    body = b"AVI LIST" + b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_probe_video_metadata_real_headers(spark):
+    from pyspark_entity_resolution_spark.operators.multimodal import (
+        probe_video_metadata,
+    )
+
+    rows = [
+        (1, "video", _mp4_bytes(5000, 1000, 1280, 720), "video/mp4", "s3://v/1.mp4"),
+        (2, "video", b"\x1a\x45\xdf\xa3" + b"\x00" * 40, "video/webm", "s3://v/2.webm"),
+        (3, "video", _avi_bytes(40000, 250, 640, 360), "video/avi", "s3://v/3.avi"),
+        (4, "video", b"definitely not a video", "video/mp4", "s3://v/4.mp4"),
+        (5, "image", _mp4_bytes(), "image/png", "s3://v/5.png"),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in probe_video_metadata(media).collect()}
+
+    assert set(got) == {1, 2, 3, 4}
+    r1 = got[1]
+    assert (r1["format"], r1["duration_ms"], r1["width"], r1["height"]) == ("mp4", 5000, 1280, 720)
+    assert got[2]["format"] == "webm"
+    r3 = got[3]
+    assert (r3["format"], r3["duration_ms"], r3["width"], r3["height"]) == ("avi", 10000, 640, 360)
+    assert got[4]["format"] is None and got[4]["duration_ms"] is None
