@@ -1,0 +1,96 @@
+"""Composed training-corpus prep pipeline: stage semantics + funnel."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_entity_resolution_spark.operators.corpus import (
+    chunk_documents,
+    corpus_funnel,
+    drop_exact_duplicates,
+    drop_near_duplicates,
+    prepare_training_corpus,
+    quality_gate,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and keeps running through "
+    "the quiet green fields toward the distant hills under a clear sky"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        # 1 and 2: exact duplicates modulo whitespace (2 loses, higher id)
+        (1, BASE, "en", "web"),
+        (2, "  " + BASE.replace(" fox", "  fox") + " ", "en", "web"),
+        # 3: near-dup of 1 (one word changed) -> loses to 1
+        (3, BASE.replace("lazy", "sleepy"), "en", "web"),
+        # 4: distinct clean doc
+        (4, "completely different content about distributed query engines "
+            "processing large analytical workloads with columnar storage "
+            "and vectorized execution across many machines", "en", "web"),
+        # 5: junk (punctuation soup) -> quality gate drops
+        (5, "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))", "en", "web"),
+        # 6: too short -> quality gate drops
+        (6, "tiny doc", "en", "web"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+
+
+def test_quality_gate_drops_junk(spark, docs):
+    kept = {r["doc_id"] for r in quality_gate(docs, min_score=0.75).select("doc_id").collect()}
+    assert 5 not in kept and 6 not in kept
+    assert {1, 2, 3, 4} <= kept
+
+
+def test_exact_dedup_keeps_min_id(spark, docs):
+    kept = {
+        r["doc_id"]
+        for r in drop_exact_duplicates(docs).select("doc_id").collect()
+    }
+    assert 1 in kept and 2 not in kept  # 2 is whitespace-identical to 1
+    assert {3, 4, 5, 6} <= kept         # non-dups untouched
+
+
+def test_near_dedup_drops_larger_side(spark, docs):
+    base = docs.filter(F.col("doc_id").isin([1, 3, 4]))
+    kept = {
+        r["doc_id"]
+        for r in drop_near_duplicates(base).select("doc_id").collect()
+    }
+    assert kept == {1, 4}  # 3 is the larger side of the (1,3) near-dup pair
+
+
+def test_chunking_covers_text_with_overlap(spark, docs):
+    d4 = docs.filter(F.col("doc_id") == 4)
+    text = d4.collect()[0]["text"]
+    chunks = sorted(
+        chunk_documents(d4, chunk_chars=64, overlap=16).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    assert len(chunks) >= 2
+    # reassembling with the 48-char step reproduces the document
+    step = 64 - 16
+    rebuilt = chunks[0]["chunk_text"]
+    for c in chunks[1:]:
+        rebuilt = rebuilt[: c["chunk_idx"] * step] + c["chunk_text"]
+    assert rebuilt == text
+    # consecutive chunks agree on their overlap region
+    for prev, nxt in zip(chunks, chunks[1:]):
+        assert prev["chunk_text"][step:] == nxt["chunk_text"][: 64 - step]
+    assert all(r["n_chunk_tokens"] > 0 for r in chunks)
+
+
+def test_prepare_training_corpus_funnel(spark, docs):
+    stages = prepare_training_corpus(docs, min_quality=0.75, chunk_chars=64, chunk_overlap=16)
+    funnel = {r["stage"]: r["n"] for r in corpus_funnel(stages, docs).collect()}
+    assert funnel["input"] == 6
+    assert funnel["gated"] == 4          # junk + tiny dropped
+    assert funnel["exact_deduped"] == 3  # 2 dropped
+    assert funnel["near_deduped"] == 2   # 3 dropped (near-dup of 1)
+    assert funnel["chunks"] >= funnel["near_deduped"]
+    survivors = {
+        r["doc_id"] for r in stages["near_deduped"].select("doc_id").collect()
+    }
+    assert survivors == {1, 4}
