@@ -104,3 +104,58 @@ def test_asof_explicit_right_cols_including_ts(spark):
     row = as_of_join(left, right, on=["k"], right_cols=["ts", "val"]).collect()[0]
     assert row["val_right"] == "R"
     assert row["ts_right"] == datetime(2024, 1, 1)
+
+
+def test_corpus_prep_on_empty_and_null_docs(spark):
+    from pyspark_entity_resolution_spark.operators.corpus import (
+        corpus_funnel,
+        prepare_training_corpus,
+    )
+
+    schema = "doc_id long, text string"
+    empty = spark.createDataFrame([], schema)
+    stages = prepare_training_corpus(empty)
+    funnel = {r["stage"]: r["n"] for r in corpus_funnel(stages, empty).collect()}
+    assert funnel == {"input": 0, "gated": 0, "exact_deduped": 0,
+                      "near_deduped": 0, "chunks": 0}
+
+    nulls = spark.createDataFrame([(1, None), (2, ""), (3, "   ")], schema)
+    stages = prepare_training_corpus(nulls)
+    # NULL/empty text fails the quality gate cleanly, no crash
+    assert stages["gated"].count() == 0
+    assert stages["chunks"].count() == 0
+
+
+def test_chunking_short_doc_single_chunk(spark):
+    from pyspark_entity_resolution_spark.operators.corpus import chunk_documents
+
+    df = spark.createDataFrame([(1, "short text")], "doc_id long, text string")
+    chunks = chunk_documents(df, chunk_chars=512, overlap=64).collect()
+    assert len(chunks) == 1
+    assert chunks[0]["chunk_text"] == "short text"
+
+
+def test_header_probes_on_empty_media(spark):
+    from pyspark_entity_resolution_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        probe_audio_metadata,
+        probe_image_metadata,
+        probe_video_metadata,
+    )
+
+    empty = spark.createDataFrame([], MEDIA_SCHEMA)
+    assert probe_image_metadata(empty).count() == 0
+    assert probe_audio_metadata(empty).count() == 0
+    assert probe_video_metadata(empty).count() == 0
+
+    null_payload = spark.createDataFrame(
+        [(1, "image", None, "image/png", "u"), (2, "audio", None, "audio/wav", "u"),
+         (3, "video", None, "video/mp4", "u")],
+        MEDIA_SCHEMA,
+    )
+    img = probe_image_metadata(null_payload).collect()
+    aud = probe_audio_metadata(null_payload).collect()
+    vid = probe_video_metadata(null_payload).collect()
+    assert len(img) == len(aud) == len(vid) == 1
+    assert img[0]["format"] is None and img[0]["n_bytes"] == 0
+    assert aud[0]["format"] is None and vid[0]["format"] is None

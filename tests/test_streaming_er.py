@@ -145,3 +145,46 @@ def test_streaming_match_publications_finds_planted_dup(spark, tmp_path):
     assert {(r["a_id"], r["b_id"]) for r in rows} == {(1, 101)}
     assert rows[0]["scores"] == 0
     assert rows[0]["title_jaccard_sim"] == 1.0
+
+
+def test_streaming_matches_emit_incrementally(spark, tmp_path):
+    """Matches appear as soon as both sides are buffered — batch 2's
+    arrival completes a pair planted in batch 1 without reprocessing it."""
+    src_l = tmp_path / "l"
+    src_r = tmp_path / "r"
+    t0 = datetime(2024, 6, 1, 12, 0, 0)
+
+    left_rows = [(1, t0, "efficient query processing", "alice smith",
+                  1999, "vldb", 1)]
+    spark.createDataFrame(left_rows, PUB_STREAM_SCHEMA).coalesce(1).write.parquet(str(src_l))
+    # right side starts with only a non-match so the source dir exists
+    spark.createDataFrame(
+        [(100, t0, "unrelated topic entirely", "someone else", 1999, "vldb", 1)],
+        PUB_STREAM_SCHEMA,
+    ).coalesce(1).write.parquet(str(src_r))
+
+    ls = spark.readStream.schema(PUB_STREAM_SCHEMA).parquet(str(src_l))
+    rs = spark.readStream.schema(PUB_STREAM_SCHEMA).parquet(str(src_r))
+    q = (
+        streaming_match_publications(ls, rs)
+        .writeStream.format("memory")
+        .queryName("incr_matches")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("select count(*) c from incr_matches").collect()[0]["c"] == 0
+
+        # the matching right record arrives in a later micro-batch,
+        # still inside the 10-minute interval
+        spark.createDataFrame(
+            [(101, t0 + timedelta(minutes=4), "efficient query processing",
+              "alice smith", 1999, "vldb", 1)],
+            PUB_STREAM_SCHEMA,
+        ).coalesce(1).write.mode("append").parquet(str(src_r))
+        q.processAllAvailable()
+        rows = spark.sql("select a_id, b_id from incr_matches").collect()
+        assert {(r["a_id"], r["b_id"]) for r in rows} == {(1, 101)}
+    finally:
+        q.stop()
