@@ -32,6 +32,39 @@ def read_csv(
     return reader.csv(path)
 
 
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    multiline: bool = False,
+) -> DataFrame:
+    """JSON-lines reader (one object per line; ``multiline=True`` for a
+    single JSON array per file). Always pass ``schema`` at scale — schema
+    inference costs a full extra pass over the data; corrupt records land
+    in ``_corrupt_record`` under the default PERMISSIVE mode instead of
+    failing the scan."""
+    reader = spark.read.option("multiLine", multiline)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_jsonl(
+    df: DataFrame,
+    dest: str,
+    single_file: bool = False,
+    compression: str | None = "gzip",
+) -> None:
+    """JSON-lines sink (the interchange format most LLM-data tooling
+    ingests). Compressed per-part by default; parallel unless
+    ``single_file``."""
+    out = df.coalesce(1) if single_file else df
+    writer = out.write.mode("overwrite")
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.json(dest)
+
+
 def write_parquet(
     df: DataFrame, dest: str, single_file: bool = False, compression: str = "snappy"
 ) -> None:

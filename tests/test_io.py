@@ -62,3 +62,47 @@ def test_csv_infer_schema(spark, tmp_path):
     csv_file = [f for f in os.listdir(dest) if f.endswith(".csv")][0]
     back = read_csv(spark, os.path.join(dest, csv_file), infer_schema=True)
     assert dict(back.dtypes)["id"] in ("int", "bigint")
+
+
+def test_jsonl_roundtrip(spark, tmp_path):
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    from pyspark_entity_resolution_spark.sources.io import read_jsonl, write_jsonl
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+    ])
+    rows = [(1, "hello world", "en"), (2, 'quotes " and \\ slashes', "en"),
+            (3, None, "de")]
+    df = spark.createDataFrame(rows, schema)
+    dest = str(tmp_path / "out")
+    write_jsonl(df, dest)
+    back = read_jsonl(spark, dest, schema=schema)
+    assert sorted(map(tuple, back.collect())) == sorted(rows)
+
+
+def test_jsonl_corrupt_record_quarantine(spark, tmp_path):
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    from pyspark_entity_resolution_spark.sources.io import read_jsonl
+
+    p = tmp_path / "data.jsonl"
+    p.write_text('{"doc_id": 1, "text": "ok"}\n'
+                 'this is not json\n'
+                 '{"doc_id": 2, "text": "also ok"}\n')
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("_corrupt_record", StringType()),
+    ])
+    rows = read_jsonl(spark, str(p), schema=schema).collect()
+    good = [r for r in rows if r["_corrupt_record"] is None]
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert {r["doc_id"] for r in good} == {1, 2}
+    assert len(bad) == 1 and "not json" in bad[0]["_corrupt_record"]
