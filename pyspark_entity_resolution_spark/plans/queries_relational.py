@@ -671,23 +671,43 @@ def orders_topk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return global_part.unionByName(per_cust)
 
 
+_SAMPLE_BUCKET_SQL = (
+    "('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 6))::BIGINT % 1000000"
+)
+
+
 @q(
     "deterministic_sample",
-    """
-    SELECT o_orderkey, o_custkey FROM orders
-    WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 6))::BIGINT % 100 < 10
+    f"""
+    SELECT 'flat' AS rule, o_orderkey, o_custkey FROM orders
+    WHERE {_SAMPLE_BUCKET_SQL} < 100000
+    UNION ALL
+    SELECT 'stratified', o_orderkey, o_custkey FROM orders
+    WHERE {_SAMPLE_BUCKET_SQL} <
+      CASE o_orderpriority
+        WHEN '1-URGENT' THEN 300000
+        WHEN '2-HIGH' THEN 150000
+        ELSE 50000
+      END
     """,
-    "deterministic ~10% hash sample (md5-bucket filter): reproducible "
-    "across engines/runs unlike rand()-based sampling — the trainable-"
-    "subset selection primitive",
+    "deterministic hash sampling (md5-bucket filter): reproducible across "
+    "engines/runs/retries unlike rand()-based sampling. 'flat' = uniform "
+    "~10%; 'stratified' = per-priority rates (the training-data mixing "
+    "primitive, operators/sampling.py)",
 )
 def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import hash_sample, stratified_hash_sample
+
     o = load(spark, sf_dir, "orders")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 6), 16, 10)
-        .cast("bigint") % 100
+    flat = hash_sample(o, "o_orderkey", 0.10).select(
+        F.lit("flat").alias("rule"), "o_orderkey", "o_custkey"
     )
-    return o.filter(bucket < 10).select("o_orderkey", "o_custkey")
+    strat = stratified_hash_sample(
+        o, "o_orderkey", "o_orderpriority",
+        rates={"1-URGENT": 0.30, "2-HIGH": 0.15},
+        default_rate=0.05,
+    ).select(F.lit("stratified").alias("rule"), "o_orderkey", "o_custkey")
+    return flat.unionByName(strat)
 
 
 @q(
