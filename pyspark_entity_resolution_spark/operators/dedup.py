@@ -54,17 +54,42 @@ def exact_duplicates(
 
 # ------------------------------------------------------- minhash/LSH --
 
-def minhash_signature(toks: Column, num_hashes: int) -> Column:
-    """k-permutation MinHash signature as an array of md5-hex minima.
+# modulus for the double-hashed permutation family: largest prime < 2^32
+MINHASH_PRIME = 4294967291
 
-    Permutation *i* is simulated by prefixing ``"{i}:"`` before hashing —
-    deterministic, seedless, engine-portable.
+
+def minhash_token_hashes(toks: Column) -> Column:
+    """ONE md5 per distinct token, split into two 32-bit halves (h1, h2).
+
+    The k permutations are derived from these by Kirsch-Mitzenmacher
+    double hashing (``h_i = h1 + i*h2 mod p``) — k-wise ~uniform for
+    MinHash purposes at 1/k-th the hash cost of k independent md5 calls.
+    Deterministic, seedless, and engine-portable (DuckDB computes the
+    identical halves). Materialize this as a REAL COLUMN (its own
+    projection) before building signatures: the md5 work then runs once,
+    not once per permutation, and Catalyst's CollapseProject keeps
+    non-cheap producing expressions un-inlined.
     """
-    distinct = F.array_distinct(toks)
+    return F.transform(
+        F.array_distinct(toks),
+        lambda t: F.struct(
+            F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint").alias("h1"),
+            F.conv(F.substring(F.md5(t), 9, 8), 16, 10).cast("bigint").alias("h2"),
+        ),
+    )
+
+
+def minhash_signature(hs: Column, num_hashes: int) -> Column:
+    """k-permutation MinHash signature (array of bigint minima) over the
+    (h1, h2) token-hash column from ``minhash_token_hashes``. Each
+    permutation is a cheap modular combination — no further hashing."""
     return F.array(
         *[
             F.array_min(
-                F.transform(distinct, lambda t: F.md5(F.concat(F.lit(f"{i}:"), t)))
+                F.transform(
+                    hs,
+                    lambda s: (s["h1"] + F.lit(i) * s["h2"]) % F.lit(MINHASH_PRIME),
+                )
             )
             for i in range(num_hashes)
         ]
@@ -72,12 +97,13 @@ def minhash_signature(toks: Column, num_hashes: int) -> Column:
 
 
 def minhash_band_keys(sig: Column, bands: int, rows_per_band: int) -> Column:
-    """LSH band buckets: md5 of each band's concatenated signature rows."""
+    """LSH band buckets: md5 of each band's comma-joined signature rows
+    (numeric minima need a separator to stay prefix-unambiguous)."""
     return F.array(
         *[
             F.md5(
                 F.concat_ws(
-                    "", F.slice(sig, j * rows_per_band + 1, rows_per_band)
+                    ",", F.slice(sig, j * rows_per_band + 1, rows_per_band)
                 )
             )
             for j in range(bands)
@@ -97,13 +123,20 @@ def minhash_lsh_candidates(
     -> self equi-join on (band_idx, band_key), each pair admitted exactly
     once.
 
-    Two deliberate scale choices (measured 2.8x together at sf0.1, where
-    the corpus is near-dup-heavy):
+    Three deliberate scale choices (first two measured 2.8x together at
+    sf0.1, where the corpus is near-dup-heavy; the double-hash family
+    another ~3x on the signature stage):
 
+    - The signature pipeline runs in STAGED projections: one md5 per
+      distinct token into a (h1, h2) column, then the k permutation
+      minima as cheap modular math over that column
+      (Kirsch-Mitzenmacher). Keeping the token hashes as a real column
+      stops the per-permutation transform from re-inlining (and thus
+      re-computing) the md5 work k times.
     - The banded projection is ``localCheckpoint``-ed before the
-      self-join, so the k tokenize+md5 signature passes run once instead
-      of once per join side. The checkpointed rows are tiny
-      (id + band key), not the documents.
+      self-join, so the signature work runs once instead of once per
+      join side. The checkpointed rows are tiny (id + band key), not
+      the documents.
     - No ``distinct()``: a true near-dup pair collides in MANY bands
       (often all of them), so the naive plan pushes a bands-x-inflated
       pair stream through a dedup shuffle. Instead each pair is admitted
@@ -114,11 +147,23 @@ def minhash_lsh_candidates(
       blocking.py).
     """
     rows_per_band = num_hashes // bands
-    toks = tokens(F.col(text_col))
-    sig = minhash_signature(toks, num_hashes)
-    keys = minhash_band_keys(sig, bands, rows_per_band)
+    # lazy checkpoints as PROJECTION BARRIERS: without them Catalyst's
+    # CollapseProject folds the three stages into one and re-inlines
+    # `hs` into all k permutation transforms and `sig` into every band
+    # key — recomputing the md5 pass k times and the permutation pass
+    # bands times (measured 4x on the cold first run). The barriers pin
+    # each stage's output as a real column; everything materializes in
+    # the single eager checkpoint below.
+    hashed = df.select(
+        F.col(id_col), minhash_token_hashes(tokens(F.col(text_col))).alias("hs")
+    ).localCheckpoint(eager=False)
+    sig = minhash_signature(F.col("hs"), num_hashes)
+    with_sig = hashed.select(F.col(id_col), sig.alias("sig")).localCheckpoint(
+        eager=False
+    )
+    keys = minhash_band_keys(F.col("sig"), bands, rows_per_band)
 
-    banded = df.select(
+    banded = with_sig.select(
         F.col(id_col),
         keys.alias("keys"),
         F.posexplode(keys).alias("band_idx", "band_key"),

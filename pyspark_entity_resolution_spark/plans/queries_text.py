@@ -147,10 +147,12 @@ def dedup_exact_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _NUM_HASHES, _BANDS, _RPB = 12, 3, 4
+# Kirsch-Mitzenmacher double hashing, mirroring operators/dedup.py: one
+# md5 per token split into 32-bit halves, permutation i = h1 + i*h2 mod p
+_MINHASH_PRIME = 4294967291
 _SIG_SQL = (
     f"list_transform(range(0, {_NUM_HASHES}),"
-    " i -> list_aggregate(list_transform(tk, t -> md5(i::VARCHAR || ':' || t)),"
-    " 'min'))"
+    f" i -> list_min(list_transform(hs, s -> (s.h1 + i * s.h2) % {_MINHASH_PRIME})))"
 )
 
 
@@ -160,10 +162,16 @@ _SIG_SQL = (
     WITH toks AS (
       SELECT doc_id, list_distinct({_TOKS_SQL}) AS tk FROM documents
     ),
-    sigs AS (SELECT doc_id, {_SIG_SQL} AS sig FROM toks),
+    hashed AS (
+      SELECT doc_id, list_transform(tk, t -> struct_pack(
+               h1 := ('0x' || substr(md5(t), 1, 8))::BIGINT,
+               h2 := ('0x' || substr(md5(t), 9, 8))::BIGINT)) AS hs
+      FROM toks
+    ),
+    sigs AS (SELECT doc_id, {_SIG_SQL} AS sig FROM hashed),
     bands AS (
       SELECT doc_id, j AS band_idx,
-             md5(array_to_string(sig[j * {_RPB} + 1 : j * {_RPB} + {_RPB}], ''))
+             md5(array_to_string(sig[j * {_RPB} + 1 : j * {_RPB} + {_RPB}], ','))
                AS band_key
       FROM sigs, UNNEST(range(0, {_BANDS})) AS u(j)
     ),
@@ -182,8 +190,9 @@ _SIG_SQL = (
     WHERE CAST(len(list_intersect(ta.tk, tb.tk)) AS DOUBLE)
              / len(list_distinct(ta.tk || tb.tk)) >= 0.5
     """,
-    "MinHash-LSH near-dup dedup: 12 md5-minhashes, 3 bands x 4 rows, "
-    "band-bucket equi-join candidates, exact-Jaccard verify >= 0.5",
+    "MinHash-LSH near-dup dedup: 12 double-hashed minhashes (one md5 per "
+    "token), 3 bands x 4 rows, band-bucket equi-join candidates, "
+    "exact-Jaccard verify >= 0.5",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_dedup(
