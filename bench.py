@@ -185,9 +185,13 @@ def main() -> None:
     for name in HEADLINE:
         fn = specs[name].fn
         print(f"[bench] {name} ...", file=sys.stderr, flush=True)
-        # min of 2 runs: the first pays codegen/JIT warmup for this plan
+        # min of 2 runs: the first pays codegen/JIT warmup for this plan.
+        # Heavy queries (>3 s best) get a third run — machine-state noise
+        # between runs is up to ~20% and dominates their deltas otherwise.
         best = None
-        for _ in range(2):
+        for attempt in range(3):
+            if attempt == 2 and best is not None and best <= 3.0:
+                break
             start = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             elapsed = time.perf_counter() - start
