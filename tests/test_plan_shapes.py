@@ -97,3 +97,34 @@ def test_whole_stage_codegen_on_hot_path(spark):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "WholeStageCodegen" in plan or "*(1)" in plan
+
+
+def test_lsh_candidates_have_no_dedup_aggregate(spark):
+    """Pair dedup is by-construction (first-colliding-band admission):
+    the candidate plan must contain NO aggregate/distinct above the band
+    join — the shuffle that admission eliminated must not creep back."""
+    from pyspark.sql import functions as F
+
+    from pyspark_entity_resolution_spark.operators.dedup import (
+        minhash_lsh_candidates,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = minhash_lsh_candidates(docs)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
+    assert "HashAggregate" not in plan  # no distinct-style dedup
+    # and the exactly-once claim itself
+    n = df.count()
+    assert df.distinct().count() == n
+
+
+def test_simhash_candidates_have_no_dedup_aggregate(spark):
+    from pyspark_entity_resolution_spark.operators.dedup import simhash_candidates
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = simhash_candidates(docs)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" not in plan
+    n = df.count()
+    assert df.distinct().count() == n
