@@ -350,3 +350,42 @@ def test_totals_update_live_key_accumulates_and_arms_timeout():
     assert state.updated == (4, 14.0)
     assert state.timeout_ms == 24 * 3600 * 1000
     assert len(out) == 1 and out[0]["n_events"].iloc[0] == 4
+
+
+def test_streaming_quality_gate_and_dedup_compose(spark, tmp_path):
+    """The batch corpus-prep stages (scalar quality gate, watermarked id
+    dedup) compose directly onto a document stream — same operators, no
+    streaming-specific rewrites."""
+    from datetime import datetime
+
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType, TimestampType,
+    )
+
+    from pyspark_entity_resolution_spark.operators.corpus import quality_gate
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("text", StringType()),
+    ])
+    t0 = datetime(2024, 6, 1, 12, 0, 0)
+    good = ("the quick brown fox jumps over the lazy dog and keeps running "
+            "through quiet green fields toward the distant hills")
+    rows = [
+        (1, t0, good),
+        (1, t0, good),                      # duplicate id -> dedup drops
+        (2, t0, "!!! ??? ### $$$ %%%"),     # junk -> gate drops
+        (3, t0, good + " under a clear morning sky"),
+    ]
+    src = tmp_path / "src"
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(src))
+
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    gated = quality_gate(stream, min_score=0.75, min_tokens=5)
+    deduped = streaming_dedup(gated, id_cols=["doc_id"])
+    q = run_to_memory_sink(deduped, "stream_corpus")
+    q.processAllAvailable()
+    q.stop()
+    got = {r["doc_id"] for r in spark.sql("select doc_id from stream_corpus").collect()}
+    assert got == {1, 3}
