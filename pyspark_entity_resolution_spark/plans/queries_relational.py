@@ -862,7 +862,7 @@ def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(floor(sqrt(l_extendedprice) * 10000 + 0.5) AS BIGINT) AS price_sqrt_q,
            CAST(floor(ln(l_extendedprice + 1) * 10000 + 0.5) AS BIGINT) AS price_ln_q,
            CAST(floor(power(1 + l_tax, 2) * 10000 + 0.5) AS BIGINT) AS tax_compound_q,
-           sign(l_quantity - 25) AS qty_sign,
+           CAST(sign(l_quantity - 25) AS BIGINT) AS qty_sign,
     CAST(CAST(l_quantity AS BIGINT) % 7 AS BIGINT) AS qty_mod
     FROM lineitem WHERE l_orderkey < 500
     """,
@@ -871,7 +871,9 @@ def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     "than round(): round() implementations diverge across engines on "
     "boundary values (Spark rounds the shortest decimal repr HALF_UP, "
     "DuckDB multiplies and rounds the scaled double), whereas floor of a "
-    "bit-identical double is bit-identical",
+    "bit-identical double is bit-identical. sign() is cast BIGINT on both "
+    "sides: DuckDB sign() yields TINYINT while Spark signum yields DOUBLE, "
+    "which stringify as 1 vs 1.0 under value-hash comparison",
 )
 def math_functions_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 500)
@@ -884,7 +886,7 @@ def math_functions_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.sqrt("l_extendedprice") * 10000 + 0.5).cast("bigint").alias("price_sqrt_q"),
         F.floor(F.log(F.col("l_extendedprice") + 1) * 10000 + 0.5).cast("bigint").alias("price_ln_q"),
         F.floor(F.pow(F.col("l_tax") + 1, 2) * 10000 + 0.5).cast("bigint").alias("tax_compound_q"),
-        F.signum(F.col("l_quantity") - 25).alias("qty_sign"),
+        F.signum(F.col("l_quantity") - 25).cast("bigint").alias("qty_sign"),
         (F.col("l_quantity").cast("bigint") % 7).cast("bigint").alias("qty_mod"),
     )
 
