@@ -258,12 +258,16 @@ def ivf_assign(
     vec_col: str = "embedding",
     centroid_id: str = "centroid_id",
     centroid_vec: str = "centroid_vec",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF coarse quantization: assign every vector to its nearest
-    centroid (max cosine, ties to the lowest centroid id).
+    """IVF coarse quantization: assign every vector to its ``nprobe``
+    nearest centroids (max cosine, ties to the lowest centroid id).
 
-    The centroid table is tiny and broadcast; assignment is a broadcast
-    nested-loop scan + rank window — linear in corpus size.
+    ``nprobe=1`` (storage-side default) gives each vector exactly one
+    inverted list; ``nprobe>1`` (query-side recall dial) emits one row
+    per probed list. The centroid table is tiny and broadcast;
+    assignment is a broadcast nested-loop scan + rank window — linear
+    in corpus size.
     """
     c = F.broadcast(
         centroids.select(F.col(centroid_id), F.col(centroid_vec))
@@ -276,7 +280,7 @@ def ivf_assign(
     )
     return (
         scored.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") == 1)
+        .filter(F.col("__rk") <= nprobe)
         .drop("__rk", "__sim", centroid_vec)
         .withColumnRenamed(centroid_id, "ivf_bucket")
     )
@@ -289,12 +293,15 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 3,
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF-flat search: both sides are coarse-quantized and each query
-    probes ONLY its own centroid's inverted list — the full scan becomes
-    an equi-join on ``ivf_bucket`` (nprobe=1; widen by assigning queries
-    to multiple buckets for higher recall)."""
-    qa = ivf_assign(queries, centroids, id_col, vec_col).select(
+    probes its ``nprobe`` nearest centroids' inverted lists — the full
+    scan becomes an equi-join on ``ivf_bucket``. Corpus vectors keep a
+    single list, so a (query, neighbor) pair can match through at most
+    one probe and no dedup pass is needed; candidate cost scales
+    ~nprobe×, recall rises with every extra list probed."""
+    qa = ivf_assign(queries, centroids, id_col, vec_col, nprobe=nprobe).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         "ivf_bucket",

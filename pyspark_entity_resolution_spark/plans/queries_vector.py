@@ -184,6 +184,22 @@ _IVF_CENT = "vec_id % 50 = 0 AND vec_id < 500"  # 10 fixed coarse centroids
              row_number() OVER (PARTITION BY query_id
                                 ORDER BY cos_full DESC, neighbor_id) AS rank
       FROM ivf_scored
+    ),
+    ivf3_q AS (
+      SELECT vec_id AS query_id, embedding AS qv, centroid_id AS ivf_bucket
+      FROM assigned WHERE rk <= 3 AND vec_id < 10
+    ),
+    ivf3_scored AS (
+      SELECT q.query_id, c.neighbor_id,
+             {_COS.format(a='q.qv', b='c.nv')} AS cos_full
+      FROM ivf3_q q JOIN ivf_c c
+        ON q.ivf_bucket = c.ivf_bucket AND q.query_id <> c.neighbor_id
+    ),
+    ivf3_ranked AS (
+      SELECT query_id, neighbor_id, cos_full,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_full DESC, neighbor_id) AS rank
+      FROM ivf3_scored
     )
     SELECT 'lsh' AS method, query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
            round(cos_full, 4) AS cos_sim
@@ -196,13 +212,19 @@ _IVF_CENT = "vec_id % 50 = 0 AND vec_id < 500"  # 10 fixed coarse centroids
     SELECT 'ivf', query_id, neighbor_id, CAST(rank AS BIGINT),
            round(cos_full, 4)
     FROM ivf_ranked WHERE rank <= 3
+    UNION ALL
+    SELECT 'ivf3', query_id, neighbor_id, CAST(rank AS BIGINT),
+           round(cos_full, 4)
+    FROM ivf3_ranked WHERE rank <= 3
     """,
-    "three ANN strategies over one corpus, tagged by method: LSH-bucketed "
+    "four ANN strategies over one corpus, tagged by method: LSH-bucketed "
     "(sign-of-projection on md5-derived hyperplanes — the candidate scan "
     "becomes an equi-join on the bucket key), multi-probe LSH (queries "
     "probe their bucket + all Hamming-1 buckets — near-brute-force recall, "
-    "still an equi-join), and IVF-flat (coarse-quantize to 10 fixed "
-    "broadcast centroids, probe only the query's inverted list)",
+    "still an equi-join), IVF-flat (coarse-quantize to 10 fixed broadcast "
+    "centroids, probe only the query's inverted list), and IVF nprobe=3 "
+    "(queries probe their 3 nearest lists — the IVF recall dial; corpus "
+    "keeps one list per vector so no pair dedup is needed)",
 )
 def ann_methods_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
@@ -224,7 +246,10 @@ def ann_methods_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf = A.ivf_topk(queries, corpus, centroids, k=3).select(
         F.lit("ivf").alias("method"), "query_id", "neighbor_id", "rank", "cos_sim"
     )
-    return lsh.unionByName(mp).unionByName(ivf)
+    ivf3 = A.ivf_topk(queries, corpus, centroids, k=3, nprobe=3).select(
+        F.lit("ivf3").alias("method"), "query_id", "neighbor_id", "rank", "cos_sim"
+    )
+    return lsh.unionByName(mp).unionByName(ivf).unionByName(ivf3)
 
 
 @q(

@@ -92,6 +92,13 @@ def test_ivf_recall_floor(spark, queries, corpus, exact):
     )
     assert ivf >= 0.20  # measured 0.235 at nprobe=1 on 10 coarse centroids
 
+    ivf3 = _recall(
+        _topk_sets(A.ivf_topk(queries, corpus, centroids, k=K, nprobe=3)),
+        exact,
+    )
+    assert ivf3 >= 0.50  # probing 3 lists must clear half the exact set
+    assert ivf3 > ivf + 0.1  # nprobe is a real recall dial, not noise
+
 
 def test_choose_num_planes_scales_with_corpus():
     assert A.choose_num_planes(100) == 4
