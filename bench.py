@@ -117,9 +117,9 @@ def _bench_er_pipeline(spark) -> float:
     pa, pb = _gen_er_corpus("/tmp/er_bench_corpus_v1")
     cfg = ERConfig(window=3)
     best = None
-    # min of 2, same as the headline queries: run 1 pays Python-worker
+    # min of 3, same as the headline queries: run 1 pays Python-worker
     # startup for the accent-folding pandas UDF plus plan codegen
-    for _ in range(2):
+    for _ in range(3):
         start = time.perf_counter()
         left = prepare_publications(spark, pa, cfg)
         right = prepare_publications(spark, pb, cfg)
@@ -147,10 +147,10 @@ def _bench_er_pipeline_e2e(spark) -> float:
     dest = tempfile.mkdtemp(prefix="er_bench_out_")
     try:
         best = None
-        # min of 2, same as the headline queries (stage outputs are
+        # min of 3, same as the headline queries (stage outputs are
         # checkpointed inside run_er_pipeline, so each run recomputes the
         # full pipeline from the raw dumps)
-        for i in range(2):
+        for i in range(3):
             start = time.perf_counter()
             out = run_er_pipeline(spark, pa, pb, ERConfig(window=3))
             write_csv(out["entities"], f"{dest}/entities_{i}", sep="\t")
@@ -185,13 +185,12 @@ def main() -> None:
     for name in HEADLINE:
         fn = specs[name].fn
         print(f"[bench] {name} ...", file=sys.stderr, flush=True)
-        # min of 2 runs: the first pays codegen/JIT warmup for this plan.
-        # Heavy queries (>3 s best) get a third run — machine-state noise
-        # between runs is up to ~20% and dominates their deltas otherwise.
+        # min of 3 runs for EVERY query: the first pays codegen/JIT warmup
+        # for this plan, and machine-state noise between runs reaches ~50%
+        # on sub-3 s queries — round-over-round deltas on unchanged code
+        # were masking real regressions at min-of-2.
         best = None
         for attempt in range(3):
-            if attempt == 2 and best is not None and best <= 3.0:
-                break
             start = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             elapsed = time.perf_counter() - start

@@ -83,11 +83,20 @@ def mix_sources(
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
-    present = {s: w for s, w in norm.items() if counts.get(s)}
+    # zero-weight sources are dropped like absent ones (a 0-share entry
+    # must not bind t_max via a division by zero)
+    present = {s: w for s, w in norm.items() if counts.get(s) and w > 0}
     if not present:
         return df.filter(F.lit(False))
     t_max = min(counts[s] / w for s, w in present.items())
     rates = {s: min(1.0, w * t_max / counts[s]) for s, w in present.items()}
+    # HASH_BUCKETS quantizes rates to 1e-6 steps and the threshold
+    # floors: a positive-share source with rate < 1/HASH_BUCKETS would
+    # silently keep 0 rows even when its weighted target is >= 1 row
+    # (e.g. a 10^7-row source owed 5 rows). Clamp every positive rate to
+    # one bucket — the smallest expressible non-zero share — so no
+    # present source vanishes from the mix.
+    rates = {s: max(r, 1.0 / HASH_BUCKETS) for s, r in rates.items()}
     return stratified_hash_sample(
         df, key_col, source_col, rates, default_rate=0.0
     )

@@ -80,3 +80,34 @@ def test_mix_sources_empty_and_missing(spark, docs):
     assert empty.count() == 0
     none_present = mix_sources(docs, "doc_id", "source", {"nonexistent": 1.0})
     assert none_present.count() == 0
+
+
+def test_mix_sources_zero_weight_source_dropped(spark, docs):
+    # a 0-weight entry must drop its source (not divide by zero in the
+    # t_max computation, not bind the mix)
+    mixed = mix_sources(docs, "doc_id", "source", {"web": 1.0, "books": 0.0})
+    got = {r["source"] for r in mixed.select("source").distinct().collect()}
+    assert got == {"web"}
+
+
+def test_mix_sources_tiny_rate_quantization_guard(spark):
+    # adversarial quantization case: source b is owed ~1.2 rows out of
+    # 1.5M, so its rate (8e-7) is BELOW the 1/HASH_BUCKETS resolution and
+    # the floored threshold would be 0 buckets — silently erasing a
+    # positive-share source. The clamp keeps the smallest expressible
+    # share (1 bucket ~ 1.5 expected rows here) instead of zero.
+    big = spark.range(1_500_000).select(
+        F.col("id").alias("doc_id"), F.lit("b").alias("source")
+    )
+    small = spark.range(2_000_000, 2_001_199).select(
+        F.col("id").alias("doc_id"), F.lit("a").alias("source")
+    )
+    df = big.unionByName(small)
+    mixed = mix_sources(df, "doc_id", "source", {"a": 0.999, "b": 0.001})
+    got = {
+        r["source"]: r["n"]
+        for r in mixed.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got["a"] == 1199                  # binding source kept whole
+    assert got.get("b", 0) >= 1              # not silently erased
+    assert got["b"] <= 10                    # still a tiny share, not a flood

@@ -7,7 +7,15 @@ Probe B: connected components on a ~1M-edge random graph in the
          giant-component regime — the case the reference's recursive
          driver DFS cannot run at all.
 
-Usage: python tools/scale_probe.py
+Probe C (``trio``): one measured DECADE of scaling for the three
+         heaviest ops — MinHash-LSH dedup on a x10 documents corpus
+         (per-copy token salting keeps the near-dup workload exactly
+         linear: within-copy structure is preserved, cross-copy band
+         collisions are impossible), connected components at 1M vs 10M
+         edges, and the full ER pipeline at 3k vs 30k records/side.
+         Turns the "survives 100x" plan-shape argument into numbers.
+
+Usage: python tools/scale_probe.py [trio]
 """
 
 from __future__ import annotations
@@ -72,11 +80,119 @@ def probe_cc(spark, n_nodes: int = 500_000, n_edges: int = 1_000_000) -> None:
           f"~{n_nodes} nodes: {t:.1f}s ({n_components} components)", flush=True)
 
 
+def _docs_x10(spark, base_dir: str = "/root/testdata/sf0.1") -> str:
+    """10x documents corpus at /tmp (cached): copy 0 is the original;
+    copies 1-9 get remapped ids and a per-copy token salt (``tok~i``),
+    so every copy keeps the original's internal near-dup structure but
+    no band key can collide across copies — the LSH workload is exactly
+    10x, not quadratically inflated."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    dest = "/tmp/scale_docs_x10.parquet"
+    if os.path.exists(dest + "/_SUCCESS"):
+        return dest
+    docs = spark.read.parquet(f"{base_dir}/documents.parquet")
+    copies = [docs]
+    for i in range(1, 10):
+        copies.append(
+            docs.select(
+                (F.col("doc_id") + i * 10_000_000).alias("doc_id"),
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.split(F.col("text"), " "),
+                        lambda t, i=i: F.concat(t, F.lit(f"~{i}")),
+                    ),
+                ).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    out.repartition(32).write.mode("overwrite").parquet(dest)
+    return dest
+
+
+def probe_trio(spark) -> None:
+    from pyspark.sql import functions as F
+
+    from pyspark_entity_resolution_spark.operators.dedup import minhash_lsh_dedup
+    from pyspark_entity_resolution_spark.pipeline import ERConfig, run_er_pipeline
+    from pyspark_entity_resolution_spark.plans.queries_text import (
+        _BANDS,
+        _NUM_HASHES,
+    )
+
+    def _timed(tag, fn):
+        t0 = time.perf_counter()
+        n = fn()
+        t = time.perf_counter() - t0
+        print(f"[trio] {tag}: {t:.1f}s ({n} rows)", flush=True)
+        return t
+
+    # --- MinHash-LSH dedup: sf0.1 documents (5k docs) vs x10 (50k) ---
+    base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    big = spark.read.parquet(_docs_x10(spark))
+    t1 = _timed(
+        "minhash_lsh 5k docs",
+        lambda: minhash_lsh_dedup(
+            base, num_hashes=_NUM_HASHES, bands=_BANDS, threshold=0.5
+        ).count(),
+    )
+    t2 = _timed(
+        "minhash_lsh 50k docs (x10)",
+        lambda: minhash_lsh_dedup(
+            big, num_hashes=_NUM_HASHES, bands=_BANDS, threshold=0.5
+        ).count(),
+    )
+    print(f"[trio] minhash_lsh x10 data -> x{t2 / t1:.1f} time", flush=True)
+
+    # --- connected components: 1M vs 10M edges ---
+    from pyspark_entity_resolution_spark.operators.clustering import (
+        connected_components,
+    )
+
+    def _cc(n_nodes, n_edges):
+        edges = (
+            spark.range(n_edges)
+            .select(
+                (F.abs(F.xxhash64(F.col("id"))) % n_nodes).alias("src"),
+                (F.abs(F.xxhash64(F.col("id") + 7_777_777)) % n_nodes).alias("dst"),
+            )
+            .localCheckpoint()
+        )
+        return connected_components(edges).select("component").distinct().count()
+
+    t1 = _timed("connected_components 1M edges", lambda: _cc(500_000, 1_000_000))
+    t2 = _timed("connected_components 10M edges (x10)", lambda: _cc(5_000_000, 10_000_000))
+    print(f"[trio] connected_components x10 data -> x{t2 / t1:.1f} time", flush=True)
+
+    # --- full ER pipeline: 3k/side (bench scale) vs 30k/side ---
+    def _er(n, path):
+        pa, pb = _gen_er_corpus(path, n_per_side=n)
+        out = run_er_pipeline(spark, pa, pb, ERConfig(window=3))
+        return out["entities"].count()
+
+    t1 = _timed("er_pipeline 3k/side", lambda: _er(3000, "/tmp/er_bench_corpus_v1"))
+    t2 = _timed(
+        "er_pipeline 30k/side (x10)", lambda: _er(30000, "/tmp/er_scale_corpus_30k")
+    )
+    print(f"[trio] er_pipeline x10 data -> x{t2 / t1:.1f} time", flush=True)
+
+
 def main() -> None:
     spark = get_spark(app_name="scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
-    probe_er(spark)
-    probe_cc(spark)
+    if "trio" in sys.argv[1:]:
+        probe_trio(spark)
+    else:
+        probe_er(spark)
+        probe_cc(spark)
     spark.stop()
 
 
