@@ -331,6 +331,79 @@ def ivf_topk(
     )
 
 
+def ivf_topk_multi(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    nprobes: tuple[int, ...] = (1, 3),
+) -> DataFrame:
+    """IVF-flat search at SEVERAL nprobe settings in one plan, tagged by
+    a ``nprobe`` column. Calling :func:`ivf_topk` once per setting would
+    re-run the corpus-side coarse quantization — the broadcast scan over
+    the ENTIRE corpus, the dominant cost at scale — once per call. Here
+    both assignments happen once: the query side keeps its probe rank so
+    each setting is a filter (``rank <= p``), and the corpus side is
+    lazily checkpointed so every setting's equi-join reuses the same
+    materialized inverted lists."""
+    max_p = max(nprobes)
+    c = F.broadcast(
+        centroids.select(F.col("centroid_id"), F.col("centroid_vec"))
+    )
+    w_assign = Window.partitionBy(id_col).orderBy(
+        F.col("__sim").desc(), F.col("centroid_id")
+    )
+    qa = (
+        queries.crossJoin(c)
+        .withColumn("__sim", cosine(vec_col, "centroid_vec"))
+        .withColumn("__rk", F.row_number().over(w_assign))
+        .filter(F.col("__rk") <= max_p)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.col("centroid_id").alias("ivf_bucket"),
+            F.col("__rk").alias("probe_rank"),
+        )
+    )
+    ca = ivf_assign(corpus, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        "ivf_bucket",
+    ).localCheckpoint(eager=False)
+    w = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    # one join + one cosine per candidate; a candidate found at probe
+    # rank r belongs to every setting p >= r, so it fans out to those
+    # settings with a cheap array filter + explode instead of one
+    # join-and-score pass per setting
+    settings = F.array(*[F.lit(p) for p in sorted(nprobes)])
+    scored = (
+        qa.join(ca, on="ivf_bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", cosine("q_vec", "c_vec"))
+        .withColumn(
+            "nprobe",
+            F.explode(
+                F.filter(settings, lambda p: p >= F.col("probe_rank"))
+            ),
+        )
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "nprobe",
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            F.round("cos_sim", 4).alias("cos_sim"),
+        )
+    )
+
+
 def multiprobe_lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
