@@ -287,3 +287,47 @@ def test_probe_video_metadata_real_headers(spark):
     r3 = got[3]
     assert (r3["format"], r3["duration_ms"], r3["width"], r3["height"]) == ("avi", 10000, 640, 360)
     assert got[4]["format"] is None and got[4]["duration_ms"] is None
+
+
+# ------------------- real PIL decode path (skipped while PIL is absent) --
+
+def test_real_decode_with_pil(spark):
+    """The moment the environment grows PIL, the real decode path is
+    PROVEN end-to-end (plan build + Arrow kernel + per-image decode),
+    not just plumbed: structurally valid PNGs flow through
+    extract_image_features(fake=False) and come back with their true
+    dimensions and band counts."""
+    pytest.importorskip("PIL")
+    import hashlib
+
+    rgba = _png_bytes(7, 5, color_type=6)
+    gray = _png_bytes(3, 2, color_type=0)
+    rows = [
+        (1, "image", rgba, "image/png", "s3://x/rgba.png"),
+        (2, "image", gray, "image/png", "s3://x/gray.png"),
+        (3, "video", b"MP4-fake", "video/mp4", "s3://x/v.mp4"),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in extract_image_features(media).collect()}
+
+    assert set(got) == {1, 2}  # images only, and the plan BUILT (no raise)
+    r1 = got[1]
+    assert (r1["width"], r1["height"], r1["channels"]) == (7, 5, 4)
+    assert r1["content_hash"] == hashlib.md5(rgba).hexdigest()
+    r2 = got[2]
+    assert (r2["width"], r2["height"], r2["channels"]) == (3, 2, 1)
+    assert r1["n_bytes"] == len(rgba)
+
+
+def test_real_decode_unit_kernel_with_pil():
+    """_real_decode itself (no Spark): exact dims/bands/hash for a valid
+    PNG — the unit-level proof that the kernel signature is right."""
+    pytest.importorskip("PIL")
+    import hashlib
+
+    from pyspark_entity_resolution_spark.operators.multimodal import _real_decode
+
+    payload = _png_bytes(11, 4, color_type=2)  # 8-bit RGB
+    w, h, c, digest = _real_decode(payload)
+    assert (w, h, c) == (11, 4, 3)
+    assert digest == hashlib.md5(payload).hexdigest()
