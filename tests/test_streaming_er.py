@@ -188,3 +188,113 @@ def test_streaming_matches_emit_incrementally(spark, tmp_path):
         assert {(r["a_id"], r["b_id"]) for r in rows} == {(1, 101)}
     finally:
         q.stop()
+
+
+# ------------------------------------------ incremental entity emission --
+
+def test_incremental_labels_merge_matches_batch(spark, tmp_path):
+    """The hard incremental case: a later batch delivers an edge that
+    MERGES two existing components. Folding previous labels in as star
+    edges must land on exactly the labels a from-scratch batch run over
+    the full match history produces."""
+    from pyspark_entity_resolution_spark.operators.clustering import (
+        cluster_matched_pairs,
+    )
+    from pyspark_entity_resolution_spark.streaming.er import (
+        incremental_entity_labels,
+    )
+
+    labels_path = str(tmp_path / "labels")
+    batch1 = spark.createDataFrame(
+        [(1, 101), (2, 102), (3, 103)], "a_id long, b_id long"
+    )
+    batch2 = spark.createDataFrame(
+        [(1, 102), (4, 104)], "a_id long, b_id long"  # merges {1,101}+{2,102}
+    )
+    incremental_entity_labels(spark, labels_path, batch1)
+    incremental_entity_labels(spark, labels_path, batch2)
+
+    from pyspark_entity_resolution_spark.streaming.er import entity_table
+
+    got = {
+        (r["id"], r["df_name"], r["cluster_id"])
+        for r in entity_table(spark, labels_path).collect()
+    }
+    expected = {
+        (r["id"], r["df_name"], r["cluster_id"])
+        for r in cluster_matched_pairs(
+            batch1.unionByName(batch2), "a_id", "b_id"
+        ).collect()
+    }
+    assert got == expected
+    # the merge really happened: a:1, b:101, a:2, b:102 share one cluster
+    clusters = {(i, d): c for i, d, c in got}
+    assert len({clusters[("1", "a")], clusters[("101", "b")],
+                clusters[("2", "a")], clusters[("102", "b")]}) == 1
+
+
+def test_streaming_entities_match_batch_across_microbatches(spark, tmp_path):
+    """Full streaming ER to the entity table: match stream -> foreachBatch
+    incremental clustering -> entity table equal to the batch pipeline's
+    output over the same (fully delivered) data."""
+    from pyspark_entity_resolution_spark.operators.clustering import (
+        cluster_matched_pairs,
+    )
+    from pyspark_entity_resolution_spark.streaming.er import (
+        entity_table,
+        streaming_resolve_entities,
+    )
+
+    t0 = datetime(2024, 6, 1, 12, 0, 0)
+    src_l = tmp_path / "l"
+    src_r = tmp_path / "r"
+    labels_path = str(tmp_path / "labels")
+
+    left_rows = [
+        (1, t0, "efficient query processing", "alice smith", 1999, "vldb", 1),
+        (2, t0, "adaptive columnar storage", "bob jones", 1999, "vldb", 1),
+    ]
+    right_batch1 = [
+        (101, t0 + timedelta(minutes=3), "efficient query processing",
+         "alice smith", 1999, "vldb", 1),
+    ]
+    right_batch2 = [
+        (102, t0 + timedelta(minutes=6), "adaptive columnar storage",
+         "bob jones", 1999, "vldb", 1),
+    ]
+    spark.createDataFrame(left_rows, PUB_STREAM_SCHEMA).coalesce(1).write.parquet(str(src_l))
+    spark.createDataFrame(right_batch1, PUB_STREAM_SCHEMA).coalesce(1).write.parquet(str(src_r))
+
+    ls = spark.readStream.schema(PUB_STREAM_SCHEMA).parquet(str(src_l))
+    rs = spark.readStream.schema(PUB_STREAM_SCHEMA).parquet(str(src_r))
+    matches = streaming_match_publications(ls, rs)
+    q = streaming_resolve_entities(matches, labels_path,
+                                   query_name="entities_incr")
+    try:
+        q.processAllAvailable()
+        # first micro-batch: one matched pair -> one 2-member cluster
+        got1 = {
+            (r["id"], r["df_name"])
+            for r in entity_table(spark, labels_path).collect()
+        }
+        assert got1 == {("1", "a"), ("101", "b")}
+
+        spark.createDataFrame(right_batch2, PUB_STREAM_SCHEMA).coalesce(
+            1
+        ).write.mode("append").parquet(str(src_r))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    all_matches = spark.createDataFrame(
+        [(1, 101), (2, 102)], "a_id long, b_id long"
+    )
+    got = {
+        (r["id"], r["df_name"], r["cluster_id"])
+        for r in entity_table(spark, labels_path).collect()
+    }
+    expected = {
+        (r["id"], r["df_name"], r["cluster_id"])
+        for r in cluster_matched_pairs(all_matches, "a_id", "b_id").collect()
+    }
+    assert got == expected
