@@ -129,15 +129,27 @@ def probe_trio(spark) -> None:
     )
 
     def _timed(tag, fn):
-        t0 = time.perf_counter()
-        n = fn()
-        t = time.perf_counter() - t0
-        print(f"[trio] {tag}: {t:.1f}s ({n} rows)", flush=True)
-        return t
+        # min of 2: the first run pays JVM/codegen + Python-worker
+        # startup (measured 10x inflation on the first probe of a cold
+        # session), which is not the scaling signal
+        best, n = None, None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n = fn()
+            t = time.perf_counter() - t0
+            best = t if best is None else min(best, t)
+        print(f"[trio] {tag}: {best:.1f}s ({n} rows)", flush=True)
+        return best
 
     # --- MinHash-LSH dedup: sf0.1 documents (5k docs) vs x10 (50k) ---
-    base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
-    big = spark.read.parquet(_docs_x10(spark))
+    # spread() matches the bench query's plan: the base table is ONE
+    # parquet file -> one input partition, and without the repartition the
+    # whole signature+verify pipeline runs on a single core (measured 79 s
+    # vs ~7 s) — the probe would measure partitioning skew, not scaling
+    from pyspark_entity_resolution_spark.plans.common import spread
+
+    base = spread(spark, spark.read.parquet("/root/testdata/sf0.1/documents.parquet"))
+    big = spread(spark, spark.read.parquet(_docs_x10(spark)))
     t1 = _timed(
         "minhash_lsh 5k docs",
         lambda: minhash_lsh_dedup(
