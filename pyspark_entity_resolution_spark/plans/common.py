@@ -53,14 +53,23 @@ def spread(spark: SparkSession, df: DataFrame, factor: int = 1) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events table carries parquet TIMESTAMP(NANOS) which Spark's
-    vectorized reader rejects outright (PARQUET_TYPE_ILLEGAL). Read nanos
-    as long and rebuild the timestamp (lossless: the generator's values
-    are microsecond-precision)."""
+    """Normalize the events table's ``ts`` to a timestamp across generator
+    vintages: newer testdata writes parquet TIMESTAMP(MICROS) (read
+    natively), older testdata wrote TIMESTAMP(NANOS) which Spark's
+    vectorized reader rejects outright (PARQUET_TYPE_ILLEGAL) — for that
+    shape, read nanos as long and rebuild the timestamp (lossless: the
+    generator's values are microsecond-precision)."""
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = load(spark, sf_dir, "events")
-    return df.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("bigint"))
-    )
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        df = df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("bigint"))
+        )
+    elif isinstance(ts_type, T.TimestampNTZType):
+        # driver tables are UTC wall-clock; session timezone is UTC
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
