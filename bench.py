@@ -31,7 +31,8 @@ HEADLINE = [
     "dedup_simhash",
     "ann_bruteforce_topk",
     "ann_methods_topk",
-    "tfidf_top_terms",
+    "text_vector_pack",
+    "contamination_ngram_overlap",
     "events_asof_join",
     "events_windowed_agg",
     "events_sessions_pack",

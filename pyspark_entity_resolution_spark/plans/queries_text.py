@@ -333,17 +333,139 @@ def text_quality_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pii_sql() -> str:
+    from ..functions.pii import PII_PATTERNS
+
+    em, _ = PII_PATTERNS["email"]
+    ca, _ = PII_PATTERNS["card"]
+    ph, _ = PII_PATTERNS["phone"]
+    ip, _ = PII_PATTERNS["ipv4"]
+    redacted = "text"
+    for kind in PII_PATTERNS:  # same application order as redact_pii
+        pat, tag = PII_PATTERNS[kind]
+        redacted = f"regexp_replace({redacted}, '{pat}', '{tag}', 'g')"
+    return f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' Contact user' || doc_id || '@example.com or +1-555-'
+                  || lpad(CAST((doc_id * 7919) % 10000 AS VARCHAR), 4, '0')
+                  || ' from 10.' || (doc_id % 256) || '.'
+                  || ((doc_id * 3) % 256) || '.' || ((doc_id * 5) % 256)
+                  || (CASE WHEN doc_id % 3 = 0
+                           THEN ' card 4111111111111111' ELSE '' END) AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{em}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(text, '{ca}')) AS BIGINT) AS n_card,
+           CAST(len(regexp_extract_all(text, '{ph}')) AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(text, '{ip}')) AS BIGINT) AS n_ipv4,
+           {redacted} AS redacted
+    FROM aug
+    """
+
+
 @q(
-    "tfidf_top_terms",
+    "pii_redaction_pack",
+    None,  # filled in below (deferred: shares PII_PATTERNS with the plan)
+    "PII scrub pass over documents: per-kind occurrence counts "
+    "(email/card-number/phone/IPv4) + full redaction to [TAG] tokens — "
+    "pure JVM regexp scalar expressions riding the scan (no shuffle, no "
+    "Python). The documents fixture carries no PII, so the input is "
+    "augmented with PII strings derived deterministically from doc_id "
+    "(identical arithmetic on both engines); patterns stay inside the "
+    "Java-regex/RE2 shared subset so ONE pattern string drives both "
+    "plan and oracle",
+)
+def pii_redaction_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import pii as P
+
+    d = load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" Contact user"), did.cast("string"), F.lit("@example.com or +1-555-"),
+        F.lpad(((did * 7919) % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10."), (did % 256).cast("string"),
+        F.lit("."), ((did * 3) % 256).cast("string"),
+        F.lit("."), ((did * 5) % 256).cast("string"),
+        F.when(did % 3 == 0, F.lit(" card 4111111111111111")).otherwise(F.lit("")),
+    )
+    return d.select(
+        "doc_id",
+        P.pii_count(aug, "email").alias("n_email"),
+        P.pii_count(aug, "card").alias("n_card"),
+        P.pii_count(aug, "phone").alias("n_phone"),
+        P.pii_count(aug, "ipv4").alias("n_ipv4"),
+        P.redact_pii(aug).alias("redacted"),
+    )
+
+
+QUERIES["pii_redaction_pack"].sql = _pii_sql()
+
+
+_SHINGLE_W = 5
+_WGRAMS_SQL = (
+    f"list_transform(range(1, greatest(1, len(tk) - {_SHINGLE_W - 1}) + 1),"
+    f" i -> array_to_string(tk[i : i + {_SHINGLE_W - 1}], ' '))"
+)
+
+
+@q(
+    "contamination_ngram_overlap",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, md5(s) AS sh FROM (
+        SELECT doc_id, unnest(list_distinct({_WGRAMS_SQL})) AS s
+        FROM (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents)
+      )
+    ),
+    ev AS (SELECT doc_id, sh FROM sh WHERE doc_id % 2 = 1),
+    tr AS (SELECT doc_id AS train_id, sh FROM sh WHERE doc_id % 2 = 0),
+    totals AS (SELECT doc_id, COUNT(*) AS n_shingles FROM ev GROUP BY doc_id),
+    hits AS (
+      SELECT ev.doc_id,
+             COUNT(DISTINCT ev.sh) AS n_contaminated,
+             COUNT(DISTINCT tr.train_id) AS n_train_docs
+      FROM ev JOIN tr ON ev.sh = tr.sh
+      GROUP BY ev.doc_id
+    )
+    SELECT t.doc_id AS eval_id,
+           t.n_shingles,
+           coalesce(h.n_contaminated, 0) AS n_contaminated,
+           round(coalesce(h.n_contaminated, 0) / t.n_shingles, 6)
+             AS contamination_rate,
+           coalesce(h.n_train_docs, 0) AS n_train_docs
+    FROM totals t LEFT JOIN hits h ON h.doc_id = t.doc_id
+    """,
+    "train/eval benchmark-decontamination pass: split documents into "
+    "train (even doc_id) and eval (odd), hash distinct word-5-gram "
+    "shingles on both sides, ONE equi-join on the shingle hash (never "
+    "pairwise docs), aggregate per eval doc: total shingles, shingles "
+    "found in train, contamination rate, distinct train docs hit",
+)
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.contamination import contamination_report
+
+    d = spread(spark, load(spark, sf_dir, "documents"))
+    train = d.filter(F.col("doc_id") % 2 == 0)
+    eval_ = d.filter(F.col("doc_id") % 2 == 1)
+    return contamination_report(train, eval_, w=_SHINGLE_W)
+
+
+@q(
+    "text_vector_pack",
     f"""
     WITH toks AS (
-      SELECT doc_id, unnest({_TOKS_SQL}) AS token FROM documents
+      SELECT doc_id, lang, source, unnest({_TOKS_SQL}) AS token
+      FROM documents
     ),
     tf AS (
-      SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token
+      SELECT doc_id, lang, source, token, COUNT(*) AS tf
+      FROM toks GROUP BY doc_id, lang, source, token
     ),
     df AS (
-      SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY token
+      SELECT token, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY token
     ),
     n AS (SELECT COUNT(*) AS n_docs FROM documents),
     scored AS (
@@ -353,43 +475,6 @@ def text_quality_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 ORDER BY tf.tf * ln(n.n_docs / df.df) DESC,
                                          tf.token) AS rk
       FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
-    )
-    SELECT doc_id, token AS top_term, round(tfidf, 6) AS tfidf
-    FROM scored WHERE rk = 1
-    """,
-    "TF-IDF: per-doc term frequency x inverse document frequency, top "
-    "term per doc — explode + two aggregates + broadcast df join, no UDF",
-)
-def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-    from ..functions.text import tokens as tokenize
-
-    d = load(spark, sf_dir, "documents")
-    n_docs = d.count()  # tiny driver scalar; at scale use a broadcast agg
-    toks = d.select("doc_id", F.explode(tokenize(F.col("text"))).alias("token"))
-    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
-    tfidf = F.col("tf") * F.log(F.lit(n_docs) / F.col("df"))
-    w = Window.partitionBy("doc_id").orderBy(tfidf.desc(), F.col("token"))
-    return (
-        tf.join(F.broadcast(df_), on="token")
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("doc_id", F.col("token").alias("top_term"),
-                F.round(tfidf, 6).alias("tfidf"))
-    )
-
-
-@q(
-    "doc_cosine_tf_pairs",
-    f"""
-    WITH toks AS (
-      SELECT doc_id, lang, source, unnest({_TOKS_SQL}) AS token
-      FROM documents
-    ),
-    tf AS (
-      SELECT doc_id, lang, source, token, COUNT(*) AS tf
-      FROM toks GROUP BY doc_id, lang, source, token
     ),
     norms AS (
       SELECT doc_id, sqrt(CAST(SUM(tf * tf) AS DOUBLE)) AS nrm FROM tf GROUP BY doc_id
@@ -402,27 +487,55 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
        AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
     )
-    SELECT d.a_id, d.b_id,
-           round(d.dot / (na.nrm * nb.nrm), 6) AS cos_tf
+    SELECT 'tfidf' AS variant, doc_id AS a_id, CAST(NULL AS BIGINT) AS b_id,
+           token AS term, round(tfidf, 6) AS score
+    FROM scored WHERE rk = 1
+    UNION ALL
+    SELECT 'cosine', d.a_id, d.b_id, CAST(NULL AS VARCHAR),
+           round(d.dot / (na.nrm * nb.nrm), 6)
     FROM dots d
     JOIN norms na ON na.doc_id = d.a_id
     JOIN norms nb ON nb.doc_id = d.b_id
     WHERE d.dot / (na.nrm * nb.nrm) >= 0.8
     """,
-    "sparse TF-vector cosine similarity via token join (the inverted-index "
-    "formulation): integer dot products + per-doc norms — exact arithmetic, "
-    "no dense vectors; blocked by (lang, source)",
+    "text-vectorization pack over ONE shared term-frequency aggregate, "
+    "tagged by variant: TF-IDF top term per doc (explode + tf/df "
+    "aggregates + broadcast df join) and sparse TF-vector cosine pairs "
+    "via token join (the inverted-index formulation: integer dot "
+    "products + per-doc norms — exact arithmetic, no dense vectors; "
+    "blocked by (lang, source))",
 )
-def doc_cosine_tf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def text_vector_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
     from ..functions.text import tokens as tokenize
 
     d = spread(spark, load(spark, sf_dir, "documents"))
+    n_docs = d.count()  # tiny driver scalar; at scale use a broadcast agg
     toks = d.select(
         "doc_id", "lang", "source", F.explode(tokenize(F.col("text"))).alias("token")
     )
+    # ONE shared tf aggregate feeds both variants (the oracle mirrors this)
     tf = toks.groupBy("doc_id", "lang", "source", "token").agg(
         F.count(F.lit(1)).alias("tf")
     )
+    tf = tf.localCheckpoint(eager=False)  # reuse barrier: scan+explode once
+
+    df_ = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    tfidf = F.col("tf") * F.log(F.lit(n_docs) / F.col("df"))
+    w = Window.partitionBy("doc_id").orderBy(tfidf.desc(), F.col("token"))
+    top_terms = (
+        tf.join(F.broadcast(df_), on="token")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.lit("tfidf").alias("variant"),
+            F.col("doc_id").alias("a_id"),
+            F.lit(None).cast("bigint").alias("b_id"),
+            F.col("token").alias("term"),
+            F.round(tfidf, 6).alias("score"),
+        )
+    )
+
     norms = tf.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("tf") * F.col("tf")).cast("double")).alias("nrm")
     )
@@ -443,9 +556,16 @@ def doc_cosine_tf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     na = norms.select(F.col("doc_id").alias("a_id"), F.col("nrm").alias("a_nrm"))
     nb = norms.select(F.col("doc_id").alias("b_id"), F.col("nrm").alias("b_nrm"))
     cos = F.col("dot") / (F.col("a_nrm") * F.col("b_nrm"))
-    return (
+    cosine = (
         dots.join(na, on="a_id")
         .join(nb, on="b_id")
         .filter(cos >= 0.8)
-        .select("a_id", "b_id", F.round(cos, 6).alias("cos_tf"))
+        .select(
+            F.lit("cosine").alias("variant"),
+            "a_id",
+            "b_id",
+            F.lit(None).cast("string").alias("term"),
+            F.round(cos, 6).alias("score"),
+        )
     )
+    return top_terms.unionByName(cosine)

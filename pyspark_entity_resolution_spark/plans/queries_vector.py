@@ -40,22 +40,48 @@ _COS = (
 
 
 @q(
-    "embedding_norms",
+    "embedding_vector_pack",
     f"""
-    SELECT vec_id,
+    SELECT 'norm' AS section,
+           vec_id AS a_id,
+           CAST(NULL AS BIGINT) AS b_id,
            CAST(len(embedding) AS BIGINT) AS dim,
-           round({_NORM.format(v='embedding')}, 4) AS l2_norm
+           round({_NORM.format(v='embedding')}, 4) AS l2_norm,
+           CAST(NULL AS DOUBLE) AS cos_sim
     FROM embeddings
+    UNION ALL
+    SELECT 'near_dup', a.vec_id, b.vec_id,
+           CAST(NULL AS BIGINT),
+           CAST(NULL AS DOUBLE),
+           round({_COS.format(a='a.embedding', b='b.embedding')}, 4)
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_COS.format(a='a.embedding', b='b.embedding')} >= 0.25
     """,
-    "per-vector L2 norms via ordered fold (zip_with/aggregate — no UDF)",
+    "vector-math pack, tagged by section: per-vector L2 norms via ordered "
+    "fold (zip_with/aggregate — no UDF), and embedding-cosine "
+    "near-duplicate pairs within label blocks (embedding-space dedup; the "
+    "unblocked scale path is the LSH variant, pytest recall-tested)",
 )
-def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+def embedding_vector_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
-    return e.select(
-        "vec_id",
+    norms = e.select(
+        F.lit("norm").alias("section"),
+        F.col("vec_id").alias("a_id"),
+        F.lit(None).cast("bigint").alias("b_id"),
         vector_dim("embedding").alias("dim"),
         F.round(l2_norm("embedding"), 4).alias("l2_norm"),
+        F.lit(None).cast("double").alias("cos_sim"),
     )
+    pairs = A.embedding_near_duplicates(spread(spark, e), threshold=0.25).select(
+        F.lit("near_dup").alias("section"),
+        "a_id",
+        "b_id",
+        F.lit(None).cast("bigint").alias("dim"),
+        F.lit(None).cast("double").alias("l2_norm"),
+        "cos_sim",
+    )
+    return norms.unionByName(pairs)
 
 
 @q(
@@ -253,23 +279,6 @@ def ann_methods_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id", "rank", "cos_sim",
     )
     return lsh.unionByName(mp).unionByName(ivf_both)
-
-
-@q(
-    "embedding_near_dup_blocked",
-    f"""
-    WITH e AS (SELECT vec_id, embedding, label FROM embeddings)
-    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-           round({_COS.format(a='a.embedding', b='b.embedding')}, 4) AS cos_sim
-    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE {_COS.format(a='a.embedding', b='b.embedding')} >= 0.25
-    """,
-    "embedding-cosine near-duplicate pairs within label blocks "
-    "(embedding-space dedup)",
-)
-def embedding_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings")
-    return A.embedding_near_duplicates(spread(spark, e), threshold=0.25)
 
 
 def _table_bucket_sql(table_idx: int, num_planes: int = 4, dim: int = 64) -> str:

@@ -1,0 +1,81 @@
+"""Contamination-detection unit tests (operators/contamination.py)."""
+
+from pyspark.sql import functions as F
+
+from pyspark_entity_resolution_spark.operators.contamination import (
+    contaminated_ids,
+    contamination_report,
+    shingle_hashes,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_copy_is_fully_contaminated(spark):
+    text = "one two three four five six seven eight"
+    train = _docs(spark, [(0, text), (2, "totally different words entirely here now")])
+    eval_ = _docs(spark, [(1, text)])
+    row = contamination_report(train, eval_, w=5).first()
+    assert row.eval_id == 1
+    assert row.n_contaminated == row.n_shingles > 0
+    assert row.contamination_rate == 1.0
+    assert row.n_train_docs == 1
+
+
+def test_clean_doc_reports_zero_but_is_kept(spark):
+    train = _docs(spark, [(0, "alpha beta gamma delta epsilon zeta")])
+    eval_ = _docs(spark, [(1, "un deux trois quatre cinq six sept")])
+    rows = contamination_report(train, eval_, w=5).collect()
+    assert len(rows) == 1  # total report: clean docs still present
+    assert rows[0].n_contaminated == 0
+    assert rows[0].contamination_rate == 0.0
+    assert rows[0].n_train_docs == 0
+
+
+def test_partial_overlap_counts_shared_shingles(spark):
+    # eval doc shares exactly its first 6 tokens with train -> the two
+    # 5-gram shingles starting inside that span are contaminated
+    train = _docs(spark, [(0, "a b c d e f QQ RR SS TT UU")])
+    eval_ = _docs(spark, [(1, "a b c d e f x y z w v")])
+    row = contamination_report(train, eval_, w=5).first()
+    assert row.n_shingles == 7  # 11 tokens -> 7 shingles
+    assert row.n_contaminated == 2  # 'a b c d e', 'b c d e f'
+    assert 0 < row.contamination_rate < 1
+
+
+def test_blast_radius_counts_distinct_train_docs(spark):
+    shared = "p q r s t"
+    train = _docs(
+        spark,
+        [(0, f"{shared} extra0 tokens here"), (2, f"{shared} other1 stuff there")],
+    )
+    eval_ = _docs(spark, [(1, f"{shared} unrelated tail words")])
+    row = contamination_report(train, eval_, w=5).first()
+    assert row.n_train_docs == 2
+
+
+def test_contaminated_ids_threshold(spark):
+    dirty = "one two three four five six"
+    train = _docs(spark, [(0, dirty)])
+    eval_ = _docs(spark, [(1, dirty), (3, "clean fresh new unseen words here")])
+    ids = {r.eval_id for r in contaminated_ids(train, eval_, threshold=0.5).collect()}
+    assert ids == {1}
+
+
+def test_short_doc_truncated_shingle_contract(spark):
+    # docs shorter than w yield ONE whole-doc shingle (word_shingles
+    # contract) so identical short docs still register as contaminated
+    train = _docs(spark, [(0, "tiny doc")])
+    eval_ = _docs(spark, [(1, "tiny doc")])
+    row = contamination_report(train, eval_, w=5).first()
+    assert (row.n_shingles, row.n_contaminated) == (1, 1)
+
+
+def test_shingle_hashes_distinct(spark):
+    # repeated shingles inside one doc collapse before the join
+    df = _docs(spark, [(7, "x y x y x y x y")])
+    n = shingle_hashes(df, w=2).count()
+    distinct = shingle_hashes(df, w=2).distinct().count()
+    assert n == distinct
