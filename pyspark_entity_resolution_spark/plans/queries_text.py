@@ -265,11 +265,32 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CHUNK, _STRIDE = 200, 150  # 50-char overlap
 
 
+_WGRAMS2_SQL = (
+    "list_transform(range(1, greatest(1, len(tk) - 1) + 1),"
+    " i -> array_to_string(tk[i : i + 1], ' '))"
+)
+
+
 @q(
     "text_quality_chunks",
     f"""
     WITH t AS (
       SELECT doc_id, {_TOKS_SQL} AS tk, text FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, unnest({_WGRAMS2_SQL}) AS gram FROM t
+    ),
+    gc AS (
+      SELECT doc_id, gram, COUNT(*) AS cnt, len(gram) AS glen
+      FROM grams GROUP BY doc_id, gram
+    ),
+    rep AS (
+      SELECT doc_id,
+             round(1 - CAST(COUNT(*) AS DOUBLE) / SUM(cnt), 6) AS dup_2gram_frac,
+             round(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 6) AS top_2gram_frac,
+             round(CAST(SUM(CASE WHEN cnt > 1 THEN cnt * glen ELSE 0 END) AS DOUBLE)
+                   / SUM(cnt * glen), 6) AS dup_2gram_char_frac
+      FROM gc GROUP BY doc_id
     ),
     s AS (
       SELECT doc_id, text,
@@ -284,18 +305,21 @@ _CHUNK, _STRIDE = 200, 150  # 50-char overlap
       FROM t
     ),
     kept AS (
-      SELECT doc_id, text,
+      SELECT s.doc_id, s.text,
              round((0.4 * diversity + 0.3 * len_ok
                     + 0.3 * (CASE WHEN stop_r >= 0.05 AND stop_r <= 0.6
                                   THEN 1.0 ELSE 0.5 END))
-                   - 0.2 * (digit_r + punct_r), 6) AS quality
-      FROM s
+                   - 0.2 * (digit_r + punct_r), 6) AS quality,
+             rep.dup_2gram_frac, rep.top_2gram_frac, rep.dup_2gram_char_frac
+      FROM s JOIN rep ON rep.doc_id = s.doc_id
       WHERE (0.4 * diversity + 0.3 * len_ok
              + 0.3 * (CASE WHEN stop_r >= 0.05 AND stop_r <= 0.6
                            THEN 1.0 ELSE 0.5 END))
             - 0.2 * (digit_r + punct_r) >= 0.5
+        AND rep.dup_2gram_frac <= 0.5 AND rep.top_2gram_frac <= 0.5
     )
     SELECT doc_id, quality,
+           dup_2gram_frac, top_2gram_frac, dup_2gram_char_frac,
            CAST(i AS BIGINT) AS chunk_idx,
            substr(text, i * {_STRIDE} + 1, {_CHUNK}) AS chunk
     FROM kept,
@@ -303,18 +327,31 @@ _CHUNK, _STRIDE = 200, 150  # 50-char overlap
                                    / {_STRIDE}.0) AS BIGINT) + 1)) AS u(i)
     """,
     "C4-style training-data quality gate (heuristic score: diversity, "
-    "length band, prose-ness, digit/punct noise; threshold filter) feeding "
-    "LLM-prep chunking of the surviving docs: fixed-size overlapping "
-    "character chunks (chunk 200, stride 150) via explode(sequence) + "
-    "substr — one generator node, no Python",
+    "length band, prose-ness, digit/punct noise; threshold filter) + "
+    "Gopher-style word-2-gram repetition gate (dup/top/char-weighted "
+    "repetition fractions via one distributed n-gram count aggregate — "
+    "never a per-doc quadratic scan) feeding LLM-prep chunking of the "
+    "surviving docs: fixed-size overlapping character chunks (chunk 200, "
+    "stride 150) via explode(sequence) + substr — one generator node, "
+    "no Python",
 )
 def text_quality_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.repetition import repetition_stats
+
     d = load(spark, sf_dir, "documents")
     text = F.col("text")
+    rep = repetition_stats(d, n=2).select(
+        "doc_id",
+        F.col("dup_ngram_frac").alias("dup_2gram_frac"),
+        F.col("top_ngram_frac").alias("top_2gram_frac"),
+        F.col("dup_ngram_char_frac").alias("dup_2gram_char_frac"),
+    )
     kept = (
         d.withColumn("__q", T.quality_score(text))
         .filter(F.col("__q") >= 0.5)
         .select("doc_id", F.round("__q", 6).alias("quality"), text.alias("__text"))
+        .join(rep, on="doc_id")
+        .filter((F.col("dup_2gram_frac") <= 0.5) & (F.col("top_2gram_frac") <= 0.5))
     )
     n_chunks = (
         F.ceil(F.greatest(F.length("__text") - _CHUNK, F.lit(0)) / float(_STRIDE))
@@ -323,11 +360,17 @@ def text_quality_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select(
         "doc_id",
         "quality",
+        "dup_2gram_frac",
+        "top_2gram_frac",
+        "dup_2gram_char_frac",
         F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks - 1)).alias("chunk_idx"),
         "__text",
     ).select(
         "doc_id",
         "quality",
+        "dup_2gram_frac",
+        "top_2gram_frac",
+        "dup_2gram_char_frac",
         "chunk_idx",
         F.expr(f"substr(__text, chunk_idx * {_STRIDE} + 1, {_CHUNK})").alias("chunk"),
     )
