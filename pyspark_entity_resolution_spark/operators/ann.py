@@ -464,3 +464,81 @@ def multiprobe_lsh_topk(
             F.round("cos_sim", 4).alias("cos_sim"),
         )
     )
+
+
+def embedding_near_duplicates_lsh(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    num_planes: int | None = None,
+    num_tables: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs with NO blocking column —
+    the unblocked scale path that :func:`embedding_near_duplicates`
+    (label-blocked, all-pairs within block) cannot offer.
+
+    Generate-then-verify: multi-table sign-of-projection LSH self-join
+    proposes candidates (one hash equi-join per table, never an
+    all-pairs scan), exact cosine verifies. Recall dial is
+    ``num_tables`` (1 - (1 - p^planes)^tables); per-table bucket space
+    grows with corpus size via :func:`choose_num_planes` so bucket
+    occupancy — and with it the within-bucket candidate cost — stays
+    flat at any scale.
+
+    Exactly-once pair admission: a near-dup pair collides in MANY
+    tables, so instead of pushing a tables-x-inflated pair stream
+    through a dedup shuffle, each pair is admitted only at its FIRST
+    colliding table (cheap per-row array comparison — same trick as the
+    MinHash band join, operators/dedup.py).
+    """
+    if num_planes is None:
+        num_planes = choose_num_planes(df.count())
+    all_planes = hyperplanes(num_planes * num_tables, dim)
+    keys = F.array(
+        *[
+            _bucket_expr(
+                F.col(vec_col),
+                all_planes[t * num_planes:(t + 1) * num_planes],
+            )
+            for t in range(num_tables)
+        ]
+    )
+    # tiny (id, keys, table, key) rows checkpoint; vectors join back
+    # only for the verified candidate pairs
+    banded = (
+        df.select(F.col(id_col), keys.alias("keys"))
+        .select(
+            F.col(id_col), "keys", F.posexplode("keys").alias("tbl", "key")
+        )
+        .localCheckpoint()
+    )
+    a = banded.select(
+        F.col(id_col).alias("a_id"), F.col("keys").alias("a_keys"), "tbl", "key"
+    )
+    b = banded.select(
+        F.col(id_col).alias("b_id"), F.col("keys").alias("b_keys"), "tbl", "key"
+    )
+    earlier_table_collides = F.exists(
+        F.zip_with(
+            F.slice("a_keys", F.lit(1), F.col("tbl")),
+            F.slice("b_keys", F.lit(1), F.col("tbl")),
+            lambda x, y: x == y,
+        ),
+        lambda z: z,
+    )
+    cands = (
+        a.join(b, on=["tbl", "key"])
+        .filter((F.col("a_id") < F.col("b_id")) & ~earlier_table_collides)
+        .select("a_id", "b_id")
+    )
+    va = df.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"))
+    vb = df.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"))
+    return (
+        cands.join(va, on="a_id")
+        .join(vb, on="b_id")
+        .withColumn("cos_sim", cosine("a_vec", "b_vec"))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("a_id", "b_id", F.round("cos_sim", 4).alias("cos_sim"))
+    )
