@@ -66,21 +66,51 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iterations: int = 25,
+    target_edges_per_partition: int = 100_000,
 ) -> DataFrame:
     """Return ``(node, component)`` for every node appearing in ``edges``.
 
     Node columns may be any orderable type (string node keys are fine —
     namespace ids from different datasets, e.g. ``"a:" + id``).
     """
+    # materialize the caller's edge plan ONCE: all_nodes and the working
+    # edge set both derive from the checkpointed raw list, so an
+    # expensive upstream candidate join (blocked self-join, LSH band
+    # join, deletion-neighborhood join...) is never evaluated twice
+    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint()
+    n_edges = raw.count()  # one tiny job on the checkpointed rows
+
+    # size the loop's shuffle width to the EDGE volume, not the session
+    # default: the rounds iterate on the (small) edge list, and a
+    # 10k-edge round at width 32 pays ~7 near-empty shuffle stages of
+    # pure task-launch latency per round (measured 7.1 s -> 4.6 s at
+    # width 4 on sf0.1). At real edge volumes the clamp leaves the
+    # session width untouched. Results are width-independent; the
+    # session conf is restored before returning.
+    spark = raw.sparkSession
+    key = "spark.sql.shuffle.partitions"
+    session_width = spark.conf.get(key)
+    try:
+        width = max(4, min(int(session_width), -(-n_edges // target_edges_per_partition)))
+    except ValueError:  # non-numeric (e.g. "auto") — leave it alone
+        width = None
+    try:
+        if width is not None:
+            spark.conf.set(key, str(width))
+        return _connected_components_loop(raw, max_iterations)
+    finally:
+        spark.conf.set(key, session_width)
+
+
+def _connected_components_loop(raw: DataFrame, max_iterations: int) -> DataFrame:
     all_nodes = (
-        edges.select(F.col(src).alias("node"))
-        .union(edges.select(F.col(dst).alias("node")))
+        raw.select(F.col("u").alias("node"))
+        .union(raw.select(F.col("v").alias("node")))
         .distinct()
         .localCheckpoint()
     )
     e = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .filter(F.col("u") != F.col("v"))
+        raw.filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint()
     )
@@ -111,7 +141,10 @@ def connected_components(
     singletons = all_nodes.join(labeled, on="node", how="left_anti").select(
         "node", F.col("node").alias("component")
     )
-    return labeled.union(singletons)
+    # eager: materialize the labeling inside the caller's narrowed
+    # shuffle-width window (see connected_components) and hand consumers
+    # a checkpointed table — entity resolution joins it twice downstream
+    return labeled.union(singletons).localCheckpoint()
 
 
 def cluster_matched_pairs(

@@ -52,3 +52,82 @@ def score_and_match(
     return scored.withColumn(
         JACCARD_COL, token_jaccard(f"{l}_title", f"{r}_title")
     ).filter(F.col(JACCARD_COL) >= min_jaccard)
+
+
+def deletion_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str] | None = None,
+    max_length: int = 64,
+) -> DataFrame:
+    """Candidate pairs at Levenshtein distance <= 1 via deletion-
+    neighborhood indexing (the SymSpell/FastSS family): every string
+    emits itself plus each single-character-deletion variant; two
+    strings within edit distance 1 MUST share a variant (substitution
+    at p -> both delete p; indel -> the shorter IS a deletion variant
+    of the longer; equality -> the identity variant), so the candidate
+    scan is ONE equi-join on (block..., variant) instead of an all-pairs
+    block scan with a per-pair DP.
+
+    Scale shape: |rows| x (len+1) exploded keys, hash-partitioned by
+    variant — linear in corpus size where the blocked self-join is
+    quadratic in block size. Collisions beyond distance 1 (equal-length
+    strings sharing a variant through repeated-character runs sit at
+    distance 2) are possible, so callers verify with one bounded
+    ``levenshtein(a, b, 1)`` over the (small) candidate set — exact
+    semantics, a fraction of the DP work.
+
+    Emits each unordered candidate pair exactly once, with
+    ``a_id < b_id``: a pair sharing several variants (identical strings
+    share them all; character-run deletions coincide) is admitted only
+    at the lexicographically smallest shared variant — a per-row
+    ``array_intersect`` over ~len-sized arrays instead of a distinct()
+    shuffle (the MinHash-band admission idea, adapted because an indel
+    pair's shared variant sits at DIFFERENT deletion indices on the two
+    sides, so positional first-collision logic does not apply).
+    ``max_length`` caps the explosion factor; longer strings would need
+    the general LSH path instead.
+    """
+    block_cols = block_cols or []
+    s = F.col("__s")
+    variants = F.concat(
+        F.array(s),  # identity: equality and indel pairs collide here
+        F.transform(
+            F.sequence(F.lit(1), F.length(s)),
+            lambda i: F.concat(
+                F.substring(s, F.lit(1), i - 1),
+                s.substr(i + 1, F.length(s)),
+            ),
+        ),
+    )
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(text_col).substr(1, max_length).alias("__s"),
+        *block_cols,
+    ).select(
+        "__id",
+        "__s",
+        *block_cols,
+        F.array_distinct(variants).alias("__keys"),
+    )
+    exploded = base.select(
+        "__id", "__s", *block_cols, "__keys",
+        F.explode("__keys").alias("__key"),
+    )
+    a = exploded.select(
+        F.col("__id").alias("a_id"), F.col("__s").alias("a_s"),
+        F.col("__keys").alias("a_keys"), "__key", *block_cols,
+    )
+    b = exploded.select(
+        F.col("__id").alias("b_id"), F.col("__s").alias("b_s"),
+        F.col("__keys").alias("b_keys"), "__key", *block_cols,
+    )
+    first_shared = F.array_min(F.array_intersect("a_keys", "b_keys"))
+    return (
+        a.join(b, on=[*block_cols, "__key"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(F.col("__key") == first_shared)
+        .filter(F.levenshtein("a_s", "b_s", 1) >= 0)
+        .select(F.col("a_id"), F.col("b_id"), *block_cols)
+    )
