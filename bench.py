@@ -29,8 +29,9 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",
-    "ann_bruteforce_topk",
+    "dedup_substring_spans",
     "ann_methods_topk",
+    "embedding_near_dup_lsh",
     "text_vector_pack",
     "contamination_ngram_overlap",
     "events_asof_join",

@@ -130,37 +130,67 @@ def prepare_training_corpus(
     near_dup_threshold: float = 0.5,
     chunk_chars: int = 512,
     chunk_overlap: int = 64,
+    max_dup_ngram_frac: float | None = None,
+    redact_pii: bool = False,
 ) -> dict[str, DataFrame]:
     """Run the full corpus-prep funnel; returns every stage boundary:
 
     ``{"gated", "exact_deduped", "near_deduped", "chunks"}``
+    (plus ``"repetition_gated"`` when ``max_dup_ngram_frac`` is set and
+    ``"redacted"`` when ``redact_pii`` is on).
+
+    Optional stages mirror the full production scrub sequence:
+    ``max_dup_ngram_frac`` adds the Gopher repetition gate between the
+    quality gate and dedup (operators/repetition.py — one n-gram count
+    aggregate, the signal columns are dropped again so downstream
+    stages see the original schema); ``redact_pii`` masks
+    email/card/phone/IPv4 occurrences (functions/pii.py — scalar
+    regexps, rides whatever stage boundary it lands on) before
+    chunking, so no chunk ever carries raw PII.
 
     Stage outputs are plain DataFrames — materialize the ones you reuse.
     ``near_deduped`` is lazily checkpointed because both the chunk stage
     and any caller audit consume it (and the LSH stage beneath it is the
     expensive one).
     """
+    stages: dict[str, DataFrame] = {}
     gated = quality_gate(docs, text_col, min_quality, min_tokens)
+    stages["gated"] = gated
+    if max_dup_ngram_frac is not None:
+        from .repetition import repetition_gate
+
+        gated = repetition_gate(
+            gated, text_col, id_col, n=2,
+            max_dup_ngram_frac=max_dup_ngram_frac,
+            max_top_ngram_frac=max_dup_ngram_frac,
+        ).drop("dup_ngram_frac", "top_ngram_frac", "dup_ngram_char_frac")
+        stages["repetition_gated"] = gated
     exact = drop_exact_duplicates(gated, id_col, text_col)
+    stages["exact_deduped"] = exact
     near = drop_near_duplicates(
         exact, id_col, text_col, threshold=near_dup_threshold
     ).localCheckpoint(eager=False)
-    chunks = chunk_documents(
-        near, id_col, text_col, chunk_chars=chunk_chars, overlap=chunk_overlap
+    stages["near_deduped"] = near
+    chunk_input = near
+    if redact_pii:
+        from ..functions.pii import redact_pii as _redact
+
+        chunk_input = near.withColumn(text_col, _redact(F.col(text_col)))
+        stages["redacted"] = chunk_input
+    stages["chunks"] = chunk_documents(
+        chunk_input, id_col, text_col,
+        chunk_chars=chunk_chars, overlap=chunk_overlap,
     )
-    return {
-        "gated": gated,
-        "exact_deduped": exact,
-        "near_deduped": near,
-        "chunks": chunks,
-    }
+    return stages
 
 
 def corpus_funnel(stages: dict[str, DataFrame], docs: DataFrame) -> DataFrame:
     """One-row retention funnel over the prep stages (row counts per
     stage, computed as a union of count aggregates — a single action)."""
     parts = [docs.agg(F.count(F.lit(1)).alias("n")).select(F.lit("input").alias("stage"), "n")]
-    for name in ("gated", "exact_deduped", "near_deduped", "chunks"):
+    order = ("gated", "repetition_gated", "exact_deduped", "near_deduped",
+             "redacted", "chunks")
+    for name in (n for n in order if n in stages):
         parts.append(
             stages[name]
             .agg(F.count(F.lit(1)).alias("n"))

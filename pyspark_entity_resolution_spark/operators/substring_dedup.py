@@ -1,0 +1,144 @@
+"""Exact substring deduplication (duplicated-span detection).
+
+The third classic dedup axis after exact-document and near-document:
+find SPANS of text that repeat verbatim anywhere in the corpus
+(boilerplate headers, license blocks, templated paragraphs), the
+operation popularized for LLM corpora by "Deduplicating Training Data
+Makes Language Models Better" (Lee et al., arXiv:2107.06499). The paper
+builds a suffix array; that is inherently sequential and
+memory-resident, so this engine uses the distributed formulation:
+rolling w-token window fingerprints (every duplicated substring of
+length >= w contains a duplicated window, so window-level detection
+finds exactly the >=w-token duplicated spans), then a per-document
+interval merge that stitches overlapping duplicated windows into
+maximal spans.
+
+Scale shape: tokenize once, explode one row per window (corpus token
+count x ~1 rows), ONE groupBy on the 16-byte window hash to find
+repeats, one semi-join back, and a per-document sort-merge of intervals
+(window function over (id) — partition-local). Nothing is pairwise in
+documents and nothing leaves the JVM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text import tokens
+
+
+def window_fingerprints(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", w: int = 10
+) -> DataFrame:
+    """One row per w-token rolling window: (id, start, wh) with
+    ``start`` 1-based in token coordinates and ``wh`` the md5 of the
+    space-joined window. Documents shorter than ``w`` tokens emit no
+    windows (nothing of length >= w can repeat out of them)."""
+    toks = tokens(F.col(text_col))
+    # CASE-guard as well as filter: ANSI `sequence` raises on start > stop,
+    # and the filter alone does not pin expression evaluation order
+    wins = F.when(
+        F.size(toks) >= w,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(w - 1)),
+            lambda i: F.md5(F.array_join(F.slice(toks, i, w), " ")),
+        ),
+    )
+    return (
+        df.filter(F.size(toks) >= w)
+        .select(F.col(id_col).alias("id"), wins.alias("__wins"))
+        .select("id", F.posexplode("__wins").alias("idx", "wh"))
+        .select("id", (F.col("idx") + 1).alias("start"), "wh")
+    )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 10,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Maximal duplicated spans per document, token coordinates.
+
+    A window is duplicated when its fingerprint occurs at least
+    ``min_occurrences`` times corpus-wide (across documents OR repeated
+    inside one — both are verbatim repetition). Overlapping and adjacent
+    duplicated windows merge into maximal spans. Returns
+    ``(id, span_start, span_end, span_tokens)``, one row per maximal
+    span; a span's text is tokens[span_start .. span_end] inclusive.
+    """
+    wf = window_fingerprints(df, id_col, text_col, w)
+    dup_hashes = (
+        wf.groupBy("wh")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_occurrences)
+        .select("wh")
+    )
+    dup_wins = wf.join(dup_hashes, on="wh", how="left_semi").select(
+        "id", "start", (F.col("start") + F.lit(w - 1)).alias("end")
+    )
+    # interval merge: a window starting within (or adjacent to) the
+    # running max end of earlier windows extends the current span
+    order = Window.partitionBy("id").orderBy("start")
+    prev_max_end = F.max("end").over(
+        order.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = dup_wins.withColumn(
+        "__new",
+        F.when(
+            prev_max_end.isNull() | (F.col("start") > prev_max_end + 1), 1
+        ).otherwise(0),
+    )
+    grouped = flagged.withColumn(
+        "__grp", F.sum("__new").over(order.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        grouped.groupBy("id", "__grp")
+        .agg(
+            F.min("start").alias("span_start"),
+            F.max("end").alias("span_end"),
+        )
+        .select(
+            F.col("id"),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
+    )
+
+
+def duplication_profile(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 10,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Per-document duplication summary: total tokens, tokens inside
+    duplicated spans, and the duplicated fraction — the signal a corpus
+    curator thresholds on before cutting spans. Clean documents are
+    kept with zero counts (total report)."""
+    toks = tokens(F.col(text_col))
+    totals = df.select(
+        F.col(id_col).alias("id"), F.size(toks).cast("bigint").alias("n_tokens")
+    )
+    spans = (
+        duplicated_spans(df, id_col, text_col, w, min_occurrences)
+        .groupBy("id")
+        .agg(
+            F.sum("span_tokens").alias("dup_tokens"),
+            F.count(F.lit(1)).alias("n_spans"),
+        )
+    )
+    return totals.join(spans, on="id", how="left").select(
+        "id",
+        "n_tokens",
+        F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+        F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+        F.round(
+            F.coalesce("dup_tokens", F.lit(0)) / F.col("n_tokens"), 6
+        ).alias("dup_token_frac"),
+    )

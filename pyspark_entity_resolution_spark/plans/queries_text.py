@@ -496,6 +496,62 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_report(train, eval_, w=_SHINGLE_W)
 
 
+_SPAN_W = 10
+
+
+@q(
+    "dedup_substring_spans",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    w AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS start,
+             CAST(i + {_SPAN_W - 1} AS BIGINT) AS wend,
+             md5(array_to_string(tk[i : i + {_SPAN_W - 1}], ' ')) AS wh
+      FROM t, UNNEST(range(1, len(tk) - {_SPAN_W - 1} + 1)) AS u(i)
+      WHERE len(tk) >= {_SPAN_W}
+    ),
+    dup AS (SELECT wh FROM w GROUP BY wh HAVING COUNT(*) >= 2),
+    dw AS (SELECT doc_id, start, wend FROM w WHERE wh IN (SELECT wh FROM dup)),
+    flagged AS (
+      SELECT doc_id, start, wend,
+             CASE WHEN max(wend) OVER (PARTITION BY doc_id ORDER BY start
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                   OR start > max(wend) OVER (PARTITION BY doc_id ORDER BY start
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+                  THEN 1 ELSE 0 END AS nw
+      FROM dw
+    ),
+    g AS (
+      SELECT doc_id, start, wend,
+             SUM(nw) OVER (PARTITION BY doc_id ORDER BY start
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      FROM flagged
+    )
+    SELECT doc_id, MIN(start) AS span_start, MAX(wend) AS span_end,
+           CAST(MAX(wend) - MIN(start) + 1 AS BIGINT) AS span_tokens
+    FROM g GROUP BY doc_id, grp
+    """,
+    "exact substring deduplication (the Lee et al. arXiv:2107.06499 "
+    "operation, distributed): rolling 10-token window md5 fingerprints, "
+    "ONE groupBy on the window hash finds corpus-wide verbatim repeats "
+    "(every duplicated substring of >= w tokens contains a duplicated "
+    "window), then a per-document interval merge stitches overlapping "
+    "windows into maximal duplicated spans — replaces the paper's "
+    "memory-resident suffix array with shuffles that partition by hash "
+    "and by document",
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.substring_dedup import duplicated_spans
+
+    d = spread(spark, load(spark, sf_dir, "documents"))
+    return duplicated_spans(d, w=_SPAN_W).select(
+        F.col("id").alias("doc_id"),
+        F.col("span_start").cast("bigint").alias("span_start"),
+        F.col("span_end").cast("bigint").alias("span_end"),
+        F.col("span_tokens").cast("bigint").alias("span_tokens"),
+    )
+
+
 @q(
     "text_vector_pack",
     f"""

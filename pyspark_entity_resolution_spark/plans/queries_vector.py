@@ -84,37 +84,6 @@ def embedding_vector_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return norms.unionByName(pairs)
 
 
-@q(
-    "ann_bruteforce_topk",
-    f"""
-    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
-    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
-    scored AS (
-      SELECT q.query_id, c.neighbor_id,
-             {_COS.format(a='q.qv', b='c.cv')} AS cos_full
-      FROM q CROSS JOIN c WHERE q.query_id <> c.neighbor_id
-    ),
-    ranked AS (
-      SELECT query_id, neighbor_id, cos_full,
-             row_number() OVER (PARTITION BY query_id
-                                ORDER BY cos_full DESC, neighbor_id) AS rank
-      FROM scored
-    )
-    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
-           round(cos_full, 4) AS cos_sim
-    FROM ranked WHERE rank <= 5
-    """,
-    "exact cosine top-k baseline: broadcast queries x partitioned corpus, "
-    "rank window per query",
-)
-def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings")
-    return A.brute_force_topk(
-        e.filter(F.col("vec_id") < 10), spread(spark, e), k=5,
-        broadcast_queries=True,  # 10 rows; skip the planning probe
-    )
-
-
 def _planes_sql(num_planes: int = 4, dim: int = 64) -> list[str]:
     return [
         "[" + ", ".join(repr(x) for x in plane) + "]::DOUBLE[]"
@@ -143,9 +112,7 @@ _PROBES_SQL = "[bucket, " + ", ".join(_flip_sql(i) for i in range(4)) + "]"
 _IVF_CENT = "vec_id % 50 = 0 AND vec_id < 500"  # 10 fixed coarse centroids
 
 
-@q(
-    "ann_methods_topk",
-    f"""
+_ANN_METHODS_BASE_SQL = f"""
     WITH b AS (
       SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM embeddings
     ),
@@ -242,15 +209,24 @@ _IVF_CENT = "vec_id % 50 = 0 AND vec_id < 500"  # 10 fixed coarse centroids
     SELECT 'ivf3', query_id, neighbor_id, CAST(rank AS BIGINT),
            round(cos_full, 4)
     FROM ivf3_ranked WHERE rank <= 3
-    """,
-    "four ANN strategies over one corpus, tagged by method: LSH-bucketed "
-    "(sign-of-projection on md5-derived hyperplanes — the candidate scan "
-    "becomes an equi-join on the bucket key), multi-probe LSH (queries "
-    "probe their bucket + all Hamming-1 buckets — near-brute-force recall, "
-    "still an equi-join), IVF-flat (coarse-quantize to 10 fixed broadcast "
-    "centroids, probe only the query's inverted list), and IVF nprobe=3 "
-    "(queries probe their 3 nearest lists — the IVF recall dial; corpus "
-    "keeps one list per vector so no pair dedup is needed)",
+"""
+
+
+@q(
+    "ann_methods_topk",
+    None,  # assembled below: base arms + exact + multi-table (needs helpers)
+    "six ANN strategies over one corpus, tagged by method: exact "
+    "brute-force cosine top-k (the baseline: broadcast queries x "
+    "partitioned corpus, rank window), LSH-bucketed (sign-of-projection "
+    "on md5-derived hyperplanes — the candidate scan becomes an "
+    "equi-join on the bucket key), multi-probe LSH (queries probe their "
+    "bucket + all Hamming-1 buckets — near-brute-force recall, still an "
+    "equi-join), multi-table LSH (L=4 disjoint plane sets, the standard "
+    "recall dial 1-(1-p^b)^L, pair-level dedup), IVF-flat "
+    "(coarse-quantize to 10 fixed broadcast centroids, probe only the "
+    "query's inverted list), and IVF nprobe=3 (queries probe their 3 "
+    "nearest lists; corpus keeps one list per vector so no pair dedup "
+    "is needed)",
 )
 def ann_methods_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
@@ -262,8 +238,18 @@ def ann_methods_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("centroid_id"),
         F.col("embedding").alias("centroid_vec"),
     )
+    exact = A.brute_force_topk(
+        queries, corpus, k=5,
+        broadcast_queries=True,  # 10 rows; skip the planning probe
+    ).select(
+        F.lit("exact").alias("method"), "query_id", "neighbor_id", "rank", "cos_sim"
+    )
     lsh = A.lsh_topk(queries, corpus, k=3, num_planes=4).select(
         F.lit("lsh").alias("method"), "query_id", "neighbor_id", "rank", "cos_sim"
+    )
+    mt = A.lsh_topk(queries, corpus, k=3, num_planes=4, num_tables=4).select(
+        F.lit("lsh_multi").alias("method"),
+        "query_id", "neighbor_id", "rank", "cos_sim",
     )
     mp = A.multiprobe_lsh_topk(queries, corpus, k=3, num_planes=4).select(
         F.lit("multiprobe").alias("method"),
@@ -278,7 +264,10 @@ def ann_methods_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("nprobe") == 1, "ivf").otherwise("ivf3").alias("method"),
         "query_id", "neighbor_id", "rank", "cos_sim",
     )
-    return lsh.unionByName(mp).unionByName(ivf_both)
+    return (
+        exact.unionByName(lsh).unionByName(mp)
+        .unionByName(mt).unionByName(ivf_both)
+    )
 
 
 def _table_bucket_sql(table_idx: int, num_planes: int = 4, dim: int = 64) -> str:
@@ -296,57 +285,82 @@ def _table_bucket_sql(table_idx: int, num_planes: int = 4, dim: int = 64) -> str
     )
 
 
-@q(
-    "ann_multitable_lsh",
-    f"""
-    WITH b AS (
-      SELECT vec_id, embedding,
-             {_table_bucket_sql(0)} AS k0,
-             {_table_bucket_sql(1)} AS k1,
-             {_table_bucket_sql(2)} AS k2,
-             {_table_bucket_sql(3)} AS k3
-      FROM embeddings
-    ),
-    q AS (SELECT * FROM b WHERE vec_id < 10),
-    cand AS (
-      SELECT DISTINCT query_id, neighbor_id FROM (
-        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
-        FROM q JOIN b c ON q.k0 = c.k0
-        UNION ALL
-        SELECT q.vec_id, c.vec_id FROM q JOIN b c ON q.k1 = c.k1
-        UNION ALL
-        SELECT q.vec_id, c.vec_id FROM q JOIN b c ON q.k2 = c.k2
-        UNION ALL
-        SELECT q.vec_id, c.vec_id FROM q JOIN b c ON q.k3 = c.k3
-      ) WHERE query_id <> neighbor_id
-    ),
-    scored AS (
-      SELECT cand.query_id, cand.neighbor_id,
-             {_COS.format(a='eq.embedding', b='ec.embedding')} AS cos_full
-      FROM cand
-      JOIN embeddings eq ON eq.vec_id = cand.query_id
-      JOIN embeddings ec ON ec.vec_id = cand.neighbor_id
-    ),
-    ranked AS (
+_MT_KEYS_SQL = (
+    f"SELECT vec_id, embedding, {_table_bucket_sql(0)} AS k0, "
+    f"{_table_bucket_sql(1)} AS k1, {_table_bucket_sql(2)} AS k2, "
+    f"{_table_bucket_sql(3)} AS k3 FROM embeddings"
+)
+
+# r3 merge: the former `ann_bruteforce_topk` and `ann_multitable_lsh`
+# queries became the `exact` / `lsh_multi` arms of ann_methods_topk
+# (same output schema, same parameters), freeing registry slots for the
+# substring-dedup and LSH-near-dup queries. The appended arms reuse the
+# base statement's CTE scope (lsh_q / lsh_c).
+QUERIES["ann_methods_topk"].sql = _ANN_METHODS_BASE_SQL + f"""
+    UNION ALL
+    SELECT 'exact', query_id, neighbor_id, CAST(rank AS BIGINT),
+           round(cos_full, 4)
+    FROM (
       SELECT query_id, neighbor_id, cos_full,
              row_number() OVER (PARTITION BY query_id
                                 ORDER BY cos_full DESC, neighbor_id) AS rank
-      FROM scored
+      FROM (
+        SELECT q.query_id, c.neighbor_id,
+               {_COS.format(a='q.qv', b='c.cv')} AS cos_full
+        FROM lsh_q q CROSS JOIN lsh_c c WHERE q.query_id <> c.neighbor_id
+      )
+    ) WHERE rank <= 5
+    UNION ALL
+    SELECT 'lsh_multi', query_id, neighbor_id, CAST(rank AS BIGINT),
+           round(cos_full, 4)
+    FROM (
+      SELECT query_id, neighbor_id, cos_full,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_full DESC, neighbor_id) AS rank
+      FROM (
+        SELECT cand.query_id, cand.neighbor_id,
+               {_COS.format(a='eq.embedding', b='ec.embedding')} AS cos_full
+        FROM (
+          SELECT DISTINCT a.vec_id AS query_id, c.vec_id AS neighbor_id
+          FROM ({_MT_KEYS_SQL}) a JOIN ({_MT_KEYS_SQL}) c
+            ON (a.k0 = c.k0 OR a.k1 = c.k1 OR a.k2 = c.k2 OR a.k3 = c.k3)
+          WHERE a.vec_id < 10 AND a.vec_id <> c.vec_id
+        ) cand
+        JOIN embeddings eq ON eq.vec_id = cand.query_id
+        JOIN embeddings ec ON ec.vec_id = cand.neighbor_id
+      )
+    ) WHERE rank <= 3
+    """
+
+
+@q(
+    "embedding_near_dup_lsh",
+    f"""
+    WITH cand AS (
+      SELECT a.vec_id AS a_id, c.vec_id AS b_id
+      FROM ({_MT_KEYS_SQL}) a JOIN ({_MT_KEYS_SQL}) c
+        ON (a.k0 = c.k0 OR a.k1 = c.k1 OR a.k2 = c.k2 OR a.k3 = c.k3)
+      WHERE a.vec_id < c.vec_id
     )
-    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
-           round(cos_full, 4) AS cos_sim
-    FROM ranked WHERE rank <= 3
+    SELECT cand.a_id, cand.b_id,
+           round({_COS.format(a='ea.embedding', b='eb.embedding')}, 4) AS cos_sim
+    FROM cand
+    JOIN embeddings ea ON ea.vec_id = cand.a_id
+    JOIN embeddings eb ON eb.vec_id = cand.b_id
+    WHERE {_COS.format(a='ea.embedding', b='eb.embedding')} >= 0.3
     """,
-    "multi-table LSH ANN (L=4 tables x 4 planes, disjoint plane sets): "
-    "candidates unioned across tables with pair-level dedup — the "
-    "standard recall dial 1-(1-p^b)^L; still one hash equi-join per "
-    "table, no all-pairs scan",
+    "UNBLOCKED embedding-cosine near-duplicate pairs: multi-table "
+    "sign-of-projection LSH self-join (4 tables x 4 md5-derived "
+    "hyperplanes — deterministic, hence fully oracle-checkable) with "
+    "exactly-once pair admission at the first colliding table, then "
+    "exact-cosine verify >= 0.3. The oracle's OR-join over the same "
+    "table keys yields the identical distinct pair set; the engine "
+    "never runs the all-pairs scan",
 )
-def ann_multitable_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
-    return A.lsh_topk(
-        e.filter(F.col("vec_id") < 10), spread(spark, e),
-        k=3, num_planes=4, num_tables=4,
+    return A.embedding_near_duplicates_lsh(
+        spread(spark, e), threshold=0.3, num_planes=4, num_tables=4
     )
 
 

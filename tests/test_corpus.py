@@ -94,3 +94,36 @@ def test_prepare_training_corpus_funnel(spark, docs):
         r["doc_id"] for r in stages["near_deduped"].select("doc_id").collect()
     }
     assert survivors == {1, 4}
+
+
+def test_optional_repetition_and_pii_stages(spark, docs):
+    spam = spark.createDataFrame(
+        [(7, "buy now " * 30, "en", "web"),
+         (8, "reach me at spam@example.com or +1-555-0100 about the quick "
+             "brown fox jumping over lazy dogs near quiet green fields "
+             "under clear skies every single day", "en", "web")],
+        ["doc_id", "text", "lang", "source"],
+    )
+    stages = prepare_training_corpus(
+        docs.unionByName(spam),
+        min_quality=0.2,
+        max_dup_ngram_frac=0.5,
+        redact_pii=True,
+        chunk_chars=64,
+        chunk_overlap=16,
+    )
+    # the spam doc passes the base quality gate but dies at the
+    # repetition gate; schema is unchanged for downstream stages
+    gated_ids = {r.doc_id for r in stages["gated"].select("doc_id").collect()}
+    rep_ids = {r.doc_id for r in stages["repetition_gated"].select("doc_id").collect()}
+    assert 7 in gated_ids and 7 not in rep_ids
+    assert stages["repetition_gated"].columns == stages["gated"].columns
+    # no chunk carries raw PII; the [TAG] tokens are present instead
+    chunks = " ".join(r.chunk_text for r in stages["chunks"].collect())
+    assert "spam@example.com" not in chunks and "555-0100" not in chunks
+    assert "[EMAIL]" in chunks and "[PHONE]" in chunks
+    # funnel reports the optional stages in order
+    funnel = [r.stage for r in corpus_funnel(
+        stages, docs.unionByName(spam)).collect()]
+    assert funnel == ["input", "gated", "repetition_gated", "exact_deduped",
+                      "near_deduped", "redacted", "chunks"]

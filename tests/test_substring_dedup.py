@@ -1,0 +1,81 @@
+"""Exact substring dedup tests (operators/substring_dedup.py)."""
+
+from pyspark_entity_resolution_spark.operators.substring_dedup import (
+    duplicated_spans,
+    duplication_profile,
+    window_fingerprints,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _tok(i):
+    return f"t{i:03d}"
+
+
+def _text(*idx):
+    return " ".join(_tok(i) for i in idx)
+
+
+def test_shared_block_found_in_both_docs(spark):
+    shared = list(range(100, 112))  # 12 shared tokens, w=10 -> 3 windows each
+    d0 = _text(*range(0, 5), *shared, *range(200, 205))
+    d1 = _text(*range(300, 308), *shared, *range(400, 403))
+    df = _docs(spark, [(0, d0), (1, d1)])
+    spans = {
+        (r.id, r.span_start, r.span_end, r.span_tokens)
+        for r in duplicated_spans(df, w=10).collect()
+    }
+    # doc 0: shared block at token positions 6..17; doc 1: 9..20
+    assert spans == {(0, 6, 17, 12), (1, 9, 20, 12)}
+
+
+def test_unique_corpus_has_no_spans(spark):
+    df = _docs(
+        spark,
+        [(0, _text(*range(0, 30))), (1, _text(*range(100, 130)))],
+    )
+    assert duplicated_spans(df, w=10).count() == 0
+
+
+def test_within_doc_repeat_counts(spark):
+    block = list(range(50, 60))  # exactly w tokens
+    df = _docs(spark, [(0, _text(*block, *range(200, 210), *block))])
+    spans = {
+        (r.span_start, r.span_end)
+        for r in duplicated_spans(df, w=10).collect()
+    }
+    assert spans == {(1, 10), (21, 30)}
+
+
+def test_disjoint_spans_stay_separate(spark):
+    b1, b2 = list(range(10, 20)), list(range(30, 40))
+    d0 = _text(*b1, *range(500, 520), *b2)
+    d1 = _text(*b2, *range(600, 620), *b1)
+    df = _docs(spark, [(0, d0), (1, d1)])
+    assert duplicated_spans(df, w=10).count() == 4  # 2 spans per doc
+
+
+def test_short_docs_emit_no_windows(spark):
+    df = _docs(spark, [(0, _text(*range(0, 5))), (1, _text(*range(0, 5)))])
+    # 5 tokens < w=10: identical docs, but nothing of length >= w repeats
+    assert window_fingerprints(df, w=10).count() == 0
+    assert duplicated_spans(df, w=10).count() == 0
+
+
+def test_profile_fraction_and_clean_doc_retention(spark):
+    shared = list(range(100, 110))
+    df = _docs(
+        spark,
+        [
+            (0, _text(*shared, *range(200, 210))),  # 20 tokens, 10 duplicated
+            (1, _text(*shared)),                    # fully duplicated
+            (2, _text(*range(300, 320))),           # clean
+        ],
+    )
+    prof = {r.id: r for r in duplication_profile(df, w=10).collect()}
+    assert prof[0].dup_token_frac == 0.5
+    assert prof[1].dup_token_frac == 1.0
+    assert (prof[2].dup_tokens, prof[2].n_spans, prof[2].dup_token_frac) == (0, 0, 0.0)
