@@ -36,19 +36,30 @@ def window_fingerprints(
     ``start`` 1-based in token coordinates and ``wh`` the md5 of the
     space-joined window. Documents shorter than ``w`` tokens emit no
     windows (nothing of length >= w can repeat out of them)."""
-    toks = tokens(F.col(text_col))
+    # stage the token array as a REAL column behind a lazy-checkpoint
+    # projection barrier: without it CollapseProject re-inlines the
+    # split/filter tokenization into the per-window lambda, re-tokenizing
+    # the document once per window (measured 8.6 s -> 2.5 s at sf0.1 for
+    # 226k windows — the same barrier trick as the MinHash stage,
+    # operators/dedup.py)
+    toks0 = tokens(F.col(text_col))
+    base = (
+        df.filter(F.size(toks0) >= w)
+        .select(F.col(id_col).alias("id"), toks0.alias("__toks"))
+        .localCheckpoint(eager=False)
+    )
+    tk = F.col("__toks")
     # CASE-guard as well as filter: ANSI `sequence` raises on start > stop,
     # and the filter alone does not pin expression evaluation order
     wins = F.when(
-        F.size(toks) >= w,
+        F.size(tk) >= w,
         F.transform(
-            F.sequence(F.lit(1), F.size(toks) - F.lit(w - 1)),
-            lambda i: F.md5(F.array_join(F.slice(toks, i, w), " ")),
+            F.sequence(F.lit(1), F.size(tk) - F.lit(w - 1)),
+            lambda i: F.md5(F.array_join(F.slice(tk, i, w), " ")),
         ),
     )
     return (
-        df.filter(F.size(toks) >= w)
-        .select(F.col(id_col).alias("id"), wins.alias("__wins"))
+        base.select("id", wins.alias("__wins"))
         .select("id", F.posexplode("__wins").alias("idx", "wh"))
         .select("id", (F.col("idx") + 1).alias("start"), "wh")
     )

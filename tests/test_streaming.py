@@ -389,3 +389,34 @@ def test_streaming_quality_gate_and_dedup_compose(spark, tmp_path):
     q.stop()
     got = {r["doc_id"] for r in spark.sql("select doc_id from stream_corpus").collect()}
     assert got == {1, 3}
+
+
+def test_pii_scrub_composes_onto_streams(spark, tmp_path):
+    """The PII scrub is a scalar projection, so the SAME expression runs
+    unchanged over a stream — no batch/stream twin needed."""
+    from pyspark_entity_resolution_spark.functions.pii import (
+        pii_count,
+        redact_pii,
+    )
+
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(0, "ping admin@example.org from 10.1.2.3"),
+         (1, "no pii in this one at all")],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string").parquet(src)
+        .select(
+            "doc_id",
+            redact_pii("text").alias("redacted"),
+            pii_count("text", "email").alias("n_email"),
+        )
+    )
+    query = run_to_memory_sink(stream, "pii_stream")
+    query.awaitTermination(60)
+    rows = {r.doc_id: r for r in spark.table("pii_stream").collect()}
+    assert rows[0].redacted == "ping [EMAIL] from [IP]"
+    assert rows[0].n_email == 1
+    assert rows[1].redacted == "no pii in this one at all"
