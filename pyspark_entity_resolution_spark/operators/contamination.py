@@ -100,3 +100,30 @@ def contaminated_ids(
     drop-list a decontamination pass feeds back into sampling."""
     rep = contamination_report(train, eval_, text_col, id_col, w)
     return rep.filter(F.col("contamination_rate") > threshold).select("eval_id")
+
+
+def streaming_contamination_flags(
+    eval_stream: DataFrame,
+    train: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 5,
+) -> DataFrame:
+    """Streaming twin: flag arriving eval documents that share ANY
+    shingle with the (static) training corpus.
+
+    Shingling is a stateless explode, so it runs unchanged over a
+    stream; the overlap test becomes a stream-static LEFT SEMI join
+    (Structured Streaming broadcasts/rescans the static side per
+    micro-batch — at scale, materialize the train shingle set once and
+    let the join prune on the hash). Per-document RATES need keyed
+    aggregation state; the flag formulation stays append-mode-clean,
+    which is what an ingest gate wants.
+    """
+    ev = shingle_hashes(eval_stream, text_col, id_col, w)
+    tr = shingle_hashes(train, text_col, id_col, w).select("sh")
+    return (
+        ev.join(tr, on="sh", how="left_semi")
+        .select(F.col("id").alias("eval_id"))
+        .dropDuplicates(["eval_id"])
+    )

@@ -79,3 +79,31 @@ def test_shingle_hashes_distinct(spark):
     n = shingle_hashes(df, w=2).count()
     distinct = shingle_hashes(df, w=2).distinct().count()
     assert n == distinct
+
+
+def test_streaming_flags_match_batch(spark, tmp_path):
+    """The streaming flag set equals the batch report's hit set."""
+    from pyspark_entity_resolution_spark.operators.contamination import (
+        streaming_contamination_flags,
+    )
+    from pyspark_entity_resolution_spark.streaming.pipeline import (
+        run_to_memory_sink,
+    )
+
+    shared = "one two three four five six"
+    train = _docs(spark, [(0, shared), (2, "totally unrelated training text here")])
+    eval_rows = [(1, shared + " tail"), (3, "clean eval document nothing shared"),
+                 (5, "another clean one with fresh words")]
+    src = str(tmp_path / "eval_docs")
+    _docs(spark, eval_rows).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = run_to_memory_sink(
+        streaming_contamination_flags(stream, train, w=5), "contam_flags"
+    )
+    q.awaitTermination(60)
+    flagged = {r.eval_id for r in spark.table("contam_flags").collect()}
+
+    batch = contamination_report(train, _docs(spark, eval_rows), w=5)
+    batch_hits = {r.eval_id for r in batch.filter("n_contaminated > 0").collect()}
+    assert flagged == batch_hits == {1}
