@@ -104,3 +104,26 @@ def test_customer_names_equivalence(spark):
     }
     assert got == _brute(spark, c, block=True)
     assert len(got) > 0  # fixture must carry signal
+
+
+def test_randomized_equivalence_small_alphabet(spark):
+    """Seeded random corpora over a 2-letter alphabet maximize collision
+    pathology (runs, shifts, shared variants at distance 2); the pair
+    set must equal brute force on every batch."""
+    import random
+
+    for seed in range(5):
+        rng = random.Random(seed)
+        rows = [
+            (i, "".join(rng.choice("ab") for _ in range(rng.randint(0, 6))))
+            for i in range(40)
+        ]
+        df = _df(spark, rows)
+        got = {
+            (r.a_id, r.b_id)
+            for r in deletion_neighborhood_pairs(df, "id", "s").collect()
+        }
+        assert got == _brute(spark, df), f"seed {seed}"
+        # exactly-once under heavy variant sharing
+        out = deletion_neighborhood_pairs(df, "id", "s")
+        assert out.count() == out.distinct().count()

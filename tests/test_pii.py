@@ -74,3 +74,32 @@ def test_no_python_boundary(spark):
     df = _one(spark, "x").select(P.redact_pii("text"), P.pii_counts_struct("text"))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_randomized_pii_injection_always_masked(spark):
+    """Seeded random word-soup with PII snippets injected at random
+    positions: redaction must remove every raw occurrence, and
+    PII-free text must pass through byte-identical."""
+    import random
+
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+    snippets = {
+        "email": "probe@example.net",
+        "phone": "+1-555-0147",
+        "ipv4": "192.168.7.9",
+        "card": "4111111111111111",
+    }
+    for seed in range(5):
+        rng = random.Random(seed)
+        clean = " ".join(rng.choice(words) for _ in range(rng.randint(5, 30)))
+        kind = rng.choice(list(snippets))
+        toks = clean.split()
+        toks.insert(rng.randint(0, len(toks)), snippets[kind])
+        dirty = " ".join(toks)
+        rows = spark.createDataFrame(
+            [(0, clean), (1, dirty)], "i long, text string"
+        ).select("i", P.redact_pii("text").alias("r")).collect()
+        by_id = {r.i: r.r for r in rows}
+        assert by_id[0] == clean, f"seed {seed}: clean text altered"
+        assert snippets[kind] not in by_id[1], f"seed {seed}: raw PII survived"
+        assert "[" in by_id[1], f"seed {seed}: no tag emitted"
