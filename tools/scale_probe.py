@@ -196,6 +196,21 @@ def probe_trio(spark) -> None:
     )
     print(f"[trio] er_pipeline x10 data -> x{t2 / t1:.1f} time", flush=True)
 
+    # --- exact substring dedup: same x10 corpus (the per-copy token salt
+    # keeps window hashes copy-local too, so duplicated-span volume is
+    # exactly 10x, never cross-copy inflated) ---
+    from pyspark_entity_resolution_spark.operators.substring_dedup import (
+        duplicated_spans,
+    )
+
+    t1 = _timed(
+        "substring_spans 5k docs", lambda: duplicated_spans(base, w=10).count()
+    )
+    t2 = _timed(
+        "substring_spans 50k docs (x10)", lambda: duplicated_spans(big, w=10).count()
+    )
+    print(f"[trio] substring_spans x10 data -> x{t2 / t1:.1f} time", flush=True)
+
 
 def main() -> None:
     spark = get_spark(app_name="scale-probe")
