@@ -124,3 +124,36 @@ def test_brute_force_broadcast_guard(spark, queries, corpus, monkeypatch):
 
     # the degraded plan still computes the same result
     assert _topk_sets(guarded) == _topk_sets(forced)
+
+
+def test_ivf_with_trained_centroids(spark, queries, corpus, exact):
+    """Production IVF trains its coarse quantizer; compose kmeans ->
+    ivf_topk and check the trained quantizer is at least competitive
+    with the arbitrary fixed-row centroids at the same nprobe."""
+    from pyspark_entity_resolution_spark.operators.kmeans import kmeans
+
+    assign = kmeans(corpus, k=10, max_iterations=5)
+    trained = (
+        assign.filter(F.col("sq_dist").isNotNull())
+        .groupBy("cluster")
+        .agg(F.min("vec_id").alias("rep_id"))
+        .join(corpus, F.col("rep_id") == F.col("vec_id"))
+        .select(
+            F.col("cluster").alias("centroid_id"),
+            F.col("embedding").alias("centroid_vec"),
+        )
+    )
+    fixed = corpus.filter(
+        (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 500)
+    ).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    r_trained = _recall(
+        _topk_sets(A.ivf_topk(queries, corpus, trained, k=K, nprobe=3)), exact
+    )
+    r_fixed = _recall(
+        _topk_sets(A.ivf_topk(queries, corpus, fixed, k=K, nprobe=3)), exact
+    )
+    assert r_trained >= 0.5  # absolute floor at nprobe=3
+    assert r_trained >= r_fixed - 0.05  # trained quantizer competitive
