@@ -86,8 +86,11 @@ def deletion_neighborhood_pairs(
     shuffle (the MinHash-band admission idea, adapted because an indel
     pair's shared variant sits at DIFFERENT deletion indices on the two
     sides, so positional first-collision logic does not apply).
-    ``max_length`` caps the explosion factor; longer strings would need
-    the general LSH path instead.
+    ``max_length`` caps the explosion factor by comparing only the first
+    ``max_length`` characters of each string — distances are then over
+    the truncated prefixes (identical-prefix long strings pair even if
+    their tails differ). Raise it, or use the general LSH path, when
+    full-string distance on long strings matters.
     """
     block_cols = block_cols or []
     s = F.col("__s")
