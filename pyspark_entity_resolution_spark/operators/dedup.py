@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import char_shingles, tokens
+from ..functions.text import char_shingles, fingerprint_md5, tokens
 
 HEX = "0123456789abcdef"
 
@@ -428,4 +428,42 @@ def ngram_jaccard_pairs(
         .withColumn("ngram_jaccard", jac)
         .filter(F.col("ngram_jaccard") >= threshold)
         .select("a_id", "b_id", "ngram_jaccard")
+    )
+
+
+def incremental_exact_dedup(
+    arriving: DataFrame,
+    history: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Ingest-time exact dedup against an already-accepted corpus: keep
+    arriving documents whose normalized fingerprint exists in neither
+    the historical corpus nor an earlier-id arrival in the same batch.
+
+    Works identically over a stream (``arriving`` from ``readStream``):
+    the history side is static, so the check is a stream-static LEFT
+    ANTI join on the 16-byte fingerprint — append-mode-clean, no keyed
+    state (the within-batch keep-first needs the id-ordered window, so
+    over a true stream run it inside ``foreachBatch`` or rely on
+    ``streaming_dedup`` upstream). At scale the history fingerprints
+    are a compact table the join prunes on — the classic accepted-set
+    pattern without a driver-side Bloom filter, and exactly-consistent
+    where a Bloom filter admits false drops.
+    """
+    from pyspark.sql.window import Window
+
+    fp = fingerprint_md5(F.col(text_col))
+    hist = history.select(fp.alias("fingerprint")).distinct()
+    fresh = (
+        arriving.withColumn("fingerprint", fp)
+        .join(hist, on="fingerprint", how="left_anti")
+    )
+    if arriving.isStreaming:
+        return fresh.drop("fingerprint")
+    w = Window.partitionBy("fingerprint").orderBy(id_col)
+    return (
+        fresh.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk", "fingerprint")
     )
