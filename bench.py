@@ -19,6 +19,52 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark_entity_resolution_spark.plans.registry import all_queries
 from pyspark_entity_resolution_spark.session import get_spark
 
+# Pack provenance: which constituent operators each multi-operator
+# headline entry executes, and (where a pack absorbed a previously
+# separate bench entry) which old entries its time now contains. This
+# rides in the bench JSON so a round-over-round delta caused by a pack
+# absorbing more arms is visible in the artifact itself, not just in
+# COVERAGE.md prose. Single-operator queries are omitted.
+PACK_PROVENANCE: dict[str, dict[str, list[str]]] = {
+    "ann_methods_topk": {
+        "constituents": [
+            "bruteforce", "lsh", "multiprobe_lsh", "multitable_lsh_L4",
+            "ivf_nprobe1", "ivf_nprobe3",
+        ],
+        "renamed_from": ["ann_bruteforce_topk", "ann_multitable_lsh"],
+    },
+    "text_vector_pack": {
+        "constituents": ["tfidf_top_terms", "doc_cosine_tf_pairs"],
+        "renamed_from": ["tfidf_top_terms", "doc_cosine_tf_pairs"],
+    },
+    "events_windowed_agg": {
+        "constituents": ["tumbling_1h", "sliding_1h_30m"],
+        "renamed_from": [],
+    },
+    "events_sessions_pack": {
+        "constituents": ["lag_gap_sessionize", "native_session_window"],
+        "renamed_from": [],
+    },
+    "orders_topk_pack": {
+        "constituents": ["global_topn", "per_group_topk"],
+        "renamed_from": [],
+    },
+    "dedup_substring_spans": {
+        # r4 extended this entry: section 'span' (detection, the r3
+        # output) + section 'cut' (keep-first span cutting, Lee et al.
+        # §4) — the entry now executes the window pipeline twice.
+        "constituents": ["duplicated_spans", "cut_spans_keep_first"],
+        "renamed_from": ["dedup_substring_spans (spans only, r3)"],
+    },
+    "dedup_minhash_lsh": {
+        # r3 switched this entry from label-blocked to UNBLOCKED LSH
+        # (commit 2dcc36e) — recorded here so the r2->r3 delta is
+        # attributable from the artifact alone.
+        "constituents": ["unblocked_minhash_lsh"],
+        "renamed_from": ["blocked_minhash_lsh (r2 and earlier)"],
+    },
+}
+
 HEADLINE = [
     "tpch_q1_pricing_summary",
     "join_agg_revenue_by_segment",
@@ -53,6 +99,7 @@ def _gen_er_corpus(path: str, n_per_side: int = 3000, seed: int = 11) -> tuple[s
     pa, pb = f"{path}/dump_a.txt", f"{path}/dump_b.txt"
     if os.path.exists(pa) and os.path.exists(pb):
         return pa, pb
+    # generation params surface in the bench JSON via er_corpus_meta()
     os.makedirs(path, exist_ok=True)
     rng = random.Random(seed)
     first = ["alice", "bob", "carol", "dave", "erin", "frank", "grace", "heidi",
@@ -103,6 +150,20 @@ def _gen_er_corpus(path: str, n_per_side: int = 3000, seed: int = 11) -> tuple[s
     with open(pb, "w") as f:
         f.write("\n\n".join(recs_b))
     return pa, pb
+
+
+def er_corpus_meta(n_per_side: int = 3000, seed: int = 11) -> dict:
+    """Deterministic description of the ER bench corpus (the same params
+    `_gen_er_corpus` uses), emitted into the bench JSON so a regenerated
+    or re-parameterized corpus shows up in the artifact."""
+    return {
+        "generator": "_gen_er_corpus",
+        "n_per_side": n_per_side,
+        "seed": seed,
+        "records_a": n_per_side,
+        "records_b": n_per_side,
+        "planted_cross_side_dups": sum(1 for i in range(n_per_side) if i % 12 == 0),
+    }
 
 
 def _bench_er_pipeline(spark) -> float:
@@ -183,6 +244,7 @@ def main() -> None:
     spark.range(1).select(remove_accents(F.lit("café"))).count()
 
     per_query: dict[str, float] = {}
+    query_rows: dict[str, int] = {}
     total = 0.0
     for name in HEADLINE:
         fn = specs[name].fn
@@ -198,7 +260,12 @@ def main() -> None:
             elapsed = time.perf_counter() - start
             best = elapsed if best is None else min(best, elapsed)
         best = round(best, 3)
-        print(f"[bench] {name}: {best}s", file=sys.stderr, flush=True)
+        # untimed result-cardinality probe: a changed row count on an
+        # unchanged query name = workload (testdata/pack) change, which
+        # is exactly what kept masquerading as a perf regression in r2/r3
+        query_rows[name] = fn(spark, sf_dir).count()
+        print(f"[bench] {name}: {best}s  ({query_rows[name]} rows)",
+              file=sys.stderr, flush=True)
         per_query[name] = best
         total += best
 
@@ -214,6 +281,18 @@ def main() -> None:
     per_query["er_pipeline_e2e_n3"] = e2e_elapsed
     total += e2e_elapsed
 
+    # --- workload self-description (untimed) -------------------------
+    # Table cardinalities come from parquet footer metadata (cheap); the
+    # driver regenerates /root/testdata between rounds, so these pin
+    # down the exact corpus each bench number was measured against.
+    tables = {}
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        try:
+            tables[t] = spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+        except Exception:  # table absent in this testdata vintage
+            tables[t] = None
+
     print(
         json.dumps(
             {
@@ -222,6 +301,13 @@ def main() -> None:
                 "unit": "sec",
                 "queries": per_query,
                 "sf": sf,
+                "workload": {
+                    "sf_dir": sf_dir,
+                    "table_rows": tables,
+                    "query_result_rows": query_rows,
+                    "er_corpus": er_corpus_meta(),
+                    "pack_provenance": PACK_PROVENANCE,
+                },
             }
         )
     )

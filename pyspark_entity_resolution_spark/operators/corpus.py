@@ -132,21 +132,28 @@ def prepare_training_corpus(
     chunk_overlap: int = 64,
     max_dup_ngram_frac: float | None = None,
     redact_pii: bool = False,
+    cut_dup_spans_w: int | None = None,
 ) -> dict[str, DataFrame]:
     """Run the full corpus-prep funnel; returns every stage boundary:
 
     ``{"gated", "exact_deduped", "near_deduped", "chunks"}``
-    (plus ``"repetition_gated"`` when ``max_dup_ngram_frac`` is set and
-    ``"redacted"`` when ``redact_pii`` is on).
+    (plus ``"repetition_gated"`` when ``max_dup_ngram_frac`` is set,
+    ``"span_cut"`` when ``cut_dup_spans_w`` is set, and ``"redacted"``
+    when ``redact_pii`` is on).
 
     Optional stages mirror the full production scrub sequence:
     ``max_dup_ngram_frac`` adds the Gopher repetition gate between the
     quality gate and dedup (operators/repetition.py — one n-gram count
     aggregate, the signal columns are dropped again so downstream
-    stages see the original schema); ``redact_pii`` masks
-    email/card/phone/IPv4 occurrences (functions/pii.py — scalar
-    regexps, rides whatever stage boundary it lands on) before
-    chunking, so no chunk ever carries raw PII.
+    stages see the original schema); ``cut_dup_spans_w`` runs
+    substring-span cutting (operators/substring_dedup.cut_spans,
+    Lee et al. §4) AFTER near-dup removal — whole near-dup documents
+    are already gone, this deletes the residual shared boilerplate
+    spans (keep-first policy, so one copy survives corpus-wide); note
+    the cut stage whitespace-normalizes surviving text (token-join
+    contract); ``redact_pii`` masks email/card/phone/IPv4 occurrences
+    (functions/pii.py — scalar regexps, rides whatever stage boundary
+    it lands on) before chunking, so no chunk ever carries raw PII.
 
     Stage outputs are plain DataFrames — materialize the ones you reuse.
     ``near_deduped`` is lazily checkpointed because both the chunk stage
@@ -172,6 +179,23 @@ def prepare_training_corpus(
     ).localCheckpoint(eager=False)
     stages["near_deduped"] = near
     chunk_input = near
+    if cut_dup_spans_w is not None:
+        from .substring_dedup import cut_spans
+
+        # cut_spans emits (id, text, n_tokens, n_tokens_cut); re-attach
+        # the survivors' other columns and restore the caller's schema
+        rewritten = cut_spans(
+            near, id_col, text_col, w=cut_dup_spans_w
+        ).select(
+            F.col("id").alias(id_col), F.col("text").alias("__cut_text")
+        )
+        chunk_input = (
+            near.drop(text_col)
+            .join(rewritten, on=id_col, how="inner")
+            .withColumnRenamed("__cut_text", text_col)
+            .localCheckpoint(eager=False)
+        )
+        stages["span_cut"] = chunk_input
     if redact_pii:
         from ..functions.pii import redact_pii as _redact
 
@@ -189,7 +213,7 @@ def corpus_funnel(stages: dict[str, DataFrame], docs: DataFrame) -> DataFrame:
     stage, computed as a union of count aggregates — a single action)."""
     parts = [docs.agg(F.count(F.lit(1)).alias("n")).select(F.lit("input").alias("stage"), "n")]
     order = ("gated", "repetition_gated", "exact_deduped", "near_deduped",
-             "redacted", "chunks")
+             "span_cut", "redacted", "chunks")
     for name in (n for n in order if n in stages):
         parts.append(
             stages[name]

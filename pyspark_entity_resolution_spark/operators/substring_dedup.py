@@ -91,8 +91,13 @@ def duplicated_spans(
     dup_wins = wf.join(dup_hashes, on="wh", how="left_semi").select(
         "id", "start", (F.col("start") + F.lit(w - 1)).alias("end")
     )
-    # interval merge: a window starting within (or adjacent to) the
-    # running max end of earlier windows extends the current span
+    return _merge_intervals(dup_wins)
+
+
+def _merge_intervals(dup_wins: DataFrame) -> DataFrame:
+    """Merge (id, start, end) windows into maximal spans: a window
+    starting within (or adjacent to) the running max end of earlier
+    windows extends the current span. Partition-local per id."""
     order = Window.partitionBy("id").orderBy("start")
     prev_max_end = F.max("end").over(
         order.rowsBetween(Window.unboundedPreceding, -1)
@@ -118,6 +123,93 @@ def duplicated_spans(
             "span_end",
             (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
         )
+    )
+
+
+def cut_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 10,
+    min_occurrences: int = 2,
+    keep_first: bool = True,
+) -> DataFrame:
+    """Rewrite each document with its duplicated spans REMOVED — the
+    corpus-cleaning action the span profile exists for (Lee et al.
+    arXiv:2107.06499 §4 deletes the duplicated text; detection alone
+    leaves the boilerplate in the corpus).
+
+    Keep-first policy (``keep_first=True``): for every duplicated
+    window fingerprint, the deterministically-first occurrence (min
+    ``(id, start)``) SURVIVES and every later occurrence is cut, so
+    exactly one copy of each duplicated region remains corpus-wide.
+    With ``keep_first=False`` every occurrence of every duplicated
+    window is cut (no survivor), matching ``duplicated_spans``'s span
+    set exactly.
+
+    Output ``(id, text, n_tokens, n_tokens_cut)`` — one row per input
+    document, including documents with nothing to cut. Reassembly
+    contract: ``text`` is the surviving tokens joined with single
+    spaces, i.e. whitespace-NORMALIZED relative to the input (the
+    operator works in token coordinates; original inter-token
+    whitespace is not preserved).
+
+    Scale shape: the same one-groupBy window-hash pipeline as
+    ``duplicated_spans`` plus (for keep-first) one ``row_number`` window
+    partitioned by the 16-byte hash, then a per-document token filter
+    against the doc's own merged cut list (few spans per doc, evaluated
+    inside whole-stage codegen). Nothing pairwise, nothing Python.
+    """
+    wf = window_fingerprints(df, id_col, text_col, w)
+    dup_hashes = (
+        wf.groupBy("wh")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_occurrences)
+        .select("wh")
+    )
+    dup_wins = wf.join(dup_hashes, on="wh", how="left_semi")
+    if keep_first:
+        first = Window.partitionBy("wh").orderBy("id", "start")
+        dup_wins = (
+            dup_wins.withColumn("__rk", F.row_number().over(first))
+            .filter(F.col("__rk") > 1)
+            .drop("__rk")
+        )
+    cuts = _merge_intervals(
+        dup_wins.select("id", "start", (F.col("start") + F.lit(w - 1)).alias("end"))
+    )
+    per_doc = cuts.groupBy("id").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("span_start").cast("bigint").alias("span_start"),
+                    F.col("span_end").cast("bigint").alias("span_end"),
+                )
+            )
+        ).alias("__cuts")
+    )
+    toks = tokens(F.col(text_col))
+    base = df.select(F.col(id_col).alias("id"), toks.alias("__toks"))
+    joined = base.join(per_doc, on="id", how="left")
+    cuts_arr = F.coalesce(
+        F.col("__cuts"),
+        F.array().cast("array<struct<span_start:bigint,span_end:bigint>>"),
+    )
+    # token at 0-based index i survives unless some cut span covers
+    # position i+1; spans per doc are few, so the exists() scan stays
+    # cheap and entirely inside codegen
+    kept = F.filter(
+        F.col("__toks"),
+        lambda t, i: ~F.exists(
+            cuts_arr,
+            lambda c: (i + 1 >= c["span_start"]) & (i + 1 <= c["span_end"]),
+        ),
+    )
+    return joined.select(
+        "id",
+        F.array_join(kept, " ").alias("text"),
+        F.size(kept).cast("bigint").alias("n_tokens"),
+        (F.size("__toks") - F.size(kept)).cast("bigint").alias("n_tokens_cut"),
     )
 
 
@@ -149,7 +241,12 @@ def duplication_profile(
         "n_tokens",
         F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
         F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
-        F.round(
-            F.coalesce("dup_tokens", F.lit(0)) / F.col("n_tokens"), 6
-        ).alias("dup_token_frac"),
+        # zero-token documents report 0.0, not NULL — the "clean
+        # documents kept with zero counts" contract covers the empty doc
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(F.coalesce("dup_tokens", F.lit(0)) / F.col("n_tokens"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_token_frac"),
     )

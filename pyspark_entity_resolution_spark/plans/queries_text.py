@@ -511,7 +511,8 @@ _SPAN_W = 10
       WHERE len(tk) >= {_SPAN_W}
     ),
     dup AS (SELECT wh FROM w GROUP BY wh HAVING COUNT(*) >= 2),
-    dw AS (SELECT doc_id, start, wend FROM w WHERE wh IN (SELECT wh FROM dup)),
+    dw AS (SELECT doc_id, start, wend, wh FROM w
+           WHERE wh IN (SELECT wh FROM dup)),
     flagged AS (
       SELECT doc_id, start, wend,
              CASE WHEN max(wend) OVER (PARTITION BY doc_id ORDER BY start
@@ -526,30 +527,99 @@ _SPAN_W = 10
              SUM(nw) OVER (PARTITION BY doc_id ORDER BY start
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
       FROM flagged
+    ),
+    spans AS (
+      SELECT doc_id, MIN(start) AS span_start, MAX(wend) AS span_end,
+             CAST(MAX(wend) - MIN(start) + 1 AS BIGINT) AS span_tokens
+      FROM g GROUP BY doc_id, grp
+    ),
+    rk AS (
+      SELECT doc_id, start, wend,
+             row_number() OVER (PARTITION BY wh ORDER BY doc_id, start) AS rk
+      FROM dw
+    ),
+    losers AS (SELECT doc_id, start, wend FROM rk WHERE rk > 1),
+    lflag AS (
+      SELECT doc_id, start, wend,
+             CASE WHEN max(wend) OVER (PARTITION BY doc_id ORDER BY start
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                   OR start > max(wend) OVER (PARTITION BY doc_id ORDER BY start
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+                  THEN 1 ELSE 0 END AS nw
+      FROM losers
+    ),
+    lg AS (
+      SELECT doc_id, start, wend,
+             SUM(nw) OVER (PARTITION BY doc_id ORDER BY start
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      FROM lflag
+    ),
+    cuts AS (
+      SELECT doc_id, MIN(start) AS cs, MAX(wend) AS ce
+      FROM lg GROUP BY doc_id, grp
+    ),
+    pos AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos, tk[i] AS tok
+      FROM t, UNNEST(range(1, len(tk) + 1)) AS u(i)
+    ),
+    kept AS (
+      SELECT p.doc_id, p.pos, p.tok FROM pos p
+      WHERE NOT EXISTS (SELECT 1 FROM cuts c
+                        WHERE c.doc_id = p.doc_id
+                          AND p.pos BETWEEN c.cs AND c.ce)
+    ),
+    cutagg AS (
+      SELECT doc_id, array_to_string(list(tok ORDER BY pos), ' ') AS text,
+             COUNT(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    ),
+    cut AS (
+      SELECT t.doc_id, coalesce(c.text, '') AS text,
+             CAST(len(t.tk) - coalesce(c.n_kept, 0) AS BIGINT) AS n_tokens_cut
+      FROM t LEFT JOIN cutagg c ON t.doc_id = c.doc_id
     )
-    SELECT doc_id, MIN(start) AS span_start, MAX(wend) AS span_end,
-           CAST(MAX(wend) - MIN(start) + 1 AS BIGINT) AS span_tokens
-    FROM g GROUP BY doc_id, grp
+    SELECT 'span' AS section, doc_id, span_start, span_end, span_tokens,
+           CAST(NULL AS BIGINT) AS n_tokens_cut, CAST(NULL AS VARCHAR) AS text
+    FROM spans
+    UNION ALL
+    SELECT 'cut' AS section, doc_id, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), n_tokens_cut, text
+    FROM cut
     """,
     "exact substring deduplication (the Lee et al. arXiv:2107.06499 "
     "operation, distributed): rolling 10-token window md5 fingerprints, "
     "ONE groupBy on the window hash finds corpus-wide verbatim repeats "
     "(every duplicated substring of >= w tokens contains a duplicated "
     "window), then a per-document interval merge stitches overlapping "
-    "windows into maximal duplicated spans — replaces the paper's "
-    "memory-resident suffix array with shuffles that partition by hash "
-    "and by document",
+    "windows into maximal duplicated spans (section 'span'); section "
+    "'cut' is the corpus-cleaning ACTION — every document rewritten with "
+    "its duplicated spans removed under the keep-first-occurrence policy "
+    "(min (doc_id, start) per window hash survives, so one copy of each "
+    "duplicated region remains corpus-wide, Lee et al. §4)",
 )
 def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.substring_dedup import duplicated_spans
+    from ..operators.substring_dedup import cut_spans, duplicated_spans
 
     d = spread(spark, load(spark, sf_dir, "documents"))
-    return duplicated_spans(d, w=_SPAN_W).select(
+    spans = duplicated_spans(d, w=_SPAN_W).select(
+        F.lit("span").alias("section"),
         F.col("id").alias("doc_id"),
         F.col("span_start").cast("bigint").alias("span_start"),
         F.col("span_end").cast("bigint").alias("span_end"),
         F.col("span_tokens").cast("bigint").alias("span_tokens"),
+        F.lit(None).cast("bigint").alias("n_tokens_cut"),
+        F.lit(None).cast("string").alias("text"),
     )
+    cut = cut_spans(d, w=_SPAN_W).select(
+        F.lit("cut").alias("section"),
+        F.col("id").alias("doc_id"),
+        F.lit(None).cast("bigint").alias("span_start"),
+        F.lit(None).cast("bigint").alias("span_end"),
+        F.lit(None).cast("bigint").alias("span_tokens"),
+        F.col("n_tokens_cut"),
+        F.col("text"),
+    )
+    return spans.unionByName(cut)
 
 
 @q(

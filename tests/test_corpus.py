@@ -96,6 +96,39 @@ def test_prepare_training_corpus_funnel(spark, docs):
     assert survivors == {1, 4}
 
 
+def test_span_cut_stage_removes_boilerplate(spark, docs):
+    boiler = " ".join(f"license term {i} applies here" for i in range(4))  # 20 tokens
+    extra = spark.createDataFrame(
+        [(10, boiler + " alpha document body about storage engines and "
+              "compaction strategies running on clustered machines",
+          "en", "web"),
+         (11, boiler + " beta document body covering stream processing "
+              "watermarks state stores and exactly once delivery semantics",
+          "en", "web")],
+        ["doc_id", "text", "lang", "source"],
+    )
+    stages = prepare_training_corpus(
+        docs.unionByName(extra),
+        min_quality=0.2,
+        cut_dup_spans_w=10,
+        chunk_chars=64,
+        chunk_overlap=16,
+    )
+    cut = {r.doc_id: r.text for r in stages["span_cut"].collect()}
+    # both docs survive near-dedup (bodies differ); the shared license
+    # boilerplate survives only in the first occurrence (doc 10)
+    assert 10 in cut and 11 in cut
+    assert "license term 0" in cut[10]
+    assert "license term" not in cut[11]
+    # schema restored for downstream stages (column order may differ)
+    assert set(stages["span_cut"].columns) == set(stages["near_deduped"].columns)
+    # funnel includes the stage in order
+    funnel = [r.stage for r in corpus_funnel(
+        stages, docs.unionByName(extra)).collect()]
+    assert funnel == ["input", "gated", "exact_deduped", "near_deduped",
+                      "span_cut", "chunks"]
+
+
 def test_optional_repetition_and_pii_stages(spark, docs):
     spam = spark.createDataFrame(
         [(7, "buy now " * 30, "en", "web"),

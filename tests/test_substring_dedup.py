@@ -1,6 +1,7 @@
 """Exact substring dedup tests (operators/substring_dedup.py)."""
 
 from pyspark_entity_resolution_spark.operators.substring_dedup import (
+    cut_spans,
     duplicated_spans,
     duplication_profile,
     window_fingerprints,
@@ -63,6 +64,45 @@ def test_short_docs_emit_no_windows(spark):
     # 5 tokens < w=10: identical docs, but nothing of length >= w repeats
     assert window_fingerprints(df, w=10).count() == 0
     assert duplicated_spans(df, w=10).count() == 0
+
+
+def test_cut_spans_keeps_first_occurrence(spark):
+    shared = list(range(100, 112))  # 12 shared tokens
+    d0 = _text(*range(0, 5), *shared, *range(200, 205))
+    d1 = _text(*range(300, 308), *shared, *range(400, 403))
+    df = _docs(spark, [(0, d0), (1, d1)])
+    out = {r.id: r for r in cut_spans(df, w=10).collect()}
+    # doc 0 is the first occurrence (min doc_id): the shared block SURVIVES
+    assert out[0].text == d0
+    assert out[0].n_tokens_cut == 0
+    # doc 1 loses the shared block but keeps its unique flanks
+    assert out[1].text == _text(*range(300, 308), *range(400, 403))
+    assert out[1].n_tokens_cut == 12
+    # exactly one copy of the duplicated region remains corpus-wide
+    assert sum(1 for r in out.values() if _text(*shared) in r.text) == 1
+
+
+def test_cut_spans_no_survivor_mode_and_full_report(spark):
+    shared = list(range(100, 110))
+    df = _docs(
+        spark,
+        [(0, _text(*shared)), (1, _text(*shared)), (2, _text(*range(300, 305)))],
+    )
+    out = {r.id: r for r in cut_spans(df, w=10, keep_first=False).collect()}
+    # no-survivor mode cuts every occurrence, first included
+    assert out[0].text == "" and out[1].text == ""
+    # clean documents appear in the output untouched (total report)
+    assert out[2].text == _text(*range(300, 305))
+    assert out[2].n_tokens_cut == 0
+
+
+def test_cut_spans_within_doc_repeat_keeps_earliest(spark):
+    block = list(range(50, 60))
+    df = _docs(spark, [(7, _text(*block, *range(200, 210), *block))])
+    out = cut_spans(df, w=10).collect()[0]
+    # first in-document occurrence survives, the later repeat is cut
+    assert out.text == _text(*block, *range(200, 210))
+    assert out.n_tokens_cut == 10
 
 
 def test_profile_fraction_and_clean_doc_retention(spark):
