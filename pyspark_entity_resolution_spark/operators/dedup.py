@@ -431,6 +431,187 @@ def ngram_jaccard_pairs(
     )
 
 
+def minhash_corpus_index(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    bands: int = 3,
+) -> DataFrame:
+    """LSH band-key index of an accepted corpus: one row per (doc, band)
+    with the doc's full band-key array carried for exactly-once pair
+    admission. Persist this (parquet, partitioned or bucketed by
+    ``band_key``) as the corpus's near-dup index — at 100 TB the index
+    rows are (id + bands keys), a tiny fraction of the text, and the
+    ingest check below joins against THIS table, never the raw corpus.
+
+    Schema: ``(id, keys, band_idx, band_key)``.
+    """
+    rows_per_band = num_hashes // bands
+    hashed = corpus.select(
+        F.col(id_col).alias("id"),
+        minhash_token_hashes(tokens(F.col(text_col))).alias("hs"),
+    ).localCheckpoint(eager=False)
+    sig = minhash_signature(F.col("hs"), num_hashes)
+    with_sig = hashed.select("id", sig.alias("sig")).localCheckpoint(eager=False)
+    keys = minhash_band_keys(F.col("sig"), bands, rows_per_band)
+    return with_sig.select(
+        "id",
+        keys.alias("keys"),
+        F.posexplode(keys).alias("band_idx", "band_key"),
+    )
+
+
+def token_profile(
+    corpus: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document distinct-token verification profile ``(id, toks,
+    nt)`` — the second persisted half of the incremental near-dup index
+    (band keys generate candidates; this table verifies them)."""
+    toks = F.array_distinct(tokens(F.col(text_col)))
+    return corpus.select(
+        F.col(id_col).alias("id"), toks.alias("toks"), F.size(toks).alias("nt")
+    )
+
+
+def incremental_minhash_matches(
+    arriving: DataFrame,
+    index: DataFrame,
+    profile: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    bands: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Verified near-duplicate matches of arriving documents against an
+    accepted corpus: ``(doc_id, accepted_id, jaccard)``, exactly one row
+    per matching (arriving, accepted) pair.
+
+    The MinHash twin of ``incremental_exact_dedup``'s anti-join: band
+    keys of each arriving doc equi-join the corpus band index
+    (``minhash_corpus_index``), collisions verify by exact distinct-token
+    Jaccard against the corpus ``token_profile`` — never against the raw
+    corpus text. ``num_hashes``/``bands`` MUST match the index's build
+    parameters (band keys are md5 over signature slices, so a mismatch
+    silently generates zero candidates).
+
+    Streaming-clean: with ``arriving`` from ``readStream`` both joins
+    are stream-static, append-mode, no keyed state — the arriving doc's
+    tokens ride THROUGH the band explode so verification never needs a
+    stream-stream join back to the batch. Pair admission reuses the
+    first-colliding-band trick (both sides carry their band-key arrays),
+    so no dedup shuffle on the inflated candidate stream.
+    """
+    rows_per_band = num_hashes // bands
+    toks = F.array_distinct(tokens(F.col(text_col)))
+    staged = arriving.select(
+        F.col(id_col).alias("__arr_id"),
+        toks.alias("__arr_toks"),
+        minhash_token_hashes(tokens(F.col(text_col))).alias("hs"),
+    )
+    if not arriving.isStreaming:
+        # projection barrier against CollapseProject re-inlining (see
+        # minhash_lsh_candidates); localCheckpoint is batch-only, and a
+        # micro-batch's recompute cost is bounded by the batch size
+        staged = staged.localCheckpoint(eager=False)
+    sig = minhash_signature(F.col("hs"), num_hashes)
+    staged2 = staged.select(
+        "__arr_id", "__arr_toks", F.size("__arr_toks").alias("__arr_nt"),
+        sig.alias("sig"),
+    )
+    if not arriving.isStreaming:
+        staged2 = staged2.localCheckpoint(eager=False)
+    keys = minhash_band_keys(F.col("sig"), bands, rows_per_band)
+    arr = staged2.select(
+        "__arr_id", "__arr_toks", "__arr_nt",
+        keys.alias("__arr_keys"),
+        F.posexplode(keys).alias("band_idx", "band_key"),
+    )
+    acc = index.select(
+        F.col("id").alias("__acc_id"), F.col("keys").alias("__acc_keys"),
+        "band_idx", "band_key",
+    )
+    earlier_band_collides = F.exists(
+        F.zip_with(
+            F.slice("__arr_keys", F.lit(1), F.col("band_idx")),
+            F.slice("__acc_keys", F.lit(1), F.col("band_idx")),
+            lambda x, y: x == y,
+        ),
+        lambda z: z,
+    )
+    cands = arr.join(acc, on=["band_idx", "band_key"]).filter(
+        ~earlier_band_collides
+    )
+    prof = profile.select(
+        F.col("id").alias("__acc_id"), F.col("toks").alias("__acc_toks"),
+        F.col("nt").alias("__acc_nt"),
+    )
+    inter = F.size(F.array_intersect("__arr_toks", "__acc_toks"))
+    jac = F.try_divide(
+        inter.cast("double"), F.col("__arr_nt") + F.col("__acc_nt") - inter
+    )
+    size_band = (
+        (F.col("__arr_nt") >= F.lit(threshold) * F.col("__acc_nt"))
+        & (F.col("__acc_nt") >= F.lit(threshold) * F.col("__arr_nt"))
+    )
+    return (
+        cands.join(prof, on="__acc_id")
+        .filter(size_band)
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col("__arr_id").alias(id_col),
+            F.col("__acc_id").alias("accepted_id"),
+            "jaccard",
+        )
+    )
+
+
+def incremental_minhash_dedup(
+    arriving: DataFrame,
+    index: DataFrame,
+    profile: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    bands: int = 3,
+    threshold: float = 0.5,
+    within_batch: bool = True,
+) -> DataFrame:
+    """Ingest-time near-dup dedup: keep arriving documents with no
+    verified near-duplicate in the accepted corpus, and (by default)
+    drop the larger-id side of any verified near-dup pair WITHIN the
+    arriving batch (the ``drop_near_duplicates`` keep-minimum contract).
+
+    Batch-only convenience: the history check plus the intra-batch pass
+    both end in anti-joins against sets derived from ``arriving``
+    itself, which a streaming plan cannot express without state — over
+    a true stream, call ``incremental_minhash_matches`` inside
+    ``foreachBatch`` and anti-join there (the same concession
+    ``incremental_exact_dedup`` documents for its keep-first window).
+    """
+    if arriving.isStreaming:
+        raise ValueError(
+            "incremental_minhash_dedup is batch-only; over a stream use "
+            "incremental_minhash_matches inside foreachBatch"
+        )
+    matched = incremental_minhash_matches(
+        arriving, index, profile, id_col, text_col, num_hashes, bands, threshold
+    ).select(id_col).distinct()
+    fresh = arriving.join(matched, on=id_col, how="left_anti")
+    if not within_batch:
+        return fresh
+    pairs = minhash_lsh_dedup(
+        fresh, id_col, text_col, num_hashes=num_hashes, bands=bands,
+        threshold=threshold,
+    )
+    losers = pairs.select(
+        F.greatest(F.col("a_id"), F.col("b_id")).alias(id_col)
+    ).distinct()
+    return fresh.join(losers, on=id_col, how="left_anti")
+
+
 def incremental_exact_dedup(
     arriving: DataFrame,
     history: DataFrame,
