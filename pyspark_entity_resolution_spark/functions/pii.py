@@ -29,8 +29,20 @@ PII_PATTERNS: dict[str, tuple[str, str]] = {
     # card before phone: a 16-digit run contains phone-sized digit runs
     "card": (r"\b[0-9]{13,19}\b", "[CARD]"),
     # separators restricted to [- ] (no '.'): a dotted phone pattern can
-    # match inside a 3-digit-segment IPv4, making redaction order-ambiguous
-    "phone": (r"\+?[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}(?:[- ][0-9]{3,4})?", "[PHONE]"),
+    # match inside a 3-digit-segment IPv4, making redaction order-ambiguous.
+    # Three alternatives, structurally disjoint at any match position (so
+    # Java's leftmost-first and RE2's alternation agree): separated
+    # national/international, paren area code "(555) 123-4567", and
+    # unseparated international "+14155551234" (the leading '+' is the
+    # context that licenses redacting a bare digit run; E.164 caps at 15
+    # digits — a '+'-prefixed 13-19 digit run is taken by the earlier
+    # card pattern, leaving '+[CARD]').
+    "phone": (
+        r"\+?[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}(?:[- ][0-9]{3,4})?"
+        r"|\([0-9]{3}\) ?[0-9]{3}[- ][0-9]{4}"
+        r"|\+[0-9]{8,15}\b",
+        "[PHONE]",
+    ),
     "ipv4": (
         r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
         "[IP]",

@@ -55,6 +55,47 @@ def test_ip_not_eaten_as_phone(spark):
     assert red == "node [IP] up"
 
 
+def test_paren_area_code_redacts(spark):
+    for text, want in [
+        ("call (555) 123-4567 today", "call [PHONE] today"),
+        ("call (555)123-4567 today", "call [PHONE] today"),
+        ("call (555) 123 4567 today", "call [PHONE] today"),
+    ]:
+        red = _one(spark, text).select(P.redact_pii("text").alias("r")).first().r
+        assert red == want, text
+    n = (
+        _one(spark, "(212) 867-5309 and (415) 555 0100")
+        .select(P.pii_count("text", "phone").alias("p"))
+        .first()
+        .p
+    )
+    assert n == 2
+
+
+def test_unseparated_international_redacts(spark):
+    red = (
+        _one(spark, "reach +14155551234 or +442079460958 now")
+        .select(P.redact_pii("text").alias("r"))
+        .first()
+        .r
+    )
+    assert red == "reach [PHONE] or [PHONE] now"
+    # bare digit runs WITHOUT the '+' context stay untouched (no
+    # license to redact an arbitrary 10-digit number)
+    text = "order 4155551234 confirmed"
+    red2 = _one(spark, text).select(P.redact_pii("text").alias("r")).first().r
+    assert red2 == text
+    # a '+'-prefixed 16-digit run is card-sized: the earlier card
+    # pattern takes it, leaving the '+' (documented precedence)
+    red3 = (
+        _one(spark, "pay +4111111111111111 now")
+        .select(P.redact_pii("text").alias("r"))
+        .first()
+        .r
+    )
+    assert red3 == "pay +[CARD] now"
+
+
 def test_clean_text_untouched(spark):
     text = "no pii here just words and the number 42"
     out = (
@@ -86,10 +127,12 @@ def test_randomized_pii_injection_always_masked(spark):
     snippets = {
         "email": "probe@example.net",
         "phone": "+1-555-0147",
+        "phone_paren": "(415) 555-0147",
+        "phone_intl": "+442079460958",
         "ipv4": "192.168.7.9",
         "card": "4111111111111111",
     }
-    for seed in range(5):
+    for seed in range(8):
         rng = random.Random(seed)
         clean = " ".join(rng.choice(words) for _ in range(rng.randint(5, 30)))
         kind = rng.choice(list(snippets))
