@@ -72,6 +72,21 @@ def connected_components(
 
     Node columns may be any orderable type (string node keys are fine —
     namespace ids from different datasets, e.g. ``"a:" + id``).
+
+    Execution notes (deliberate, documented trade-offs):
+
+    - EAGER at call time: the caller's edge plan is materialized once
+      (``localCheckpoint`` + count) so the iterative rounds never
+      re-evaluate an expensive upstream candidate join. This is not a
+      lazy transformation.
+    - NOT thread-safe with respect to ``spark.sql.shuffle.partitions``:
+      the loop narrows the session conf to the edge volume for the
+      duration of the call (restored in a ``finally``), because Spark
+      has no per-plan shuffle-width control for groupBy/join. A
+      concurrent query planned on the same SparkSession during the call
+      can observe the narrowed width. The narrowed width never EXCEEDS
+      the session's configured value (a session width below the usual
+      floor is honored as-is).
     """
     # materialize the caller's edge plan ONCE: all_nodes and the working
     # edge set both derive from the checkpointed raw list, so an
@@ -91,7 +106,10 @@ def connected_components(
     key = "spark.sql.shuffle.partitions"
     session_width = spark.conf.get(key)
     try:
-        width = max(4, min(int(session_width), -(-n_edges // target_edges_per_partition)))
+        # never raise the width above the session's own setting (a
+        # session configured below the floor keeps its value); floor 1
+        # covers the empty edge list
+        width = max(1, min(int(session_width), -(-n_edges // target_edges_per_partition)))
     except ValueError:  # non-numeric (e.g. "auto") — leave it alone
         width = None
     try:

@@ -108,6 +108,8 @@ def streaming_contamination_flags(
     text_col: str = "text",
     id_col: str = "doc_id",
     w: int = 5,
+    event_time_col: str | None = None,
+    watermark: str = "10 minutes",
 ) -> DataFrame:
     """Streaming twin: flag arriving eval documents that share ANY
     shingle with the (static) training corpus.
@@ -117,13 +119,38 @@ def streaming_contamination_flags(
     (Structured Streaming broadcasts/rescans the static side per
     micro-batch — at scale, materialize the train shingle set once and
     let the join prune on the hash). Per-document RATES need keyed
-    aggregation state; the flag formulation stays append-mode-clean,
-    which is what an ingest gate wants.
+    aggregation state; the flag formulation needs only per-id DEDUP
+    state (a doc's shingles collide many times), and how that state is
+    bounded is the caller's choice:
+
+    - ``event_time_col=None`` (default): plain ``dropDuplicates`` —
+      keyed state that grows with the cardinality of flagged eval ids,
+      forever. Fine for bounded eval sets; NOT unbounded-safe.
+    - ``event_time_col='ts'``: a ``withWatermark(ts, watermark)`` +
+      ``dropDuplicatesWithinWatermark`` pipeline — per-id state expires
+      once the watermark passes, bounding state by the flagged-id ARRIVAL
+      RATE within the watermark horizon (a re-flag of the same id after
+      expiry emits a duplicate row, the standard trade).
     """
-    ev = shingle_hashes(eval_stream, text_col, id_col, w)
     tr = shingle_hashes(train, text_col, id_col, w).select("sh")
+    if event_time_col is None:
+        ev = shingle_hashes(eval_stream, text_col, id_col, w)
+        return (
+            ev.join(tr, on="sh", how="left_semi")
+            .select(F.col("id").alias("eval_id"))
+            .dropDuplicates(["eval_id"])
+        )
+    src = eval_stream.withWatermark(event_time_col, watermark)
+    ev = src.select(
+        F.col(id_col).alias("eval_id"),
+        F.col(event_time_col),
+        F.explode(
+            F.array_distinct(word_shingles(F.col(text_col), w))
+        ).alias("shingle"),
+    ).select("eval_id", event_time_col, F.md5(F.col("shingle")).alias("sh"))
     return (
         ev.join(tr, on="sh", how="left_semi")
-        .select(F.col("id").alias("eval_id"))
-        .dropDuplicates(["eval_id"])
+        .select("eval_id", event_time_col)
+        .dropDuplicatesWithinWatermark(["eval_id"])
+        .select("eval_id")
     )

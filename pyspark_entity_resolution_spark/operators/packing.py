@@ -36,13 +36,19 @@ def pack_chunks(
 
     ``pack_id`` is unique within a group (pair it with ``group_col`` for
     a global key). Deterministic: same input rows -> same packing,
-    independent of partitioning, because the order inside a group is
-    pinned by ``order_cols``.
+    independent of partitioning. ``order_cols`` SHOULD be a unique key
+    within each group (it is the packing order); when it is not, a
+    row-content hash (``xxhash64`` over all columns) breaks ties, so
+    the assignment is still reproducible run-to-run — but the relative
+    order of fully-identical rows is then arbitrary-but-fixed rather
+    than meaningful.
     """
     if budget <= 0:
         raise ValueError("budget must be positive")
     part = [group_col] if group_col else []
-    w = Window.partitionBy(*part).orderBy(*[F.col(c) for c in order_cols])
+    tiebreak = F.xxhash64(*[F.col(c) for c in chunks.columns])
+    order = [F.col(c) for c in order_cols] + [tiebreak]
+    w = Window.partitionBy(*part).orderBy(*order)
     start = (
         F.sum(F.col(token_col)).over(w.rowsBetween(Window.unboundedPreceding, 0))
         - F.col(token_col)
@@ -53,9 +59,7 @@ def pack_chunks(
         .withColumn(
             "pack_pos",
             F.row_number().over(
-                Window.partitionBy(*part, "pack_id").orderBy(
-                    *[F.col(c) for c in order_cols]
-                )
+                Window.partitionBy(*part, "pack_id").orderBy(*order)
             ),
         )
         .drop("__start")
@@ -66,12 +70,20 @@ def pack_summary(
     packed: DataFrame,
     token_col: str = "n_chunk_tokens",
     group_col: str | None = None,
+    budget: int | None = None,
 ) -> DataFrame:
-    """Per-pack fill report: chunks, tokens, and fill ratio against the
-    dominant use (padding-waste audit). ``budget`` is not re-derivable
-    from the packed rows, so the caller divides: fill = n_tokens/budget."""
+    """Per-pack report: ``(pack_id, n_chunks, n_tokens)`` — the
+    padding-waste audit. ``budget`` is not re-derivable from the packed
+    rows; pass the one given to ``pack_chunks`` to also get
+    ``fill = n_tokens/budget`` (boundary-chunk overflow makes fill > 1
+    possible by design)."""
     part = [group_col] if group_col else []
-    return packed.groupBy(*part, "pack_id").agg(
+    out = packed.groupBy(*part, "pack_id").agg(
         F.count(F.lit(1)).alias("n_chunks"),
         F.sum(token_col).cast("bigint").alias("n_tokens"),
     )
+    if budget is not None:
+        out = out.withColumn(
+            "fill", F.col("n_tokens") / F.lit(float(budget))
+        )
+    return out

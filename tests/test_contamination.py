@@ -107,3 +107,36 @@ def test_streaming_flags_match_batch(spark, tmp_path):
     batch = contamination_report(train, _docs(spark, eval_rows), w=5)
     batch_hits = {r.eval_id for r in batch.filter("n_contaminated > 0").collect()}
     assert flagged == batch_hits == {1}
+
+
+def test_streaming_flags_watermarked_state_bounded(spark, tmp_path):
+    """event_time_col path: withWatermark + dropDuplicatesWithinWatermark
+    — same flag set, and the plan carries a bounded dedup-within-watermark
+    operator instead of unbounded keyed dedup state."""
+    from pyspark.sql import functions as F
+    from pyspark_entity_resolution_spark.operators.contamination import (
+        streaming_contamination_flags,
+    )
+    from pyspark_entity_resolution_spark.streaming.pipeline import (
+        run_to_memory_sink,
+    )
+
+    shared = "one two three four five six"
+    train = _docs(spark, [(0, shared)])
+    src = str(tmp_path / "eval_docs_wm")
+    (
+        _docs(spark, [(1, shared + " tail"), (3, "clean eval document nothing shared")])
+        .withColumn("ts", F.to_timestamp(F.lit("2026-01-01 00:00:00")))
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    stream = spark.readStream.schema(
+        "doc_id long, text string, ts timestamp"
+    ).parquet(src)
+    flags = streaming_contamination_flags(
+        stream, train, w=5, event_time_col="ts", watermark="1 minute"
+    )
+    assert flags.columns == ["eval_id"]
+    q = run_to_memory_sink(flags, "contam_flags_wm")
+    q.awaitTermination(60)
+    assert {r.eval_id for r in spark.table("contam_flags_wm").collect()} == {1}

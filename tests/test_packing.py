@@ -71,3 +71,66 @@ def test_fill_ratio_bounded(spark):
 def test_budget_validation(spark):
     with pytest.raises(ValueError):
         pack_chunks(_chunks(spark, [(0, 0, 10)]), budget=0)
+
+
+def test_overflow_invariant_property(spark):
+    """Property over random chunk lengths (seeded generators): every
+    boundary chunk overflows its pack by LESS than its own length —
+    i.e. a pack's tokens minus its last chunk stay under budget — and
+    packs partition the ordered chunk sequence into consecutive runs."""
+    import random
+
+    for seed in range(6):
+        rng = random.Random(seed)
+        budget = rng.choice([64, 100, 256, 1000])
+        rows = [
+            (i, j, rng.randint(1, int(budget * 1.5)))
+            for i in range(rng.randint(1, 15))
+            for j in range(rng.randint(1, 5))
+        ]
+        packed = sorted(
+            pack_chunks(_chunks(spark, rows), budget=budget).collect(),
+            key=lambda r: (r.pack_id, r.pack_pos),
+        )
+        # consecutive-run property: global order by (pack_id, pack_pos)
+        # equals order by order_cols, and pack_ids never decrease
+        assert [(r.doc_id, r.chunk_idx) for r in packed] == sorted(
+            (r.doc_id, r.chunk_idx) for r in packed
+        ), f"seed {seed}: packs are not consecutive runs"
+        by_pack: dict[int, list] = {}
+        for r in packed:
+            by_pack.setdefault(r.pack_id, []).append(r.n_chunk_tokens)
+        for pid, toks in by_pack.items():
+            assert sum(toks) - toks[-1] < budget, (
+                f"seed {seed}: pack {pid} overflows by its boundary "
+                f"chunk's full length or more: {toks}"
+            )
+        # nothing lost, nothing split
+        assert sum(sum(t) for t in by_pack.values()) == sum(r[2] for r in rows)
+
+
+def test_tie_rows_get_stable_distinct_positions(spark):
+    # order_cols ties (identical doc_id/chunk_idx) fall back to the
+    # row-content hash: assignment is reproducible and positions distinct
+    rows = [(0, 0, 100, "a"), (0, 0, 100, "b"), (0, 0, 100, "c")]
+    df = spark.createDataFrame(
+        rows, "doc_id long, chunk_idx long, n_chunk_tokens long, payload string"
+    )
+    a = {r.payload: (r.pack_id, r.pack_pos)
+         for r in pack_chunks(df, budget=250).collect()}
+    b = {r.payload: (r.pack_id, r.pack_pos)
+         for r in pack_chunks(df.repartition(5), budget=250).collect()}
+    assert a == b
+    assert len({v for v in a.values()}) == 3
+
+
+def test_pack_summary_fill_ratio(spark):
+    df = _chunks(spark, [(0, 0, 100), (0, 1, 100), (0, 2, 100)])
+    out = {r.pack_id: r for r in
+           pack_summary(pack_chunks(df, budget=250), budget=250).collect()}
+    # pack 0 holds all three chunks (starts 0,100,200): fill 300/250 > 1
+    assert out[0].n_tokens == 300
+    assert out[0].fill == pytest.approx(1.2)
+    # without budget the fill column is absent (two-column report)
+    cols = pack_summary(pack_chunks(df, budget=250)).columns
+    assert "fill" not in cols
