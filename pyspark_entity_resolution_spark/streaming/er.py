@@ -161,6 +161,13 @@ def streaming_match_publications(
 
 # ------------------------------------------ incremental entity emission --
 
+def _node_bucket(n_buckets: int) -> Column:
+    """Stable hash bucket of a node key — the label-store partition
+    column. MUST be computed identically every batch (xxhash64 is
+    seed-stable across sessions)."""
+    return F.pmod(F.xxhash64(F.col("node")), F.lit(n_buckets)).cast("int")
+
+
 def incremental_entity_labels(
     spark,
     labels_path: str,
@@ -169,23 +176,39 @@ def incremental_entity_labels(
     right_id: str = "b_id",
     left_name: str = "a",
     right_name: str = "b",
+    n_buckets: int = 64,
 ) -> DataFrame:
     """Fold one batch of matched pairs into the persistent entity labels.
 
     Incremental connected components WITHOUT replaying history: the
-    previous ``(node, component)`` labels re-enter the graph as star
-    edges (every node points at its component root, which is itself a
-    member node), new match edges are unioned in, and CC runs over that
-    compressed graph — per-batch cost is O(known nodes + new edges), not
-    O(all historical matches). Component ids stay batch-identical
-    (min member key): the old id is the min of its prior members, so the
-    min over merged stars equals the min over the full history.
+    previous ``(node, component)`` labels of components TOUCHED by this
+    batch re-enter the graph as star edges (every member points at its
+    component root, itself a member node), new match edges are unioned
+    in, and CC runs over that compressed subgraph — per-batch compute is
+    O(touched components + new edges), not O(all historical matches).
+    Component ids stay batch-identical (min member key): the old id is
+    the min of its prior members, so the min over merged stars equals
+    the min over the full history.
+
+    The label store is parquet HASH-BUCKETED on the node key
+    (``bucket = pmod(xxhash64(node), n_buckets)``, a partition column),
+    and each batch rewrites ONLY buckets containing touched nodes via
+    dynamic partition overwrite — per-batch write cost is
+    O(touched buckets × bucket size), not O(all nodes); untouched
+    bucket files are left byte-identical on disk. ``n_buckets`` must
+    stay constant for the lifetime of a store (it defines the layout);
+    a store written by the pre-bucketed flat layout is migrated
+    wholesale on its first fold.
 
     Node identity is namespaced ``{side}:{id}`` exactly like the batch
     operator (operators/clustering.py cluster_matched_pairs), so drained
     streaming labels are comparable row-for-row with the batch entity
     table. Re-delivered pairs (foreachBatch is at-least-once on restart)
     are idempotent: an edge already inside one component changes nothing.
+
+    Returns the FULL current label table (touched rows from this fold
+    plus untouched rows; the untouched-bucket portion is read lazily
+    from files this fold did not rewrite).
     """
     from pyspark.errors import AnalysisException
 
@@ -196,17 +219,71 @@ def incremental_entity_labels(
         F.concat(F.lit(right_name + ":"), F.col(right_id).cast("string")).alias("dst"),
     )
     try:
-        prev = spark.read.parquet(labels_path).select(
-            F.col("node").alias("src"), F.col("component").alias("dst")
-        )
-        edges = edges.unionByName(prev)
+        prev = spark.read.parquet(labels_path)
     except AnalysisException:
-        pass  # cold start: no labels yet
-    # eager checkpoint: materialize BEFORE overwriting the parquet dir
-    # the previous labels were just read from
-    labels = connected_components(edges).localCheckpoint()
-    labels.write.mode("overwrite").parquet(labels_path)
-    return labels
+        prev = None  # cold start: no labels yet
+
+    if prev is None or "bucket" not in prev.columns:
+        # cold start (or one-time migration from the flat layout): every
+        # node is touched; static overwrite lays down the bucketed store
+        if prev is not None:
+            edges = edges.unionByName(
+                prev.select(
+                    F.col("node").alias("src"), F.col("component").alias("dst")
+                )
+            )
+        labels = connected_components(edges).localCheckpoint()
+        labels.withColumn("bucket", _node_bucket(n_buckets)).write.mode(
+            "overwrite"
+        ).partitionBy("bucket").parquet(labels_path)
+        return labels
+
+    # --- incremental fold against the bucketed store -----------------
+    batch_nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    # components this batch touches, then ALL their member rows (a merge
+    # relabels both components wholesale). The node lookup prunes to the
+    # batch nodes' own buckets via the partition column.
+    batch_buckets = batch_nodes.withColumn("bucket", _node_bucket(n_buckets))
+    hit_components = (
+        prev.join(batch_buckets, on=["bucket", "node"], how="inner")
+        .select("component")
+        .distinct()
+    )
+    members = prev.join(hit_components, on="component", how="left_semi")
+    star = members.select(
+        F.col("node").alias("src"), F.col("component").alias("dst")
+    )
+    new_labels = connected_components(edges.unionByName(star))  # eager ckpt
+
+    touched_nodes = new_labels.select("node")
+    touched_buckets = (
+        touched_nodes.select(_node_bucket(n_buckets).alias("bucket")).distinct()
+    )
+    # rows that share a touched bucket but are not themselves touched
+    # must ride along in the rewrite (partition-granularity overwrite);
+    # materialize them BEFORE their files are overwritten
+    carried = (
+        prev.join(touched_buckets, on="bucket", how="left_semi")
+        .join(touched_nodes, on="node", how="left_anti")
+        .select("node", "component", "bucket")
+        .localCheckpoint()
+    )
+    to_write = new_labels.withColumn("bucket", _node_bucket(n_buckets)).unionByName(
+        carried
+    )
+    to_write.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("bucket").parquet(labels_path)
+
+    # full current table via a FRESH post-write read: the pre-write
+    # `prev` plan captured a file listing whose touched-bucket files the
+    # dynamic overwrite just replaced, so re-using it would read deleted
+    # files; a new read lists the store as it now is
+    return spark.read.parquet(labels_path).select("node", "component")
 
 
 def streaming_resolve_entities(
@@ -218,6 +295,7 @@ def streaming_resolve_entities(
     right_name: str = "b",
     query_name: str = "streaming_entities",
     checkpoint_dir: str | None = None,
+    n_buckets: int = 64,
 ):
     """Drive a match-pair stream all the way to an entity table — the
     last batch capability the streaming twin lacked. Each micro-batch
@@ -233,7 +311,7 @@ def streaming_resolve_entities(
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         incremental_entity_labels(
             batch_df.sparkSession, labels_path, batch_df,
-            left_id, right_id, left_name, right_name,
+            left_id, right_id, left_name, right_name, n_buckets,
         )
 
     writer = matches.writeStream.foreachBatch(_fold).queryName(query_name)
