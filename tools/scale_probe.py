@@ -212,11 +212,111 @@ def probe_trio(spark) -> None:
     print(f"[trio] substring_spans x10 data -> x{t2 / t1:.1f} time", flush=True)
 
 
+def _emb_x10(spark, base_dir: str = "/root/testdata/sf0.1") -> str:
+    """10x embeddings corpus at /tmp (cached): copies 1-9 get remapped
+    ids and a per-copy nudge on the first vector component, so no copy
+    is an exact duplicate (which would make cosine top-k degenerate to
+    ties) while the overall geometry stays realistic."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    dest = "/tmp/scale_emb_x10.parquet"
+    if os.path.exists(dest + "/_SUCCESS"):
+        return dest
+    emb = spark.read.parquet(f"{base_dir}/embeddings.parquet")
+
+    def _nudge(i):
+        # PySpark infers HOF arity from the lambda's parameter count, so
+        # the copy index must be captured by closure, not a default arg
+        return lambda x, j: F.when(
+            j == 0, (x + F.lit(i * 0.013)).cast("float")
+        ).otherwise(x)
+
+    copies = [emb]
+    for i in range(1, 10):
+        copies.append(
+            emb.select(
+                (F.col("vec_id") + i * 10_000_000).alias("vec_id"),
+                F.transform(F.col("embedding"), _nudge(i)).alias("embedding"),
+                "label",
+            )
+        )
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    out.repartition(32).write.mode("overwrite").parquet(dest)
+    return dest
+
+
+def probe_ann(spark) -> None:
+    """Decade probe for the ANN arms: a FIXED 200-query set against the
+    sf0.1 embeddings corpus (2k vectors) vs the x10 corpus (20k).
+    Measures the adaptive-plane claim (operators/ann.py
+    choose_num_planes): plane count grows with log2(corpus), so
+    per-bucket candidate volume — and therefore query cost — stays
+    ~flat while a fixed-plane scheme would grow linearly."""
+    from pyspark.sql import functions as F
+
+    from pyspark_entity_resolution_spark.operators.ann import (
+        brute_force_topk,
+        lsh_topk,
+    )
+    from pyspark_entity_resolution_spark.plans.common import spread
+
+    def _timed(tag, fn):
+        best, n = None, None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n = fn()
+            t = time.perf_counter() - t0
+            best = t if best is None else min(best, t)
+        print(f"[ann] {tag}: {best:.1f}s ({n} rows)", flush=True)
+        return best
+
+    base = spread(
+        spark, spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    )
+    big = spread(spark, spark.read.parquet(_emb_x10(spark)))
+    queries = (
+        spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+        .filter(F.col("vec_id") % 10 == 0)
+        .limit(200)
+        .localCheckpoint()
+    )
+
+    t1 = _timed(
+        "lsh_topk adaptive, 2k corpus",
+        lambda: lsh_topk(queries, base, k=5).count(),
+    )
+    t2 = _timed(
+        "lsh_topk adaptive, 20k corpus (x10)",
+        lambda: lsh_topk(queries, big, k=5).count(),
+    )
+    print(f"[ann] lsh_topk x10 corpus -> x{t2 / t1:.2f} time", flush=True)
+
+    t3 = _timed(
+        "brute_force_topk, 2k corpus",
+        lambda: brute_force_topk(queries, base, k=5).count(),
+    )
+    t4 = _timed(
+        "brute_force_topk, 20k corpus (x10)",
+        lambda: brute_force_topk(queries, big, k=5).count(),
+    )
+    print(
+        f"[ann] brute_force x10 corpus -> x{t4 / t3:.2f} time "
+        f"(the linear contrast)",
+        flush=True,
+    )
+
+
 def main() -> None:
     spark = get_spark(app_name="scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     if "trio" in sys.argv[1:]:
         probe_trio(spark)
+    elif "ann" in sys.argv[1:]:
+        probe_ann(spark)
     else:
         probe_er(spark)
         probe_cc(spark)
