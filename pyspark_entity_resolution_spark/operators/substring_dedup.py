@@ -65,6 +65,27 @@ def window_fingerprints(
     )
 
 
+def _dup_windows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 10,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Duplicated window occurrences ``(id, start, wh)``: every rolling
+    window whose fingerprint occurs at least ``min_occurrences`` times
+    corpus-wide. The shared stage under both span detection and span
+    cutting."""
+    wf = window_fingerprints(df, id_col, text_col, w)
+    dup_hashes = (
+        wf.groupBy("wh")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_occurrences)
+        .select("wh")
+    )
+    return wf.join(dup_hashes, on="wh", how="left_semi")
+
+
 def duplicated_spans(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -81,14 +102,7 @@ def duplicated_spans(
     ``(id, span_start, span_end, span_tokens)``, one row per maximal
     span; a span's text is tokens[span_start .. span_end] inclusive.
     """
-    wf = window_fingerprints(df, id_col, text_col, w)
-    dup_hashes = (
-        wf.groupBy("wh")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= min_occurrences)
-        .select("wh")
-    )
-    dup_wins = wf.join(dup_hashes, on="wh", how="left_semi").select(
+    dup_wins = _dup_windows(df, id_col, text_col, w, min_occurrences).select(
         "id", "start", (F.col("start") + F.lit(w - 1)).alias("end")
     )
     return _merge_intervals(dup_wins)
@@ -160,14 +174,21 @@ def cut_spans(
     against the doc's own merged cut list (few spans per doc, evaluated
     inside whole-stage codegen). Nothing pairwise, nothing Python.
     """
-    wf = window_fingerprints(df, id_col, text_col, w)
-    dup_hashes = (
-        wf.groupBy("wh")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= min_occurrences)
-        .select("wh")
-    )
-    dup_wins = wf.join(dup_hashes, on="wh", how="left_semi")
+    dup_wins = _dup_windows(df, id_col, text_col, w, min_occurrences)
+    return _cut_from_windows(df, dup_wins, id_col, text_col, w, keep_first)
+
+
+def _cut_from_windows(
+    df: DataFrame,
+    dup_wins: DataFrame,
+    id_col: str,
+    text_col: str,
+    w: int,
+    keep_first: bool,
+) -> DataFrame:
+    """Cut stage over precomputed ``(id, start, wh)`` duplicated-window
+    occurrences — split out so ``span_report`` can share one
+    materialized window set between detection and cutting."""
     if keep_first:
         first = Window.partitionBy("wh").orderBy("id", "start")
         dup_wins = (
@@ -211,6 +232,28 @@ def cut_spans(
         F.size(kept).cast("bigint").alias("n_tokens"),
         (F.size("__toks") - F.size(kept)).cast("bigint").alias("n_tokens_cut"),
     )
+
+
+def span_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 10,
+    min_occurrences: int = 2,
+    keep_first: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Both halves of the substring-dedup pass over ONE materialized
+    duplicated-window set: ``(spans, cut)`` where ``spans`` is
+    ``duplicated_spans``' output and ``cut`` is ``cut_spans``'. The
+    tokenize→window→hash→groupBy pipeline (the dominant cost) runs
+    once instead of once per half; the shared rows are the small
+    ``(id, start, wh)`` duplicated occurrences, checkpointed."""
+    dup_wins = _dup_windows(df, id_col, text_col, w, min_occurrences).localCheckpoint()
+    spans = _merge_intervals(
+        dup_wins.select("id", "start", (F.col("start") + F.lit(w - 1)).alias("end"))
+    )
+    cut = _cut_from_windows(df, dup_wins, id_col, text_col, w, keep_first)
+    return spans, cut
 
 
 def duplication_profile(

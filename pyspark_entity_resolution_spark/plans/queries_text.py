@@ -598,10 +598,11 @@ _SPAN_W = 10
     "duplicated region remains corpus-wide, Lee et al. §4)",
 )
 def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.substring_dedup import cut_spans, duplicated_spans
+    from ..operators.substring_dedup import span_report
 
     d = spread(spark, load(spark, sf_dir, "documents"))
-    spans = duplicated_spans(d, w=_SPAN_W).select(
+    spans_df, cut_df = span_report(d, w=_SPAN_W)
+    spans = spans_df.select(
         F.lit("span").alias("section"),
         F.col("id").alias("doc_id"),
         F.col("span_start").cast("bigint").alias("span_start"),
@@ -610,7 +611,7 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("bigint").alias("n_tokens_cut"),
         F.lit(None).cast("string").alias("text"),
     )
-    cut = cut_spans(d, w=_SPAN_W).select(
+    cut = cut_df.select(
         F.lit("cut").alias("section"),
         F.col("id").alias("doc_id"),
         F.lit(None).cast("bigint").alias("span_start"),
