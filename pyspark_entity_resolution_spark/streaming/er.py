@@ -245,11 +245,21 @@ def incremental_entity_labels(
         .distinct()
     )
     # components this batch touches, then ALL their member rows (a merge
-    # relabels both components wholesale). The node lookup prunes to the
-    # batch nodes' own buckets via the partition column.
+    # relabels both components wholesale). The node lookup PRUNES to the
+    # batch nodes' own buckets: the bucket values are collected (at most
+    # n_buckets small ints — driver-safe by construction) and applied as
+    # a static isin filter on the partition column, so the scan reads
+    # only those directories instead of the whole store. The member
+    # expansion below still scans all buckets (members of a hit
+    # component can live anywhere — a component->bucket index would be
+    # the next refinement).
     batch_buckets = batch_nodes.withColumn("bucket", _node_bucket(n_buckets))
+    probe_buckets = [
+        r.bucket for r in batch_buckets.select("bucket").distinct().collect()
+    ]
     hit_components = (
-        prev.join(batch_buckets, on=["bucket", "node"], how="inner")
+        prev.filter(F.col("bucket").isin(probe_buckets))
+        .join(batch_buckets, on=["bucket", "node"], how="inner")
         .select("component")
         .distinct()
     )
