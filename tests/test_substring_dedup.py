@@ -105,6 +105,56 @@ def test_cut_spans_within_doc_repeat_keeps_earliest(spark):
     assert out.n_tokens_cut == 10
 
 
+def test_cut_spans_randomized_invariants(spark):
+    """Seeded random corpora over a tiny vocabulary (forces heavy
+    repetition): token conservation (kept + cut == original per doc),
+    report totality (one row per input doc), and determinism under
+    repartition."""
+    import random
+
+    for seed in range(4):
+        rng = random.Random(seed)
+        vocab = [f"w{k}" for k in range(6)]
+        rows = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 40))))
+            for i in range(12)
+        ]
+        df = _docs(spark, rows)
+        out = {r.id: r for r in cut_spans(df, w=5).collect()}
+        assert set(out) == set(range(12)), f"seed {seed}: report not total"
+        for i, text in rows:
+            orig_n = len(text.split())
+            r = out[i]
+            assert r.n_tokens + r.n_tokens_cut == orig_n, (
+                f"seed {seed} doc {i}: {r.n_tokens}+{r.n_tokens_cut} != {orig_n}"
+            )
+            assert len(r.text.split()) == r.n_tokens, f"seed {seed} doc {i}"
+        again = {
+            r.id: (r.text, r.n_tokens_cut)
+            for r in cut_spans(df.repartition(7), w=5).collect()
+        }
+        assert again == {i: (r.text, r.n_tokens_cut) for i, r in out.items()}, (
+            f"seed {seed}: not deterministic under repartition"
+        )
+
+
+def test_span_report_halves_match_standalone_operators(spark):
+    shared = list(range(100, 112))
+    df = _docs(
+        spark,
+        [(0, _text(*range(0, 5), *shared)), (1, _text(*shared, *range(200, 205)))],
+    )
+    from pyspark_entity_resolution_spark.operators.substring_dedup import span_report
+
+    spans_df, cut_df = span_report(df, w=10)
+    assert {tuple(r) for r in spans_df.collect()} == {
+        tuple(r) for r in duplicated_spans(df, w=10).collect()
+    }
+    assert {tuple(r) for r in cut_df.collect()} == {
+        tuple(r) for r in cut_spans(df, w=10).collect()
+    }
+
+
 def test_profile_fraction_and_clean_doc_retention(spark):
     shared = list(range(100, 110))
     df = _docs(
