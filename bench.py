@@ -58,10 +58,16 @@ PACK_PROVENANCE: dict[str, dict[str, list[str]]] = {
     },
     "dedup_minhash_lsh": {
         # r3 switched this entry from label-blocked to UNBLOCKED LSH
-        # (commit 2dcc36e) — recorded here so the r2->r3 delta is
-        # attributable from the artifact alone.
-        "constituents": ["unblocked_minhash_lsh"],
-        "renamed_from": ["blocked_minhash_lsh (r2 and earlier)"],
+        # (commit 2dcc36e); r4 added the ingest-time sections (band-key
+        # index of doc_id%10=0 probed by doc_id%10=1) — recorded here so
+        # round-over-round deltas are attributable from the artifact.
+        "constituents": [
+            "unblocked_minhash_lsh",
+            "incremental_minhash_matches (r4)",
+            "incremental_minhash_dedup history anti-join (r4)",
+        ],
+        "renamed_from": ["blocked_minhash_lsh (r2 and earlier)",
+                         "dedup_minhash_lsh (pairs only, r3)"],
     },
 }
 

@@ -180,27 +180,89 @@ _SIG_SQL = (
       FROM bands a JOIN bands b
         ON a.band_idx = b.band_idx AND a.band_key = b.band_key
        AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+      SELECT c.a_id, c.b_id,
+             CAST(len(list_intersect(ta.tk, tb.tk)) AS DOUBLE)
+               / len(list_distinct(ta.tk || tb.tk)) AS jaccard
+      FROM cands c
+      JOIN toks ta ON ta.doc_id = c.a_id
+      JOIN toks tb ON tb.doc_id = c.b_id
+      WHERE CAST(len(list_intersect(ta.tk, tb.tk)) AS DOUBLE)
+               / len(list_distinct(ta.tk || tb.tk)) >= 0.5
+    ),
+    icands AS (
+      SELECT DISTINCT a.doc_id AS arr_id, b.doc_id AS acc_id
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+      WHERE a.doc_id % 10 = 1 AND b.doc_id % 10 = 0
+    ),
+    imatch AS (
+      SELECT c.arr_id, c.acc_id,
+             CAST(len(list_intersect(ta.tk, tb.tk)) AS DOUBLE)
+               / len(list_distinct(ta.tk || tb.tk)) AS jaccard
+      FROM icands c
+      JOIN toks ta ON ta.doc_id = c.arr_id
+      JOIN toks tb ON tb.doc_id = c.acc_id
+      WHERE CAST(len(list_intersect(ta.tk, tb.tk)) AS DOUBLE)
+               / len(list_distinct(ta.tk || tb.tk)) >= 0.5
+    ),
+    ikept AS (
+      SELECT doc_id FROM documents
+      WHERE doc_id % 10 = 1
+        AND doc_id NOT IN (SELECT arr_id FROM imatch)
     )
-    SELECT c.a_id, c.b_id,
-           CAST(len(list_intersect(ta.tk, tb.tk)) AS DOUBLE)
-             / len(list_distinct(ta.tk || tb.tk)) AS jaccard
-    FROM cands c
-    JOIN toks ta ON ta.doc_id = c.a_id
-    JOIN toks tb ON tb.doc_id = c.b_id
-    WHERE CAST(len(list_intersect(ta.tk, tb.tk)) AS DOUBLE)
-             / len(list_distinct(ta.tk || tb.tk)) >= 0.5
+    SELECT 'pairs' AS section, a_id, b_id, jaccard FROM pairs
+    UNION ALL
+    SELECT 'ingest_match', arr_id, acc_id, jaccard FROM imatch
+    UNION ALL
+    SELECT 'ingest_kept', doc_id, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+    FROM ikept
     """,
     "MinHash-LSH near-dup dedup: 12 double-hashed minhashes (one md5 per "
     "token), 3 bands x 4 rows, band-bucket equi-join candidates, "
-    "exact-Jaccard verify >= 0.5",
+    "exact-Jaccard verify >= 0.5 (section 'pairs'); r4 sections "
+    "'ingest_match'/'ingest_kept' drive the INGEST-TIME variant — a "
+    "band-key index of an accepted corpus (doc_id%10=0) probed by an "
+    "arriving batch (doc_id%10=1): verified matches, and arrivals kept "
+    "after the history anti-join (operators/dedup.py "
+    "minhash_corpus_index / incremental_minhash_matches / "
+    "incremental_minhash_dedup)",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.minhash_lsh_dedup(
-        spread(spark, load(spark, sf_dir, "documents")),
-        num_hashes=_NUM_HASHES,
-        bands=_BANDS,
-        threshold=0.5,
+    d = spread(spark, load(spark, sf_dir, "documents"))
+    pairs = D.minhash_lsh_dedup(
+        d, num_hashes=_NUM_HASHES, bands=_BANDS, threshold=0.5
+    ).select(
+        F.lit("pairs").alias("section"),
+        F.col("a_id").cast("bigint").alias("a_id"),
+        F.col("b_id").cast("bigint").alias("b_id"),
+        "jaccard",
     )
+    accepted = d.filter(F.col("doc_id") % 10 == 0)
+    arriving = d.filter(F.col("doc_id") % 10 == 1)
+    idx = D.minhash_corpus_index(
+        accepted, num_hashes=_NUM_HASHES, bands=_BANDS
+    )
+    prof = D.token_profile(accepted)
+    matches = D.incremental_minhash_matches(
+        arriving, idx, prof, num_hashes=_NUM_HASHES, bands=_BANDS, threshold=0.5
+    ).select(
+        F.lit("ingest_match").alias("section"),
+        F.col("doc_id").cast("bigint").alias("a_id"),
+        F.col("accepted_id").cast("bigint").alias("b_id"),
+        "jaccard",
+    )
+    kept = D.incremental_minhash_dedup(
+        arriving, idx, prof, num_hashes=_NUM_HASHES, bands=_BANDS,
+        threshold=0.5, within_batch=False,
+    ).select(
+        F.lit("ingest_kept").alias("section"),
+        F.col("doc_id").cast("bigint").alias("a_id"),
+        F.lit(None).cast("bigint").alias("b_id"),
+        F.lit(None).cast("double").alias("jaccard"),
+    )
+    return pairs.unionByName(matches).unionByName(kept)
 
 
 @q(
