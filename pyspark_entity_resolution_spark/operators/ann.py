@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.vectors import as_double, cosine
+from ..functions.vectors import as_double, l2_norm, paired_cosine
 
 # Query sides larger than this are NOT broadcast (a driver/executor OOM
 # at scale); the join degrades to a partitioned cross join instead.
@@ -114,11 +114,14 @@ def brute_force_topk(
     partitioned cross join instead of OOMing the driver. Pass True/False
     to skip the probe when the caller already knows the size.
     """
+    # norms once per ROW on the linear sides, not once per scored pair
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
+        l2_norm(vec_col).alias("q_nrm"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"),
+        l2_norm(vec_col).alias("c_nrm"),
     )
     if broadcast_queries is None:
         # limit(N+1).count() early-exits the scan — O(threshold), not O(|Q|)
@@ -129,7 +132,7 @@ def brute_force_topk(
         q_side
         .crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos_sim", cosine("q_vec", "c_vec"))
+        .withColumn("cos_sim", paired_cosine("q_vec", "c_vec", "q_nrm", "c_nrm"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
@@ -176,10 +179,12 @@ def lsh_topk(
         num_planes = choose_num_planes(corpus.count())
     if num_tables == 1:
         qb = random_hyperplane_buckets(queries, vec_col, num_planes, dim).select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "bucket"
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
+            l2_norm(vec_col).alias("q_nrm"), "bucket"
         )
         cb = random_hyperplane_buckets(corpus, vec_col, num_planes, dim).select(
-            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "bucket"
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"),
+            l2_norm(vec_col).alias("c_nrm"), "bucket"
         )
         cands = qb.join(cb, on="bucket")
     else:
@@ -199,18 +204,20 @@ def lsh_topk(
         qb = queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("q_vec"),
+            l2_norm(vec_col).alias("q_nrm"),
             F.explode(keys).alias("bucket"),
         )
         cb = corpus.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("c_vec"),
+            l2_norm(vec_col).alias("c_nrm"),
             F.explode(keys).alias("bucket"),
         )
         cands = qb.join(cb, on="bucket").dropDuplicates(["query_id", "neighbor_id"])
     scored = (
         cands
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos_sim", cosine("q_vec", "c_vec"))
+        .withColumn("cos_sim", paired_cosine("q_vec", "c_vec", "q_nrm", "c_nrm"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
@@ -235,17 +242,22 @@ def embedding_near_duplicates(
     threshold: float = 0.95,
 ) -> DataFrame:
     """Cosine near-duplicate pairs within blocks (embedding-space dedup)."""
-    sides = df.select(F.col(id_col), F.col(vec_col), F.col(block_col).alias("block"))
+    sides = df.select(
+        F.col(id_col), F.col(vec_col), F.col(block_col).alias("block"),
+        l2_norm(vec_col).alias("nrm"),
+    )
     a = sides.select(
-        F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"), "block"
+        F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"),
+        F.col("nrm").alias("a_nrm"), "block"
     )
     b = sides.select(
-        F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"), "block"
+        F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"),
+        F.col("nrm").alias("b_nrm"), "block"
     )
     return (
         a.join(b, on="block")
         .filter(F.col("a_id") < F.col("b_id"))
-        .withColumn("cos_sim", cosine("a_vec", "b_vec"))
+        .withColumn("cos_sim", paired_cosine("a_vec", "b_vec", "a_nrm", "b_nrm"))
         .filter(F.col("cos_sim") >= threshold)
         .select("a_id", "b_id", F.round("cos_sim", 4).alias("cos_sim"))
     )
@@ -270,10 +282,17 @@ def ivf_assign(
     in corpus size.
     """
     c = F.broadcast(
-        centroids.select(F.col(centroid_id), F.col(centroid_vec))
+        centroids.select(
+            F.col(centroid_id), F.col(centroid_vec),
+            l2_norm(centroid_vec).alias("__cnrm"),
+        )
     )
-    scored = df.crossJoin(c).withColumn(
-        "__sim", cosine(vec_col, centroid_vec)
+    scored = (
+        df.withColumn("__vnrm", l2_norm(vec_col))
+        .crossJoin(c)
+        .withColumn(
+            "__sim", paired_cosine(vec_col, centroid_vec, "__vnrm", "__cnrm")
+        )
     )
     w = Window.partitionBy(id_col).orderBy(
         F.col("__sim").desc(), F.col(centroid_id)
@@ -281,7 +300,7 @@ def ivf_assign(
     return (
         scored.withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= nprobe)
-        .drop("__rk", "__sim", centroid_vec)
+        .drop("__rk", "__sim", "__vnrm", "__cnrm", centroid_vec)
         .withColumnRenamed(centroid_id, "ivf_bucket")
     )
 
@@ -304,17 +323,19 @@ def ivf_topk(
     qa = ivf_assign(queries, centroids, id_col, vec_col, nprobe=nprobe).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
+        l2_norm(vec_col).alias("q_nrm"),
         "ivf_bucket",
     )
     ca = ivf_assign(corpus, centroids, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
+        l2_norm(vec_col).alias("c_nrm"),
         "ivf_bucket",
     )
     scored = (
         qa.join(ca, on="ivf_bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos_sim", cosine("q_vec", "c_vec"))
+        .withColumn("cos_sim", paired_cosine("q_vec", "c_vec", "q_nrm", "c_nrm"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
@@ -350,19 +371,26 @@ def ivf_topk_multi(
     materialized inverted lists."""
     max_p = max(nprobes)
     c = F.broadcast(
-        centroids.select(F.col("centroid_id"), F.col("centroid_vec"))
+        centroids.select(
+            F.col("centroid_id"), F.col("centroid_vec"),
+            l2_norm("centroid_vec").alias("__cnrm"),
+        )
     )
     w_assign = Window.partitionBy(id_col).orderBy(
         F.col("__sim").desc(), F.col("centroid_id")
     )
     qa = (
-        queries.crossJoin(c)
-        .withColumn("__sim", cosine(vec_col, "centroid_vec"))
+        queries.withColumn("__vnrm", l2_norm(vec_col))
+        .crossJoin(c)
+        .withColumn(
+            "__sim", paired_cosine(vec_col, "centroid_vec", "__vnrm", "__cnrm")
+        )
         .withColumn("__rk", F.row_number().over(w_assign))
         .filter(F.col("__rk") <= max_p)
         .select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("q_vec"),
+            l2_norm(vec_col).alias("q_nrm"),
             F.col("centroid_id").alias("ivf_bucket"),
             F.col("__rk").alias("probe_rank"),
         )
@@ -370,6 +398,7 @@ def ivf_topk_multi(
     ca = ivf_assign(corpus, centroids, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
+        l2_norm(vec_col).alias("c_nrm"),
         "ivf_bucket",
     ).localCheckpoint(eager=False)
     w = Window.partitionBy("nprobe", "query_id").orderBy(
@@ -383,7 +412,7 @@ def ivf_topk_multi(
     scored = (
         qa.join(ca, on="ivf_bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos_sim", cosine("q_vec", "c_vec"))
+        .withColumn("cos_sim", paired_cosine("q_vec", "c_vec", "q_nrm", "c_nrm"))
         .withColumn(
             "nprobe",
             F.explode(
@@ -441,15 +470,17 @@ def multiprobe_lsh_topk(
     qprobed = qb.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
+        l2_norm(vec_col).alias("q_nrm"),
         F.explode(probes).alias("bucket"),
     )
     cb = random_hyperplane_buckets(corpus, vec_col, num_planes, dim).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "bucket"
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"),
+        l2_norm(vec_col).alias("c_nrm"), "bucket"
     )
     scored = (
         qprobed.join(cb, on="bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos_sim", cosine("q_vec", "c_vec"))
+        .withColumn("cos_sim", paired_cosine("q_vec", "c_vec", "q_nrm", "c_nrm"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
@@ -533,12 +564,21 @@ def embedding_near_duplicates_lsh(
         .filter((F.col("a_id") < F.col("b_id")) & ~earlier_table_collides)
         .select("a_id", "b_id")
     )
-    va = df.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"))
-    vb = df.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"))
+    withn = df.select(
+        F.col(id_col), F.col(vec_col), l2_norm(vec_col).alias("nrm")
+    )
+    va = withn.select(
+        F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    vb = withn.select(
+        F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"),
+        F.col("nrm").alias("b_nrm"),
+    )
     return (
         cands.join(va, on="a_id")
         .join(vb, on="b_id")
-        .withColumn("cos_sim", cosine("a_vec", "b_vec"))
+        .withColumn("cos_sim", paired_cosine("a_vec", "b_vec", "a_nrm", "b_nrm"))
         .filter(F.col("cos_sim") >= threshold)
         .select("a_id", "b_id", F.round("cos_sim", 4).alias("cos_sim"))
     )

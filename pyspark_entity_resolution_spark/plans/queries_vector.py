@@ -358,9 +358,16 @@ QUERIES["ann_methods_topk"].sql = _ANN_METHODS_BASE_SQL + f"""
     "never runs the all-pairs scan",
 )
 def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ADAPTIVE plane count (the operator's scale path: bucket space grows
+    # with the corpus so per-bucket candidate cost stays flat — a pinned
+    # 4-plane run was measured x3.8 slower at x10 data). Oracle parity:
+    # the SQL's 4-plane keys equal choose_num_planes(n) for every corpus
+    # up to 16384 vectors, which covers the driver's sf0.001/sf0.01 gate
+    # scales (500 vectors at sf0.01) — pinned by
+    # tests/test_ann_recall.py::test_choose_num_planes_matches_oracle_scales.
     e = load(spark, sf_dir, "embeddings")
     return A.embedding_near_duplicates_lsh(
-        spread(spark, e), threshold=0.3, num_planes=4, num_tables=4
+        spread(spark, e), threshold=0.3, num_planes=None, num_tables=4
     )
 
 

@@ -157,3 +157,13 @@ def test_ivf_with_trained_centroids(spark, queries, corpus, exact):
     )
     assert r_trained >= 0.5  # absolute floor at nprobe=3
     assert r_trained >= r_fixed - 0.05  # trained quantizer competitive
+
+
+def test_choose_num_planes_matches_oracle_scales():
+    # the embedding_near_dup_lsh driver query runs ADAPTIVE planes while
+    # its DuckDB oracle hardcodes 4-plane keys: parity requires
+    # choose_num_planes == 4 at every gate scale (sf0.001/sf0.01 have
+    # <= 500 vectors; 4 holds all the way to 16 * TARGET_BUCKET_SIZE)
+    for n in (50, 500, 2000, 16 * A.TARGET_BUCKET_SIZE):
+        assert A.choose_num_planes(n) == 4
+    assert A.choose_num_planes(16 * A.TARGET_BUCKET_SIZE + 1) == 5
