@@ -197,6 +197,7 @@ def verify_token_jaccard(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.5,
+    hashed: bool | None = None,
 ) -> DataFrame:
     """Join candidate pairs back to texts and keep pairs whose exact
     distinct-token Jaccard clears the threshold.
@@ -206,9 +207,21 @@ def verify_token_jaccard(
     ``|A ∪ B| = |A| + |B| - |A ∩ B|`` for the deduplicated arrays. At
     millions of candidate pairs this halves the dominant per-pair array
     cost versus a second ``array_union`` pass (values are bit-identical).
+
+    ``hashed=None`` (default) runs the :func:`_hash_injective`
+    planning-time certificate and, when it holds (always, in practice),
+    intersects 64-bit token-hash arrays instead of string arrays —
+    provably the same jaccard, about half the per-pair cost (measured on
+    the x10 probe corpus). Pass False to force string verification, or
+    True when the caller has already certified this corpus's vocabulary.
     """
     toks = F.array_distinct(tokens(F.col(text_col)))
-    sides = df.select(F.col(id_col), toks.alias("toks"), F.size(toks).alias("nt"))
+    if hashed is None:
+        hashed = _hash_injective(df, toks)
+    vt = (
+        F.transform(toks, lambda t: F.xxhash64(t)) if hashed else toks
+    )
+    sides = df.select(F.col(id_col), vt.alias("toks"), F.size(vt).alias("nt"))
     a = sides.select(
         F.col(id_col).alias("a_id"), F.col("toks").alias("a_toks"),
         F.col("nt").alias("a_nt"),
@@ -381,10 +394,10 @@ def simhash_candidates(
 
 # ------------------------------------------------------ n-gram Jaccard --
 
-def _gram_hash_injective(df: DataFrame, grams: Column) -> bool:
-    """Certificate that ``xxhash64`` is injective on this corpus's gram
-    vocabulary: group the distinct grams by their hash and look for any
-    bucket with two distinct grams.
+def _hash_injective(df: DataFrame, grams: Column) -> bool:
+    """Certificate that ``xxhash64`` is injective on this corpus's
+    gram/token vocabulary: group the distinct values by their hash and
+    look for any bucket with two distinct values.
 
     One planning-time job over the vocabulary — char-k-gram vocabularies
     are bounded by charset^k (hundreds to tens of thousands of rows at
@@ -424,7 +437,7 @@ def ngram_jaccard_pairs(
     - ``"blocked"`` (default): all pairs within a block, pruned per-pair
       by the 1/t size band, verified by intersecting 64-bit gram-hash
       arrays under an injectivity certificate
-      (:func:`_gram_hash_injective`) — exact string-gram jaccard at
+      (:func:`_hash_injective`) — exact string-gram jaccard at
       ~half the per-pair cost of string intersection. Right choice when
       the gram vocabulary is small relative to the corpus (char-3-grams:
       at most charset³ distinct grams, so at scale every gram is
@@ -469,7 +482,7 @@ def ngram_jaccard_pairs(
     )
 
     if strategy == "blocked":
-        if _gram_hash_injective(df, grams):
+        if _hash_injective(df, grams):
             # verified-exact fast path: intersect 8-byte hashes, not
             # strings (no array_distinct needed — injectivity maps the
             # already-distinct grams to distinct hashes, so ng is

@@ -78,13 +78,13 @@ def test_hash_injectivity_certificate(spark):
     # the planning-time certificate must accept a clean vocabulary and
     # hash-verified jaccard must equal string jaccard exactly
     from pyspark_entity_resolution_spark.operators.dedup import (
-        _gram_hash_injective)
+        _hash_injective)
 
     rng = random.Random(7)
     df = spark.createDataFrame(_corpus(rng, 60),
                                ["doc_id", "text", "lang", "source"])
     grams = F.array_distinct(char_shingles(F.col("text"), 3))
-    assert _gram_hash_injective(df, grams) is True
+    assert _hash_injective(df, grams) is True
     # under injectivity, per-pair hash intersection == string intersection
     base = df.select(
         "doc_id", grams.alias("g"),
