@@ -410,10 +410,12 @@ def _hash_injective(df: DataFrame, grams: Column) -> bool:
     intersections are equal element-for-element). A collision (expected
     never: probability ~ C(vocab, 2) / 2^64) falls back to string
     arrays, trading speed for unconditional exactness."""
-    vocab = df.select(F.explode(grams).alias("g")).distinct()
     collisions = (
-        vocab.groupBy(F.xxhash64("g"))
-        .agg(F.count(F.lit(1)).alias("n"))
+        df.select(F.explode(grams).alias("g"))
+        .groupBy(F.xxhash64("g"))
+        # one shuffle, not distinct-then-group: duplicates collapse in
+        # the map-side partial aggregation of the distinct-count
+        .agg(F.count_distinct("g").alias("n"))
         .filter(F.col("n") > 1)
     )
     return collisions.isEmpty()
