@@ -524,8 +524,10 @@ def embedding_near_duplicates_lsh(
     colliding table (cheap per-row array comparison — same trick as the
     MinHash band join, operators/dedup.py).
     """
+    corpus_rows = None
     if num_planes is None:
-        num_planes = choose_num_planes(df.count())
+        corpus_rows = df.count()
+        num_planes = choose_num_planes(corpus_rows)
     all_planes = hyperplanes(num_planes * num_tables, dim)
     keys = F.array(
         *[
@@ -536,29 +538,56 @@ def embedding_near_duplicates_lsh(
             for t in range(num_tables)
         ]
     )
-    # tiny (id, keys, table, key) rows checkpoint; vectors join back
-    # only for the verified candidate pairs
-    banded = (
-        df.select(F.col(id_col), keys.alias("keys"))
-        .select(
-            F.col(id_col), "keys", F.posexplode("keys").alias("tbl", "key")
-        )
-        .localCheckpoint()
+    # tiny (id, per-table keys, table, key) rows checkpoint; vectors join
+    # back only for the verified candidate pairs. Table keys are
+    # FLATTENED to scalar columns so the first-colliding-table admission
+    # below is plain integer equality in whole-stage codegen — the array
+    # form (exists(zip_with(slice(...)))) allocates three arrays per
+    # JOIN ROW, which dominated the candidate join at scale (measured on
+    # the MinHash twin of this plan, operators/dedup.py)
+    keyed = df.select(F.col(id_col), keys.alias("keys")).localCheckpoint(
+        eager=False
     )
+    banded = keyed.select(
+        F.col(id_col),
+        *[F.element_at("keys", t + 1).alias(f"t{t}") for t in range(num_tables)],
+        F.posexplode("keys").alias("tbl", "key"),
+    ).localCheckpoint()
+    # The banded rows are tiny in bytes but the self-join amplifies each
+    # bucket quadratically, so stats-driven planning goes wrong two ways:
+    # AQE's byte-based coalescing can run the join in 1-2 tasks (measured
+    # 7x slower), and the byte-based broadcast decision flips with the
+    # row layout. Pick the join shape from the planning-time corpus
+    # count instead, when we have one:
+    # - small banded side (the common interactive case): broadcast the
+    #   build side explicitly — the probe keeps banded's even round-robin
+    #   partitioning, immune to both bucket skew and coalescing.
+    # - at scale (or unknown size): explicit co-partitioning on the join
+    #   key; a user-specified repartition is exempt from AQE coalescing.
     a = banded.select(
-        F.col(id_col).alias("a_id"), F.col("keys").alias("a_keys"), "tbl", "key"
+        F.col(id_col).alias("a_id"),
+        *[F.col(f"t{t}").alias(f"a_t{t}") for t in range(num_tables)],
+        "tbl", "key",
     )
     b = banded.select(
-        F.col(id_col).alias("b_id"), F.col("keys").alias("b_keys"), "tbl", "key"
+        F.col(id_col).alias("b_id"),
+        *[F.col(f"t{t}").alias(f"b_t{t}") for t in range(num_tables)],
+        "tbl", "key",
     )
-    earlier_table_collides = F.exists(
-        F.zip_with(
-            F.slice("a_keys", F.lit(1), F.col("tbl")),
-            F.slice("b_keys", F.lit(1), F.col("tbl")),
-            lambda x, y: x == y,
-        ),
-        lambda z: z,
+    broadcast_build = (
+        corpus_rows is not None and corpus_rows * num_tables <= 2_000_000
     )
+    if broadcast_build:
+        b = F.broadcast(b)
+    else:
+        width = df.sparkSession.sparkContext.defaultParallelism
+        a = a.repartition(width, "tbl", "key")
+        b = b.repartition(width, "tbl", "key")
+    earlier_table_collides = F.lit(False)
+    for t in range(num_tables - 1):
+        earlier_table_collides = earlier_table_collides | (
+            (F.col("tbl") > F.lit(t)) & (F.col(f"a_t{t}") == F.col(f"b_t{t}"))
+        )
     cands = (
         a.join(b, on=["tbl", "key"])
         .filter((F.col("a_id") < F.col("b_id")) & ~earlier_table_collides)

@@ -15,7 +15,13 @@ Four families, all expressed as declarative DataFrame plans that scale to
   candidates share one of four 16-bit chunks (Hamming<=3-by-pigeonhole
   style banding).
 - **n-gram Jaccard**: exact character-shingle Jaccard verification over
-  blocked pairs.
+  blocked pairs (default), or AllPairs/PPJoin prefix-filtered candidates
+  for selective vocabularies.
+
+Pair-verification stages intersect 64-bit hash arrays instead of string
+arrays whenever a planning-time certificate proves ``xxhash64`` is
+injective on the corpus's gram/token vocabulary (:func:`_hash_injective`)
+— exactly the same result, about half the per-pair cost.
 
 All hashing/scoring is JVM-side expression work; the only shuffles are the
 group-bys/joins that the algorithms fundamentally require.
@@ -163,27 +169,42 @@ def minhash_lsh_candidates(
     )
     keys = minhash_band_keys(F.col("sig"), bands, rows_per_band)
 
-    banded = with_sig.select(
+    # band keys FLATTENED to one scalar column per band (bands is a plan
+    # constant): the admission filter below then unrolls to plain string
+    # equality in whole-stage codegen. The previous array form
+    # (exists(zip_with(slice(a_keys), slice(b_keys)))) allocated three
+    # arrays per JOIN ROW, and at x100 data the candidate join evaluates
+    # ~600M rows — the allocation, not the join, was the bottleneck
+    # (measured x1.9 end-to-end on the two-decade probe).
+    # barrier so the md5 band-key array is computed once, not once per
+    # element_at extraction below
+    keyed = with_sig.select(F.col(id_col), keys.alias("keys")).localCheckpoint(
+        eager=False
+    )
+    banded = keyed.select(
         F.col(id_col),
-        keys.alias("keys"),
-        F.posexplode(keys).alias("band_idx", "band_key"),
+        *[F.element_at("keys", j + 1).alias(f"k{j}") for j in range(bands)],
+        F.posexplode("keys").alias("band_idx", "band_key"),
     ).localCheckpoint()
     a = banded.select(
-        F.col(id_col).alias("a_id"), F.col("keys").alias("a_keys"),
+        F.col(id_col).alias("a_id"),
+        *[F.col(f"k{j}").alias(f"a_k{j}") for j in range(bands)],
         "band_idx", "band_key",
     )
     b = banded.select(
-        F.col(id_col).alias("b_id"), F.col("keys").alias("b_keys"),
+        F.col(id_col).alias("b_id"),
+        *[F.col(f"k{j}").alias(f"b_k{j}") for j in range(bands)],
         "band_idx", "band_key",
     )
-    earlier_band_collides = F.exists(
-        F.zip_with(
-            F.slice("a_keys", F.lit(1), F.col("band_idx")),
-            F.slice("b_keys", F.lit(1), F.col("band_idx")),
-            lambda x, y: x == y,
-        ),
-        lambda z: z,
-    )
+    # a pair sharing several bands is admitted only at its FIRST shared
+    # band: the join row at band_idx i survives iff no band j < i also
+    # collided
+    earlier_band_collides = F.lit(False)
+    for j in range(bands - 1):
+        earlier_band_collides = earlier_band_collides | (
+            (F.col("band_idx") > F.lit(j))
+            & (F.col(f"a_k{j}") == F.col(f"b_k{j}"))
+        )
     return (
         a.join(b, on=["band_idx", "band_key"])
         .filter((F.col("a_id") < F.col("b_id")) & ~earlier_band_collides)
@@ -660,23 +681,32 @@ def incremental_minhash_matches(
     if not arriving.isStreaming:
         staged2 = staged2.localCheckpoint(eager=False)
     keys = minhash_band_keys(F.col("sig"), bands, rows_per_band)
-    arr = staged2.select(
+    staged3 = staged2.select(
+        "__arr_id", "__arr_toks", "__arr_nt", keys.alias("__keys")
+    )
+    if not arriving.isStreaming:
+        # barrier so the md5 band-key array is computed once, not once
+        # per element_at extraction below
+        staged3 = staged3.localCheckpoint(eager=False)
+    # band keys flattened to scalar columns on both sides: the
+    # first-colliding-band admission unrolls to string equality in
+    # whole-stage codegen (see minhash_lsh_candidates)
+    arr = staged3.select(
         "__arr_id", "__arr_toks", "__arr_nt",
-        keys.alias("__arr_keys"),
-        F.posexplode(keys).alias("band_idx", "band_key"),
+        *[F.element_at("__keys", j + 1).alias(f"__arr_k{j}") for j in range(bands)],
+        F.posexplode("__keys").alias("band_idx", "band_key"),
     )
     acc = index.select(
-        F.col("id").alias("__acc_id"), F.col("keys").alias("__acc_keys"),
+        F.col("id").alias("__acc_id"),
+        *[F.element_at("keys", j + 1).alias(f"__acc_k{j}") for j in range(bands)],
         "band_idx", "band_key",
     )
-    earlier_band_collides = F.exists(
-        F.zip_with(
-            F.slice("__arr_keys", F.lit(1), F.col("band_idx")),
-            F.slice("__acc_keys", F.lit(1), F.col("band_idx")),
-            lambda x, y: x == y,
-        ),
-        lambda z: z,
-    )
+    earlier_band_collides = F.lit(False)
+    for j in range(bands - 1):
+        earlier_band_collides = earlier_band_collides | (
+            (F.col("band_idx") > F.lit(j))
+            & (F.col(f"__arr_k{j}") == F.col(f"__acc_k{j}"))
+        )
     cands = arr.join(acc, on=["band_idx", "band_key"]).filter(
         ~earlier_band_collides
     )

@@ -212,6 +212,117 @@ def probe_trio(spark) -> None:
     print(f"[trio] substring_spans x10 data -> x{t2 / t1:.1f} time", flush=True)
 
 
+def _docs_xn(spark, factor: int, base_dir: str = "/root/testdata/sf0.1") -> str:
+    """``factor``x documents corpus at /tmp (cached) — same construction
+    as :func:`_docs_x10` (copy 0 original, copies 1..n-1 id-remapped and
+    token-salted so near-dup structure stays copy-local) but built as ONE
+    cross-join plan instead of an n-way union, which keeps the logical
+    plan O(1) in ``factor``."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    dest = f"/tmp/scale_docs_x{factor}.parquet"
+    if os.path.exists(dest + "/_SUCCESS"):
+        return dest
+    docs = spark.read.parquet(f"{base_dir}/documents.parquet")
+    copies = spark.range(factor).select(F.col("id").alias("__copy"))
+    salted = F.concat_ws(
+        " ",
+        F.transform(
+            F.split(F.col("text"), " "),
+            lambda t: F.concat(t, F.lit("~"), F.col("__copy").cast("string")),
+        ),
+    )
+    out = docs.crossJoin(F.broadcast(copies)).select(
+        (F.col("doc_id") + F.col("__copy") * 10_000_000).alias("doc_id"),
+        F.when(F.col("__copy") == 0, F.col("text")).otherwise(salted).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    out.repartition(64).write.mode("overwrite").parquet(dest)
+    return dest
+
+
+def probe_century(spark) -> None:
+    """TWO measured decades (x100 data) for the two heaviest dedup
+    operators plus connected components — the direct answer to "would
+    this survive 100x". Uses the same copy-local salting as the trio
+    probe, so the near-dup workload is exactly linear in the factor."""
+    from pyspark.sql import functions as F
+
+    from pyspark_entity_resolution_spark.operators.clustering import (
+        connected_components,
+    )
+    from pyspark_entity_resolution_spark.operators.dedup import minhash_lsh_dedup
+    from pyspark_entity_resolution_spark.operators.substring_dedup import (
+        duplicated_spans,
+    )
+    from pyspark_entity_resolution_spark.plans.common import spread
+    from pyspark_entity_resolution_spark.plans.queries_text import (
+        _BANDS,
+        _NUM_HASHES,
+    )
+
+    def _timed(tag, fn):
+        best, n = None, None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n = fn()
+            t = time.perf_counter() - t0
+            best = t if best is None else min(best, t)
+        print(f"[century] {tag}: {best:.1f}s ({n} rows)", flush=True)
+        return best
+
+    base = spread(spark, spark.read.parquet("/root/testdata/sf0.1/documents.parquet"))
+    big = spread(spark, spark.read.parquet(_docs_xn(spark, 100)), factor=2)
+
+    t1 = _timed(
+        "minhash_lsh 5k docs",
+        lambda: minhash_lsh_dedup(
+            base, num_hashes=_NUM_HASHES, bands=_BANDS, threshold=0.5
+        ).count(),
+    )
+    t2 = _timed(
+        "minhash_lsh 500k docs (x100)",
+        lambda: minhash_lsh_dedup(
+            big, num_hashes=_NUM_HASHES, bands=_BANDS, threshold=0.5
+        ).count(),
+    )
+    print(f"[century] minhash_lsh x100 data -> x{t2 / t1:.1f} time", flush=True)
+
+    t1 = _timed(
+        "substring_spans 5k docs", lambda: duplicated_spans(base, w=10).count()
+    )
+    t2 = _timed(
+        "substring_spans 500k docs (x100)",
+        lambda: duplicated_spans(big, w=10).count(),
+    )
+    print(f"[century] substring_spans x100 data -> x{t2 / t1:.1f} time", flush=True)
+
+    def _cc(n_nodes, n_edges):
+        edges = (
+            spark.range(n_edges)
+            .select(
+                (F.abs(F.xxhash64(F.col("id"))) % n_nodes).alias("src"),
+                (F.abs(F.xxhash64(F.col("id") + 7_777_777)) % n_nodes).alias("dst"),
+            )
+            .localCheckpoint()
+        )
+        return connected_components(edges).select("component").distinct().count()
+
+    t1 = _timed("connected_components 1M edges", lambda: _cc(500_000, 1_000_000))
+    t2 = _timed(
+        "connected_components 100M edges (x100)",
+        lambda: _cc(50_000_000, 100_000_000),
+    )
+    print(
+        f"[century] connected_components x100 data -> x{t2 / t1:.1f} time",
+        flush=True,
+    )
+
+
 def _emb_x10(spark, base_dir: str = "/root/testdata/sf0.1") -> str:
     """10x embeddings corpus at /tmp (cached): copies 1-9 get remapped
     ids and a per-copy nudge on the first vector component, so no copy
@@ -317,6 +428,8 @@ def main() -> None:
         probe_trio(spark)
     elif "ann" in sys.argv[1:]:
         probe_ann(spark)
+    elif "century" in sys.argv[1:]:
+        probe_century(spark)
     else:
         probe_er(spark)
         probe_cc(spark)
