@@ -265,15 +265,31 @@ def probe_century(spark) -> None:
         _NUM_HASHES,
     )
 
-    def _timed(tag, fn):
+    def _timed(tag, fn, runs=2):
+        # base legs: min-of-2 (cold-start inflation is not the scaling
+        # signal). x100 legs: one run — at 100-900 s a warm-up rerun
+        # doubles probe cost for a <5% correction.
         best, n = None, None
-        for _ in range(2):
+        for _ in range(runs):
             t0 = time.perf_counter()
             n = fn()
             t = time.perf_counter() - t0
             best = t if best is None else min(best, t)
         print(f"[century] {tag}: {best:.1f}s ({n} rows)", flush=True)
         return best
+
+    def _scaled_partitions(fn):
+        # emulate cluster sizing: shuffle width must grow with the data
+        # (a real 100x cluster config would set this); AQE only
+        # coalesces DOWN, so a fixed sf0.1-sized width silently spills
+        # at x100 (measured x1.8 on the substring leg)
+        key = "spark.sql.shuffle.partitions"
+        old = spark.conf.get(key)
+        spark.conf.set(key, str(int(old) * 8))
+        try:
+            return fn()
+        finally:
+            spark.conf.set(key, old)
 
     base = spread(spark, spark.read.parquet("/root/testdata/sf0.1/documents.parquet"))
     big = spread(spark, spark.read.parquet(_docs_xn(spark, 100)), factor=2)
@@ -286,9 +302,12 @@ def probe_century(spark) -> None:
     )
     t2 = _timed(
         "minhash_lsh 500k docs (x100)",
-        lambda: minhash_lsh_dedup(
-            big, num_hashes=_NUM_HASHES, bands=_BANDS, threshold=0.5
-        ).count(),
+        lambda: _scaled_partitions(
+            lambda: minhash_lsh_dedup(
+                big, num_hashes=_NUM_HASHES, bands=_BANDS, threshold=0.5
+            ).count()
+        ),
+        runs=1,
     )
     print(f"[century] minhash_lsh x100 data -> x{t2 / t1:.1f} time", flush=True)
 
@@ -297,7 +316,10 @@ def probe_century(spark) -> None:
     )
     t2 = _timed(
         "substring_spans 500k docs (x100)",
-        lambda: duplicated_spans(big, w=10).count(),
+        lambda: _scaled_partitions(
+            lambda: duplicated_spans(big, w=10).count()
+        ),
+        runs=1,
     )
     print(f"[century] substring_spans x100 data -> x{t2 / t1:.1f} time", flush=True)
 
@@ -315,7 +337,8 @@ def probe_century(spark) -> None:
     t1 = _timed("connected_components 1M edges", lambda: _cc(500_000, 1_000_000))
     t2 = _timed(
         "connected_components 100M edges (x100)",
-        lambda: _cc(50_000_000, 100_000_000),
+        lambda: _scaled_partitions(lambda: _cc(50_000_000, 100_000_000)),
+        runs=1,
     )
     print(
         f"[century] connected_components x100 data -> x{t2 / t1:.1f} time",
