@@ -66,3 +66,46 @@ def test_verified_output_is_exact_subset(spark, docs, exact_pairs):
     for pair, jac in out.items():
         assert pair in exact_pairs
         assert abs(jac - exact_pairs[pair]) < 1e-9
+
+
+def test_candidate_admission_is_exactly_once(spark, docs):
+    # the scalar-unrolled first-colliding-band admission must emit every
+    # colliding pair exactly once — a duplicate would double-count rows
+    # downstream (no dedup pass exists by design)
+    from pyspark.sql import functions as F
+
+    cands = minhash_lsh_candidates(docs)
+    dupes = (cands.groupBy("a_id", "b_id").count()
+             .filter(F.col("count") > 1).count())
+    assert dupes == 0
+    assert cands.count() > 0
+
+
+def test_embedding_lsh_admission_is_exactly_once(spark):
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from pyspark_entity_resolution_spark.operators.ann import (
+        embedding_near_duplicates_lsh)
+
+    rng = random.Random(11)
+    rows = []
+    vid = 0
+    for _ in range(40):  # clusters of near-identical vectors -> pairs
+        center = [rng.uniform(-1, 1) for _ in range(64)]
+        for _ in range(rng.randint(1, 4)):
+            rows.append((vid, [float(c + rng.uniform(-0.01, 0.01))
+                               for c in center]))
+            vid += 1
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ])
+    df = spark.createDataFrame(rows, schema)
+    got = embedding_near_duplicates_lsh(df, threshold=0.99, num_tables=4)
+    dupes = (got.groupBy("a_id", "b_id").count()
+             .filter(F.col("count") > 1).count())
+    assert dupes == 0
+    assert got.count() > 0
