@@ -511,7 +511,7 @@ def ngram_jaccard_pairs(
             # already-distinct grams to distinct hashes, so ng is
             # unchanged too)
             pair_cols = F.transform(F.col("grams"), lambda g: F.xxhash64(g))
-        else:  # pragma: no cover - ~C(vocab,2)/2^64 probability
+        else:  # collision fallback (~C(vocab,2)/2^64; forced in tests)
             pair_cols = F.col("grams")
         verif = base.withColumn("vg", pair_cols)
         a = verif.select(

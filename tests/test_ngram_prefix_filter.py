@@ -117,3 +117,19 @@ def test_prefix_filter_identical_docs_and_shorties(spark):
     assert (1, 2, 1.0) in got
     assert (3, 4, 1.0) in got
     assert all(7 not in (a, b) for a, b, _ in got)
+
+
+def test_string_fallback_path_equals_brute_force(spark, monkeypatch):
+    # a vocabulary hash collision (probability ~C(V,2)/2^64) must fall
+    # back to string-array verification with identical results — force
+    # the certificate to fail to exercise that path
+    from pyspark_entity_resolution_spark.operators import dedup as dd
+
+    monkeypatch.setattr(dd, "_hash_injective", lambda df, grams: False)
+    rng = random.Random(5)
+    df = spark.createDataFrame(_corpus(rng, 80),
+                               ["doc_id", "text", "lang", "source"])
+    got = _rows(dd.ngram_jaccard_pairs(df, threshold=0.5))
+    want = _rows(_brute_force(df, k=3, threshold=0.5))
+    assert len(want) > 0
+    assert got == want
