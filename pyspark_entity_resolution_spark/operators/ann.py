@@ -271,6 +271,7 @@ def ivf_assign(
     centroid_id: str = "centroid_id",
     centroid_vec: str = "centroid_vec",
     nprobe: int = 1,
+    keep_norm: bool = False,
 ) -> DataFrame:
     """IVF coarse quantization: assign every vector to its ``nprobe``
     nearest centroids (max cosine, ties to the lowest centroid id).
@@ -280,6 +281,11 @@ def ivf_assign(
     per probed list. The centroid table is tiny and broadcast;
     assignment is a broadcast nested-loop scan + rank window — linear
     in corpus size.
+
+    ``keep_norm=True`` retains the per-vector L2 norm as ``vec_norm``
+    so downstream scoring (ivf_topk / ivf_topk_multi) reuses the fold
+    already paid for here instead of re-running an array aggregate per
+    row.
     """
     c = F.broadcast(
         centroids.select(
@@ -297,10 +303,18 @@ def ivf_assign(
     w = Window.partitionBy(id_col).orderBy(
         F.col("__sim").desc(), F.col(centroid_id)
     )
-    return (
+    ranked = (
         scored.withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= nprobe)
-        .drop("__rk", "__sim", "__vnrm", "__cnrm", centroid_vec)
+    )
+    if keep_norm:
+        ranked = ranked.withColumnRenamed("__vnrm", "vec_norm")
+        return (
+            ranked.drop("__rk", "__sim", "__cnrm", centroid_vec)
+            .withColumnRenamed(centroid_id, "ivf_bucket")
+        )
+    return (
+        ranked.drop("__rk", "__sim", "__vnrm", "__cnrm", centroid_vec)
         .withColumnRenamed(centroid_id, "ivf_bucket")
     )
 
@@ -320,16 +334,18 @@ def ivf_topk(
     single list, so a (query, neighbor) pair can match through at most
     one probe and no dedup pass is needed; candidate cost scales
     ~nprobe×, recall rises with every extra list probed."""
-    qa = ivf_assign(queries, centroids, id_col, vec_col, nprobe=nprobe).select(
+    qa = ivf_assign(
+        queries, centroids, id_col, vec_col, nprobe=nprobe, keep_norm=True
+    ).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        l2_norm(vec_col).alias("q_nrm"),
+        F.col("vec_norm").alias("q_nrm"),
         "ivf_bucket",
     )
-    ca = ivf_assign(corpus, centroids, id_col, vec_col).select(
+    ca = ivf_assign(corpus, centroids, id_col, vec_col, keep_norm=True).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-        l2_norm(vec_col).alias("c_nrm"),
+        F.col("vec_norm").alias("c_nrm"),
         "ivf_bucket",
     )
     scored = (
@@ -390,15 +406,15 @@ def ivf_topk_multi(
         .select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("q_vec"),
-            l2_norm(vec_col).alias("q_nrm"),
+            F.col("__vnrm").alias("q_nrm"),
             F.col("centroid_id").alias("ivf_bucket"),
             F.col("__rk").alias("probe_rank"),
         )
     )
-    ca = ivf_assign(corpus, centroids, id_col, vec_col).select(
+    ca = ivf_assign(corpus, centroids, id_col, vec_col, keep_norm=True).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-        l2_norm(vec_col).alias("c_nrm"),
+        F.col("vec_norm").alias("c_nrm"),
         "ivf_bucket",
     ).localCheckpoint(eager=False)
     w = Window.partitionBy("nprobe", "query_id").orderBy(
@@ -505,6 +521,7 @@ def embedding_near_duplicates_lsh(
     num_planes: int | None = None,
     num_tables: int = 4,
     dim: int = 64,
+    corpus_rows: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs with NO blocking column —
     the unblocked scale path that :func:`embedding_near_duplicates`
@@ -524,9 +541,15 @@ def embedding_near_duplicates_lsh(
     colliding table (cheap per-row array comparison — same trick as the
     MinHash band join, operators/dedup.py).
     """
-    corpus_rows = None
-    if num_planes is None:
+    # The corpus count drives BOTH the bucket-space sizing and the
+    # broadcast-vs-copartition join shape below, so take it even when
+    # the caller pinned num_planes (a count is one cheap job — often
+    # answered from parquet footers — while the wrong join shape is a
+    # measured 7x on the candidate join). Callers that already know the
+    # size can pass corpus_rows to skip the job.
+    if corpus_rows is None:
         corpus_rows = df.count()
+    if num_planes is None:
         num_planes = choose_num_planes(corpus_rows)
     all_planes = hyperplanes(num_planes * num_tables, dim)
     keys = F.array(
@@ -574,9 +597,7 @@ def embedding_near_duplicates_lsh(
         *[F.col(f"t{t}").alias(f"b_t{t}") for t in range(num_tables)],
         "tbl", "key",
     )
-    broadcast_build = (
-        corpus_rows is not None and corpus_rows * num_tables <= 2_000_000
-    )
+    broadcast_build = corpus_rows * num_tables <= 2_000_000
     if broadcast_build:
         b = F.broadcast(b)
     else:

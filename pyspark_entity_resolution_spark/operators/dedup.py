@@ -415,10 +415,19 @@ def simhash_candidates(
 
 # ------------------------------------------------------ n-gram Jaccard --
 
+# session-scoped certificate memo, keyed by the corpus plan's semantic
+# hash + the gram expression. Token vocabularies grow with the corpus
+# (unlike the charset^k char-gram bound), so the certificate job is not
+# always trivially cheap — and bench/pipeline code re-certifies the SAME
+# corpus on every call (the bench harness alone builds each query four
+# times). Semantically-equal plans share one verdict per session.
+_INJECTIVITY_CACHE: dict[int, bool] = {}
+
+
 def _hash_injective(df: DataFrame, grams: Column) -> bool:
     """Certificate that ``xxhash64`` is injective on this corpus's
-    gram/token vocabulary: group the distinct values by their hash and
-    look for any bucket with two distinct values.
+    gram/token vocabulary: group the values by their hash and look for
+    any bucket holding two distinct values.
 
     One planning-time job over the vocabulary — char-k-gram vocabularies
     are bounded by charset^k (hundreds to tens of thousands of rows at
@@ -430,16 +439,46 @@ def _hash_injective(df: DataFrame, grams: Column) -> bool:
     returning the exact string-gram jaccard (injective hash => the two
     intersections are equal element-for-element). A collision (expected
     never: probability ~ C(vocab, 2) / 2^64) falls back to string
-    arrays, trading speed for unconditional exactness."""
+    arrays, trading speed for unconditional exactness.
+
+    NULL gram elements get special care: ``xxhash64(NULL)`` is the seed
+    (a real 64-bit value), while ``count_distinct`` IGNORES nulls — a
+    naive certificate could never see a null shadowing the real token
+    that hashes to the seed. Any bucket containing a null element
+    alongside one or more real values therefore counts as a collision
+    (null-only buckets are fine: null maps to the seed consistently on
+    both sides of the intersection).
+
+    Verdicts are memoized per session on the analyzed plan's semantic
+    hash, so repeated verification over the same corpus (bench re-runs,
+    multi-stage pipelines) pays the certificate once."""
+    key = None
+    try:  # classic-Spark Dataset.semanticHash; absent => skip the memo
+        # hash the PROJECTED plan (corpus + gram expression together):
+        # semanticHash normalizes expression/lambda-variable ids, so two
+        # independently-built but equal plans — e.g. the bench harness
+        # re-reading the same parquet per timing run — share a verdict,
+        # where the Column's string form would differ on a counter.
+        key = df.select(grams.alias("__gram"))._jdf.semanticHash()
+    except Exception:
+        pass
+    if key is not None and key in _INJECTIVITY_CACHE:
+        return _INJECTIVITY_CACHE[key]
     collisions = (
         df.select(F.explode(grams).alias("g"))
         .groupBy(F.xxhash64("g"))
         # one shuffle, not distinct-then-group: duplicates collapse in
         # the map-side partial aggregation of the distinct-count
-        .agg(F.count_distinct("g").alias("n"))
-        .filter(F.col("n") > 1)
+        .agg(
+            F.count_distinct("g").alias("n"),
+            F.max(F.col("g").isNull()).alias("has_null"),
+        )
+        .filter((F.col("n") > 1) | ((F.col("n") >= 1) & F.col("has_null")))
     )
-    return collisions.isEmpty()
+    ok = collisions.isEmpty()
+    if key is not None:
+        _INJECTIVITY_CACHE[key] = ok
+    return ok
 
 
 def ngram_jaccard_pairs(
@@ -539,9 +578,16 @@ def ngram_jaccard_pairs(
         .groupBy("gram")
         .agg(F.count(F.lit(1)).alias("df_cnt"))
     )
+    # NO broadcast hint on the frequency map: the prefix strategy is the
+    # right choice precisely for large/selective vocabularies, where
+    # shipping the whole gram->df map to every executor is a memory
+    # risk. A plain shuffle join is safe at any vocabulary size, and AQE
+    # converts it to a broadcast join at runtime when the built side
+    # turns out small — the size check happens with real stats, not a
+    # planning-time guess.
     ordered = (
         base.select("__id", *block_cols, "ng", F.explode("grams").alias("gram"))
-        .join(F.broadcast(freq), on="gram")
+        .join(freq, on="gram")
         .groupBy("__id", *block_cols, "ng")
         .agg(
             F.sort_array(
@@ -657,9 +703,13 @@ def incremental_minhash_matches(
     Streaming-clean: with ``arriving`` from ``readStream`` both joins
     are stream-static, append-mode, no keyed state — the arriving doc's
     tokens ride THROUGH the band explode so verification never needs a
-    stream-stream join back to the batch. Pair admission reuses the
-    first-colliding-band trick (both sides carry their band-key arrays),
-    so no dedup shuffle on the inflated candidate stream.
+    stream-stream join back to the batch (cost bounded by micro-batch
+    size). On the BATCH path the exploded band rows carry only the id
+    and band-key scalars; the token profile joins onto the admitted
+    candidates afterwards, so the verify arrays are never duplicated
+    bands-x through the exploded join. Pair admission reuses the
+    first-colliding-band trick (both sides carry their band-key
+    scalars), so no dedup shuffle on the inflated candidate stream.
     """
     rows_per_band = num_hashes // bands
     toks = F.array_distinct(tokens(F.col(text_col)))
@@ -681,18 +731,28 @@ def incremental_minhash_matches(
     if not arriving.isStreaming:
         staged2 = staged2.localCheckpoint(eager=False)
     keys = minhash_band_keys(F.col("sig"), bands, rows_per_band)
-    staged3 = staged2.select(
-        "__arr_id", "__arr_toks", "__arr_nt", keys.alias("__keys")
-    )
-    if not arriving.isStreaming:
+    # The verify payload (__arr_toks) rides through the band explode and
+    # candidate join ONLY on the streaming path, where joining it back
+    # would need a stream-stream join (documented below). On the batch
+    # path the exploded rows stay slim — (id, band scalars) — and the
+    # token profile joins onto the admitted candidates afterwards,
+    # avoiding a bands-x duplication of every doc's token array through
+    # the exploded join.
+    if arriving.isStreaming:
+        arr_carry = ["__arr_id", "__arr_toks", "__arr_nt"]
+        staged3 = staged2.select(*arr_carry, keys.alias("__keys"))
+    else:
+        arr_carry = ["__arr_id"]
         # barrier so the md5 band-key array is computed once, not once
         # per element_at extraction below
-        staged3 = staged3.localCheckpoint(eager=False)
+        staged3 = staged2.select(
+            "__arr_id", keys.alias("__keys")
+        ).localCheckpoint(eager=False)
     # band keys flattened to scalar columns on both sides: the
     # first-colliding-band admission unrolls to string equality in
     # whole-stage codegen (see minhash_lsh_candidates)
     arr = staged3.select(
-        "__arr_id", "__arr_toks", "__arr_nt",
+        *arr_carry,
         *[F.element_at("__keys", j + 1).alias(f"__arr_k{j}") for j in range(bands)],
         F.posexplode("__keys").alias("band_idx", "band_key"),
     )
@@ -710,6 +770,14 @@ def incremental_minhash_matches(
     cands = arr.join(acc, on=["band_idx", "band_key"]).filter(
         ~earlier_band_collides
     )
+    if not arriving.isStreaming:
+        # post-candidate verification join: admitted pairs are
+        # exactly-once, so this equi-join attaches each arriving doc's
+        # token profile to exactly its candidate rows
+        cands = cands.join(
+            staged2.select("__arr_id", "__arr_toks", "__arr_nt"),
+            on="__arr_id",
+        )
     prof = profile.select(
         F.col("id").alias("__acc_id"), F.col("toks").alias("__acc_toks"),
         F.col("nt").alias("__acc_nt"),

@@ -350,24 +350,36 @@ QUERIES["ann_methods_topk"].sql = _ANN_METHODS_BASE_SQL + f"""
     WHERE {_COS.format(a='ea.embedding', b='eb.embedding')} >= 0.3
     """,
     "UNBLOCKED embedding-cosine near-duplicate pairs: multi-table "
-    "sign-of-projection LSH self-join (4 tables x 4 md5-derived "
-    "hyperplanes — deterministic, hence fully oracle-checkable) with "
-    "exactly-once pair admission at the first colliding table, then "
-    "exact-cosine verify >= 0.3. The oracle's OR-join over the same "
-    "table keys yields the identical distinct pair set; the engine "
-    "never runs the all-pairs scan",
+    "sign-of-projection LSH self-join (4 tables of md5-derived "
+    "hyperplanes, ADAPTIVE plane count via choose_num_planes; the "
+    "oracle SQL's keys are pinned at 4 planes and a build-time guard "
+    "fails loudly if the gate corpus ever outgrows the 4-plane band) "
+    "with exactly-once pair admission at the first colliding table, "
+    "then exact-cosine verify >= 0.3. The oracle's OR-join over the "
+    "same table keys yields the identical distinct pair set; the "
+    "engine never runs the all-pairs scan",
 )
 def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ADAPTIVE plane count (the operator's scale path: bucket space grows
     # with the corpus so per-bucket candidate cost stays flat — a pinned
     # 4-plane run was measured x3.8 slower at x10 data). Oracle parity:
-    # the SQL's 4-plane keys equal choose_num_planes(n) for every corpus
-    # up to 16384 vectors, which covers the driver's sf0.001/sf0.01 gate
-    # scales (500 vectors at sf0.01) — pinned by
-    # tests/test_ann_recall.py::test_choose_num_planes_matches_oracle_scales.
+    # the SQL above hard-codes 4-plane keys (k0..k3), valid only while
+    # choose_num_planes(n) == 4 — i.e. n <= 16 * TARGET_BUCKET_SIZE.
+    # Guard it at query-build time so a larger gate corpus fails with a
+    # clear message instead of a mystery hash-mismatch.
     e = load(spark, sf_dir, "embeddings")
+    ee = spread(spark, e)
+    n = ee.count()
+    planes = A.choose_num_planes(n)
+    if planes != 4:
+        raise AssertionError(
+            f"embedding_near_dup_lsh's DuckDB oracle is pinned at 4-plane "
+            f"LSH keys, but choose_num_planes({n}) = {planes} for this "
+            f"corpus — regenerate _MT_KEYS_SQL with {planes} planes (or "
+            f"run the gate at a smaller sf)"
+        )
     return A.embedding_near_duplicates_lsh(
-        spread(spark, e), threshold=0.3, num_planes=None, num_tables=4
+        ee, threshold=0.3, num_planes=planes, num_tables=4, corpus_rows=n
     )
 
 
