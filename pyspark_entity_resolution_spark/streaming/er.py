@@ -168,6 +168,38 @@ def _node_bucket(n_buckets: int) -> Column:
     return F.pmod(F.xxhash64(F.col("node")), F.lit(n_buckets)).cast("int")
 
 
+# Observability for the latest incremental fold (read by tests and
+# operational tooling): "expansion_buckets" is the bucket list the
+# member expansion was pruned to, or None when the fold fell back to a
+# full-store expansion (index absent or behind); "expansion_scan" is
+# the pruned store scan itself, whose physical plan shows the partition
+# filter. Overwritten by every incremental fold in this process.
+LAST_FOLD_INFO: dict = {}
+
+
+def _cidx_path(labels_path: str) -> str:
+    """Sibling directory of the label store holding the component->bucket
+    index: one row per distinct ``(component, bucket)`` pair, partitioned
+    by ``bucket`` exactly like the store itself. The index is what makes
+    member expansion O(touched components): it answers "which buckets
+    hold members of these components" without scanning node rows."""
+    return labels_path.rstrip("/") + "__cidx"
+
+
+def _write_component_index(labels: DataFrame, cidx_path: str, dynamic: bool) -> None:
+    """(Re)write component->bucket index rows. ``labels`` must carry
+    (component, bucket); with ``dynamic=True`` only the partitions
+    present in ``labels`` are replaced (per-fold maintenance), otherwise
+    the whole index is laid down (cold start / migration)."""
+    writer = (
+        labels.select("component", "bucket").distinct()
+        .write.mode("overwrite")
+    )
+    if dynamic:
+        writer = writer.option("partitionOverwriteMode", "dynamic")
+    writer.partitionBy("bucket").parquet(cidx_path)
+
+
 def incremental_entity_labels(
     spark,
     labels_path: str,
@@ -199,6 +231,24 @@ def incremental_entity_labels(
     stay constant for the lifetime of a store (it defines the layout);
     a store written by the pre-bucketed flat layout is migrated
     wholesale on its first fold.
+
+    READS are bucket-pruned symmetrically via a component->bucket side
+    index (``{labels_path}__cidx``: one tiny row per distinct
+    (component, bucket) pair, partitioned by bucket like the store):
+    the node probe prunes to the batch nodes' own buckets, and member
+    expansion reads only the buckets the index lists for the hit
+    components — per-batch read is O(touched components), matching the
+    write's O(touched buckets). Index maintenance rides the same
+    dynamic partition overwrite (touched buckets only). Crash safety:
+    the index is written BEFORE the store each fold, so after a crash
+    between the two writes the index is at most AHEAD of the store —
+    a component id the interrupted fold retired is then absent from
+    the index, which the fold detects and answers with one
+    full-store expansion (ids keep their pre-fold buckets listed,
+    because member sets only grow, so a present id's bucket list is
+    always a superset of its true buckets); a store with no index yet
+    (pre-index layout) takes the same full-scan path once and builds
+    the index after its fold.
 
     Node identity is namespaced ``{side}:{id}`` exactly like the batch
     operator (operators/clustering.py cluster_matched_pairs), so drained
@@ -233,9 +283,11 @@ def incremental_entity_labels(
                 )
             )
         labels = connected_components(edges).localCheckpoint()
-        labels.withColumn("bucket", _node_bucket(n_buckets)).write.mode(
-            "overwrite"
-        ).partitionBy("bucket").parquet(labels_path)
+        bucketed = labels.withColumn("bucket", _node_bucket(n_buckets))
+        bucketed.write.mode("overwrite").partitionBy("bucket").parquet(
+            labels_path
+        )
+        _write_component_index(bucketed, _cidx_path(labels_path), dynamic=False)
         return labels
 
     # --- incremental fold against the bucketed store -----------------
@@ -249,10 +301,7 @@ def incremental_entity_labels(
     # batch nodes' own buckets: the bucket values are collected (at most
     # n_buckets small ints — driver-safe by construction) and applied as
     # a static isin filter on the partition column, so the scan reads
-    # only those directories instead of the whole store. The member
-    # expansion below still scans all buckets (members of a hit
-    # component can live anywhere — a component->bucket index would be
-    # the next refinement).
+    # only those directories instead of the whole store.
     batch_buckets = batch_nodes.withColumn("bucket", _node_bucket(n_buckets))
     probe_buckets = [
         r.bucket for r in batch_buckets.select("bucket").distinct().collect()
@@ -262,8 +311,46 @@ def incremental_entity_labels(
         .join(batch_buckets, on=["bucket", "node"], how="inner")
         .select("component")
         .distinct()
+        # reused by the index probe, the bucket-pruned expansion, and
+        # (on fallback) the full expansion — materialize once
+        .localCheckpoint()
     )
-    members = prev.join(hit_components, on="component", how="left_semi")
+    # member expansion, bucket-pruned through the component->bucket
+    # index: collect the (<= n_buckets) bucket ids holding members of
+    # hit components and read only those directories. Fall back to one
+    # full-store expansion when the index is absent (pre-index store) or
+    # does not know every hit component (crash between the index and
+    # store writes of a previous fold — see the docstring's crash-safety
+    # contract).
+    try:
+        cidx = spark.read.parquet(_cidx_path(labels_path))
+    except AnalysisException:
+        cidx = None
+    member_buckets = None
+    if cidx is not None:
+        hits_with_buckets = cidx.join(
+            F.broadcast(hit_components), on="component", how="inner"
+        )
+        probe = hits_with_buckets.agg(
+            F.count_distinct("component").alias("known"),
+            F.collect_set("bucket").alias("buckets"),
+        ).collect()[0]
+        n_hit = hit_components.count()
+        if probe["known"] == n_hit:
+            member_buckets = probe["buckets"]
+    scan = (
+        prev
+        if member_buckets is None
+        else prev.filter(F.col("bucket").isin([int(b) for b in member_buckets]))
+    )
+    LAST_FOLD_INFO.clear()
+    LAST_FOLD_INFO.update(
+        expansion_buckets=(
+            None if member_buckets is None else sorted(int(b) for b in member_buckets)
+        ),
+        expansion_scan=scan,
+    )
+    members = scan.join(hit_components, on="component", how="left_semi")
     star = members.select(
         F.col("node").alias("src"), F.col("component").alias("dst")
     )
@@ -285,15 +372,94 @@ def incremental_entity_labels(
     to_write = new_labels.withColumn("bucket", _node_bucket(n_buckets)).unionByName(
         carried
     )
+    # index first, store second (inputs are checkpointed, so the two
+    # writes see identical rows): a crash between them leaves the index
+    # ahead of the store, the recoverable direction — see docstring. A
+    # pre-index store instead rebuilds the whole index after its fold.
+    if cidx is not None:
+        _write_component_index(to_write, _cidx_path(labels_path), dynamic=True)
     to_write.write.mode("overwrite").option(
         "partitionOverwriteMode", "dynamic"
     ).partitionBy("bucket").parquet(labels_path)
+    if cidx is None:
+        _write_component_index(
+            spark.read.parquet(labels_path), _cidx_path(labels_path),
+            dynamic=False,
+        )
 
     # full current table via a FRESH post-write read: the pre-write
     # `prev` plan captured a file listing whose touched-bucket files the
     # dynamic overwrite just replaced, so re-using it would read deleted
     # files; a new read lists the store as it now is
     return spark.read.parquet(labels_path).select("node", "component")
+
+
+def _bucket_file_counts(spark, path: str) -> dict[int, int]:
+    """Per-bucket parquet data-file counts of a bucket-partitioned store,
+    via the Hadoop FileSystem API (storage-agnostic: local, HDFS, S3A).
+    Returns {} for a store that does not exist yet."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return {}
+    counts: dict[int, int] = {}
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith("bucket=")):
+            continue
+        counts[int(name.split("=", 1)[1])] = sum(
+            1
+            for f in fs.listStatus(st.getPath())
+            if f.getPath().getName().endswith(".parquet")
+        )
+    return counts
+
+
+def compact_label_store(
+    spark,
+    labels_path: str,
+    max_files_per_bucket: int = 8,
+    include_index: bool = True,
+) -> list[int]:
+    """Rewrite-coalesce label-store buckets whose data-file count exceeds
+    ``max_files_per_bucket``, down to ~one file per bucket. Returns the
+    compacted bucket ids (label store; the index compacts silently).
+
+    Every fold's dynamic partition overwrite can emit one file per task
+    per touched bucket, so hot buckets accumulate small files between
+    folds and slow the full-table read. Compaction is row-lossless: the
+    over-threshold buckets are read, materialized (their files are about
+    to be replaced), repartitioned so each bucket lands in one task, and
+    dynamically overwritten in place — untouched buckets keep their
+    files byte-identical. Safe to run between folds (same writer path,
+    same layout); schedule it via ``streaming_resolve_entities``'s
+    ``compact_every`` or call it directly.
+    """
+    compacted: list[int] = []
+    paths = [labels_path]
+    if include_index:
+        paths.append(_cidx_path(labels_path))
+    for path in paths:
+        counts = _bucket_file_counts(spark, path)
+        over = sorted(b for b, n in counts.items() if n > max_files_per_bucket)
+        if not over:
+            continue
+        rows = (
+            spark.read.parquet(path)
+            .filter(F.col("bucket").isin(over))
+            .localCheckpoint()  # materialize before replacing source files
+        )
+        (
+            rows.repartition(len(over), "bucket")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(path)
+        )
+        if path == labels_path:
+            compacted = over
+    return compacted
 
 
 def streaming_resolve_entities(
@@ -306,6 +472,8 @@ def streaming_resolve_entities(
     query_name: str = "streaming_entities",
     checkpoint_dir: str | None = None,
     n_buckets: int = 64,
+    compact_every: int | None = None,
+    max_files_per_bucket: int = 8,
 ):
     """Drive a match-pair stream all the way to an entity table — the
     last batch capability the streaming twin lacked. Each micro-batch
@@ -316,6 +484,10 @@ def streaming_resolve_entities(
 
     Returns the started StreamingQuery; read the entity table at any
     point with :func:`entity_table`.
+
+    ``compact_every=N`` runs :func:`compact_label_store` after every Nth
+    micro-batch so hot buckets don't accumulate small files across
+    folds (threshold ``max_files_per_bucket``).
     """
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
@@ -323,6 +495,10 @@ def streaming_resolve_entities(
             batch_df.sparkSession, labels_path, batch_df,
             left_id, right_id, left_name, right_name, n_buckets,
         )
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            compact_label_store(
+                batch_df.sparkSession, labels_path, max_files_per_bucket
+            )
 
     writer = matches.writeStream.foreachBatch(_fold).queryName(query_name)
     if checkpoint_dir is not None:

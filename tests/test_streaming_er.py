@@ -403,3 +403,203 @@ def test_flat_label_store_migrates_to_bucketed(spark, tmp_path):
         ).collect()
     }
     assert got == expected
+
+
+def test_member_expansion_prunes_to_index_buckets(spark, tmp_path):
+    """The component->bucket index must narrow member expansion to the
+    buckets actually holding members of hit components: the fold records
+    a proper subset of live buckets, the pruned scan's physical plan
+    carries a partition filter on the bucket column, and the resulting
+    labels still equal the from-scratch batch run."""
+    import os
+
+    from pyspark_entity_resolution_spark.operators.clustering import (
+        cluster_matched_pairs,
+    )
+    from pyspark_entity_resolution_spark.streaming import er as ser
+
+    labels_path = str(tmp_path / "labels_cidx")
+    n_buckets = 8
+    batch1 = spark.createDataFrame(
+        [(i, 100 + i) for i in range(1, 13)], "a_id long, b_id long"
+    )
+    ser.incremental_entity_labels(spark, labels_path, batch1, n_buckets=n_buckets)
+    assert os.path.isdir(labels_path + "__cidx")  # index laid down at cold start
+
+    live_buckets = {
+        int(d.split("=", 1)[1])
+        for d in os.listdir(labels_path)
+        if d.startswith("bucket=")
+    }
+    assert len(live_buckets) > 2
+
+    batch2 = spark.createDataFrame([(1, 120)], "a_id long, b_id long")
+    ser.incremental_entity_labels(spark, labels_path, batch2, n_buckets=n_buckets)
+
+    pruned = ser.LAST_FOLD_INFO["expansion_buckets"]
+    assert pruned is not None  # the index answered, no full-scan fallback
+    assert set(pruned) < live_buckets  # strictly fewer buckets than the store
+    plan = (
+        ser.LAST_FOLD_INFO["expansion_scan"]
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    pf = plan.split("PartitionFilters:", 1)
+    assert len(pf) == 2 and "bucket" in pf[1].splitlines()[0]
+
+    got = {
+        (r["id"], r["df_name"], r["cluster_id"])
+        for r in ser.entity_table(spark, labels_path).collect()
+    }
+    expected = {
+        (r["id"], r["df_name"], r["cluster_id"])
+        for r in cluster_matched_pairs(
+            batch1.unionByName(batch2), "a_id", "b_id"
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_expansion_full_scan_without_index_then_rebuilds(spark, tmp_path):
+    """A bucketed store with no component index (pre-index layout, or a
+    crash before the cold-start index write) folds via one full-store
+    expansion, still lands on batch-equal labels, and leaves a rebuilt
+    index behind for the next fold."""
+    import os
+    import shutil
+
+    from pyspark_entity_resolution_spark.operators.clustering import (
+        cluster_matched_pairs,
+    )
+    from pyspark_entity_resolution_spark.streaming import er as ser
+
+    labels_path = str(tmp_path / "labels_noidx")
+    batch1 = spark.createDataFrame(
+        [(1, 101), (2, 102)], "a_id long, b_id long"
+    )
+    batch2 = spark.createDataFrame([(1, 102)], "a_id long, b_id long")
+    ser.incremental_entity_labels(spark, labels_path, batch1, n_buckets=4)
+    shutil.rmtree(labels_path + "__cidx")
+
+    ser.incremental_entity_labels(spark, labels_path, batch2, n_buckets=4)
+    assert ser.LAST_FOLD_INFO["expansion_buckets"] is None  # full-scan path
+    assert os.path.isdir(labels_path + "__cidx")  # rebuilt after the fold
+
+    got = {
+        (r["id"], r["df_name"], r["cluster_id"])
+        for r in ser.entity_table(spark, labels_path).collect()
+    }
+    expected = {
+        (r["id"], r["df_name"], r["cluster_id"])
+        for r in cluster_matched_pairs(
+            batch1.unionByName(batch2), "a_id", "b_id"
+        ).collect()
+    }
+    assert got == expected
+
+    # the rebuilt index serves the NEXT fold (pruned again)
+    batch3 = spark.createDataFrame([(2, 103)], "a_id long, b_id long")
+    ser.incremental_entity_labels(spark, labels_path, batch3, n_buckets=4)
+    assert ser.LAST_FOLD_INFO["expansion_buckets"] is not None
+
+
+def test_expansion_falls_back_when_index_misses_a_component(spark, tmp_path):
+    """Crash-recovery contract: a hit component absent from the index
+    (the index ran ahead of the store in an interrupted fold) must force
+    the full-store expansion, never a silent partial one."""
+    from pyspark.sql import functions as F  # noqa: F811 (local clarity)
+
+    from pyspark_entity_resolution_spark.operators.clustering import (
+        cluster_matched_pairs,
+    )
+    from pyspark_entity_resolution_spark.streaming import er as ser
+
+    labels_path = str(tmp_path / "labels_stale")
+    cidx_path = labels_path + "__cidx"
+    batch1 = spark.createDataFrame(
+        [(1, 101), (2, 102)], "a_id long, b_id long"
+    )
+    ser.incremental_entity_labels(spark, labels_path, batch1, n_buckets=4)
+
+    # simulate an index that no longer knows the component of node a:1
+    victim = (
+        spark.read.parquet(labels_path)
+        .filter(F.col("node") == "a:1")
+        .select("component")
+        .collect()[0][0]
+    )
+    pruned_idx = (
+        spark.read.parquet(cidx_path)
+        .filter(F.col("component") != victim)
+        .localCheckpoint()
+    )
+    pruned_idx.write.mode("overwrite").partitionBy("bucket").parquet(cidx_path)
+
+    batch2 = spark.createDataFrame([(1, 103)], "a_id long, b_id long")
+    ser.incremental_entity_labels(spark, labels_path, batch2, n_buckets=4)
+    assert ser.LAST_FOLD_INFO["expansion_buckets"] is None  # detected, fell back
+
+    got = {
+        (r["id"], r["df_name"], r["cluster_id"])
+        for r in ser.entity_table(spark, labels_path).collect()
+    }
+    expected = {
+        (r["id"], r["df_name"], r["cluster_id"])
+        for r in cluster_matched_pairs(
+            batch1.unionByName(batch2), "a_id", "b_id"
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_compaction_coalesces_hot_buckets_losslessly(spark, tmp_path):
+    """compact_label_store must drop an over-threshold bucket to ~one
+    data file while leaving the entity table row-identical and the
+    other buckets' files untouched."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from pyspark_entity_resolution_spark.streaming import er as ser
+
+    labels_path = str(tmp_path / "labels_compact")
+    n_buckets = 4
+    batch = spark.createDataFrame(
+        [(i, 100 + i) for i in range(1, 21)], "a_id long, b_id long"
+    )
+    ser.incremental_entity_labels(spark, labels_path, batch, n_buckets=n_buckets)
+
+    counts = ser._bucket_file_counts(spark, labels_path)
+    hot = max(counts, key=counts.get)
+    # fragment the hot bucket in place (row-lossless rewrite into many
+    # files) to simulate file accumulation across folds
+    frag = (
+        spark.read.parquet(labels_path)
+        .filter(F.col("bucket") == hot)
+        .localCheckpoint()
+    )
+    (
+        frag.repartition(10)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(labels_path)
+    )
+    before_rows = {
+        tuple(r) for r in spark.read.parquet(labels_path).collect()
+    }
+    before_counts = ser._bucket_file_counts(spark, labels_path)
+    assert before_counts[hot] > 8
+    before_files = _snapshot_bucket_files(labels_path)
+
+    compacted = ser.compact_label_store(spark, labels_path, max_files_per_bucket=8)
+    assert compacted == [hot]
+    after_counts = ser._bucket_file_counts(spark, labels_path)
+    assert after_counts[hot] <= 2  # coalesced (one task -> one file)
+    after_rows = {
+        tuple(r) for r in spark.read.parquet(labels_path).collect()
+    }
+    assert after_rows == before_rows  # lossless
+
+    after_files = _snapshot_bucket_files(labels_path)
+    for rel, data in before_files.items():
+        if f"bucket={hot}/" in rel or rel.startswith(f"bucket={hot}"):
+            continue
+        assert after_files.get(rel) == data  # untouched buckets byte-identical
