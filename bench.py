@@ -52,8 +52,15 @@ PACK_PROVENANCE: dict[str, dict[str, list[str]]] = {
     "dedup_substring_spans": {
         # r4 extended this entry: section 'span' (detection, the r3
         # output) + section 'cut' (keep-first span cutting, Lee et al.
-        # §4) — the entry now executes the window pipeline twice.
-        "constituents": ["duplicated_spans", "cut_spans_keep_first"],
+        # §4). r5 added section 'cut_all' (no-survivor cutting,
+        # keep_first=False); all three sections now share ONE
+        # materialized duplicated-window set, so the window pipeline
+        # runs once, not per section.
+        "constituents": [
+            "duplicated_spans",
+            "cut_spans_keep_first",
+            "cut_spans_no_survivor (r5)",
+        ],
         "renamed_from": ["dedup_substring_spans (spans only, r3)"],
     },
     "dedup_minhash_lsh": {

@@ -256,6 +256,29 @@ def span_report(
     return spans, cut
 
 
+def span_report_with_cut_variants(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 10,
+    min_occurrences: int = 2,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """:func:`span_report` plus the no-survivor cut in one pass:
+    ``(spans, cut_keep_first, cut_all)``, all three sharing ONE
+    materialized duplicated-window set. ``cut_all`` removes EVERY
+    occurrence of every duplicated window (``keep_first=False``) — its
+    cut intervals are by construction exactly the ``spans`` rows, so
+    the only extra cost over :func:`span_report` is the second
+    per-document token filter, not a second window-hash pipeline."""
+    dup_wins = _dup_windows(df, id_col, text_col, w, min_occurrences).localCheckpoint()
+    spans = _merge_intervals(
+        dup_wins.select("id", "start", (F.col("start") + F.lit(w - 1)).alias("end"))
+    )
+    cut_first = _cut_from_windows(df, dup_wins, id_col, text_col, w, True)
+    cut_all = _cut_from_windows(df, dup_wins, id_col, text_col, w, False)
+    return spans, cut_first, cut_all
+
+
 def duplication_profile(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -639,6 +639,22 @@ _SPAN_W = 10
       SELECT t.doc_id, coalesce(c.text, '') AS text,
              CAST(len(t.tk) - coalesce(c.n_kept, 0) AS BIGINT) AS n_tokens_cut
       FROM t LEFT JOIN cutagg c ON t.doc_id = c.doc_id
+    ),
+    akept AS (
+      SELECT p.doc_id, p.pos, p.tok FROM pos p
+      WHERE NOT EXISTS (SELECT 1 FROM spans s
+                        WHERE s.doc_id = p.doc_id
+                          AND p.pos BETWEEN s.span_start AND s.span_end)
+    ),
+    acutagg AS (
+      SELECT doc_id, array_to_string(list(tok ORDER BY pos), ' ') AS text,
+             COUNT(*) AS n_kept
+      FROM akept GROUP BY doc_id
+    ),
+    acut AS (
+      SELECT t.doc_id, coalesce(c.text, '') AS text,
+             CAST(len(t.tk) - coalesce(c.n_kept, 0) AS BIGINT) AS n_tokens_cut
+      FROM t LEFT JOIN acutagg c ON t.doc_id = c.doc_id
     )
     SELECT 'span' AS section, doc_id, span_start, span_end, span_tokens,
            CAST(NULL AS BIGINT) AS n_tokens_cut, CAST(NULL AS VARCHAR) AS text
@@ -647,6 +663,10 @@ _SPAN_W = 10
     SELECT 'cut' AS section, doc_id, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
            CAST(NULL AS BIGINT), n_tokens_cut, text
     FROM cut
+    UNION ALL
+    SELECT 'cut_all' AS section, doc_id, CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), n_tokens_cut, text
+    FROM acut
     """,
     "exact substring deduplication (the Lee et al. arXiv:2107.06499 "
     "operation, distributed): rolling 10-token window md5 fingerprints, "
@@ -657,13 +677,16 @@ _SPAN_W = 10
     "'cut' is the corpus-cleaning ACTION — every document rewritten with "
     "its duplicated spans removed under the keep-first-occurrence policy "
     "(min (doc_id, start) per window hash survives, so one copy of each "
-    "duplicated region remains corpus-wide, Lee et al. §4)",
+    "duplicated region remains corpus-wide, Lee et al. §4); section "
+    "'cut_all' is the no-survivor policy (keep_first=False: EVERY "
+    "occurrence of every duplicated window removed — the cut intervals "
+    "are exactly the 'span' rows)",
 )
 def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.substring_dedup import span_report
+    from ..operators.substring_dedup import span_report_with_cut_variants
 
     d = spread(spark, load(spark, sf_dir, "documents"))
-    spans_df, cut_df = span_report(d, w=_SPAN_W)
+    spans_df, cut_df, cut_all_df = span_report_with_cut_variants(d, w=_SPAN_W)
     spans = spans_df.select(
         F.lit("span").alias("section"),
         F.col("id").alias("doc_id"),
@@ -673,16 +696,20 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("bigint").alias("n_tokens_cut"),
         F.lit(None).cast("string").alias("text"),
     )
-    cut = cut_df.select(
-        F.lit("cut").alias("section"),
-        F.col("id").alias("doc_id"),
-        F.lit(None).cast("bigint").alias("span_start"),
-        F.lit(None).cast("bigint").alias("span_end"),
-        F.lit(None).cast("bigint").alias("span_tokens"),
-        F.col("n_tokens_cut"),
-        F.col("text"),
+    def _cut_section(cdf: DataFrame, name: str) -> DataFrame:
+        return cdf.select(
+            F.lit(name).alias("section"),
+            F.col("id").alias("doc_id"),
+            F.lit(None).cast("bigint").alias("span_start"),
+            F.lit(None).cast("bigint").alias("span_end"),
+            F.lit(None).cast("bigint").alias("span_tokens"),
+            F.col("n_tokens_cut"),
+            F.col("text"),
+        )
+
+    return spans.unionByName(_cut_section(cut_df, "cut")).unionByName(
+        _cut_section(cut_all_df, "cut_all")
     )
-    return spans.unionByName(cut)
 
 
 @q(

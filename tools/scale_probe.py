@@ -345,6 +345,33 @@ def probe_century(spark) -> None:
         flush=True,
     )
 
+    # --- the flagship path two decades up: full ER pipeline (parse ->
+    # clean -> block N=3 -> match -> CC -> resolve) at 300k records/side
+    # vs the 3k bench scale. The blocked window keeps candidate pairs
+    # linear in n; the planted-duplicate rate is n-proportional, so the
+    # match/cluster workload scales exactly x100.
+    from pyspark_entity_resolution_spark.pipeline import (
+        ERConfig,
+        run_er_pipeline,
+    )
+
+    def _er(n, path):
+        pa, pb = _gen_er_corpus(path, n_per_side=n)
+        out = run_er_pipeline(spark, pa, pb, ERConfig(window=3))
+        return out["entities"].count()
+
+    t1 = _timed(
+        "er_pipeline 3k/side", lambda: _er(3000, "/tmp/er_bench_corpus_v1")
+    )
+    t2 = _timed(
+        "er_pipeline 300k/side (x100)",
+        lambda: _scaled_partitions(
+            lambda: _er(300_000, "/tmp/er_scale_corpus_300k")
+        ),
+        runs=1,
+    )
+    print(f"[century] er_pipeline x100 data -> x{t2 / t1:.1f} time", flush=True)
+
 
 def _emb_x10(spark, base_dir: str = "/root/testdata/sf0.1") -> str:
     """10x embeddings corpus at /tmp (cached): copies 1-9 get remapped
