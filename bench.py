@@ -306,27 +306,34 @@ def main() -> None:
         except Exception:  # table absent in this testdata vintage
             tables[t] = None
 
-    # Two stdout lines, metadata FIRST and the compact headline LAST:
-    # the driver keeps only a bounded tail of stdout and parses the
-    # final JSON line. In round 4 a single combined line put the large
-    # workload blob at the end, the tail caught only the blob, and the
-    # official per-query timings were lost ("parsed": null). The
-    # headline line below is small and stable-size; the self-describing
-    # workload metadata stays available on its own preceding line.
+    emit_bench_artifact(
+        total,
+        per_query,
+        sf,
+        {
+            "sf_dir": sf_dir,
+            "table_rows": tables,
+            "query_result_rows": query_rows,
+            "er_corpus": er_corpus_meta(),
+            "pack_provenance": PACK_PROVENANCE,
+        },
+    )
+    spark.stop()
+
+
+def emit_bench_artifact(
+    total: float, per_query: dict, sf: float, workload: dict
+) -> None:
+    """Two stdout lines, metadata FIRST and the compact headline LAST:
+    the driver keeps only a bounded tail of stdout and parses the final
+    JSON line. In round 4 a single combined line put the large workload
+    blob at the end, the tail caught only the blob, and the official
+    per-query timings were lost ("parsed": null). The headline line is
+    small and stable-size; the self-describing workload metadata stays
+    available on its own preceding line. Contract pinned by
+    tests/test_cli.py::test_bench_artifact_tail_parses."""
     print(
-        json.dumps(
-            {
-                "metric": "workload_metadata",
-                "sf": sf,
-                "workload": {
-                    "sf_dir": sf_dir,
-                    "table_rows": tables,
-                    "query_result_rows": query_rows,
-                    "er_corpus": er_corpus_meta(),
-                    "pack_provenance": PACK_PROVENANCE,
-                },
-            }
-        ),
+        json.dumps({"metric": "workload_metadata", "sf": sf, "workload": workload}),
         flush=True,
     )
     print(
@@ -341,7 +348,6 @@ def main() -> None:
         ),
         flush=True,
     )
-    spark.stop()
 
 
 if __name__ == "__main__":

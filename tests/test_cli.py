@@ -41,3 +41,29 @@ def test_cli_run_matches_oracle(tmp_path):
     assert stats["matches"] == len(oracle_matches(recs_a, recs_b, window=3))
     assert stats["entities"] > 0
     assert (tmp_path / "out" / "entities_csv" / "Matched_Entities.csv").exists()
+
+
+def test_bench_artifact_tail_parses(capsys):
+    """The driver records only a bounded TAIL of bench stdout and parses
+    the final JSON line for per-query timings. The emission contract:
+    last line is the compact headline (timings present, no bulky
+    workload blob), preceded by the self-describing metadata line."""
+    import bench
+
+    bench.emit_bench_artifact(
+        12.345,
+        {"q1": 1.0, "q2": 2.0},
+        0.1,
+        {"table_rows": {"lineitem": 600572}, "pack_provenance": {}},
+    )
+    lines = [l for l in capsys.readouterr().out.strip().splitlines() if l.strip()]
+    assert len(lines) == 2
+    head = json.loads(lines[-1])
+    assert head["metric"] == "headline_total_runtime"
+    assert head["queries"] == {"q1": 1.0, "q2": 2.0}
+    assert head["value"] == 12.345 and head["unit"] == "sec"
+    assert "workload" not in head  # the blob must not ride the tail line
+    assert len(lines[-1]) < 4096  # stays inside any sane tail window
+    meta = json.loads(lines[-2])
+    assert meta["metric"] == "workload_metadata"
+    assert meta["workload"]["table_rows"]["lineitem"] == 600572

@@ -133,3 +133,68 @@ def test_string_fallback_path_equals_brute_force(spark, monkeypatch):
     want = _rows(_brute_force(df, k=3, threshold=0.5))
     assert len(want) > 0
     assert got == want
+
+
+def test_certificate_memoizes_across_equal_plans(spark, tmp_path):
+    """The injectivity certificate must be paid once per session for a
+    given (corpus plan, gram expression): a SECOND call over a freshly
+    re-read but semantically equal plan must hit the memo (proved by
+    poisoning the cached verdict), and a different gram expression must
+    NOT share the entry."""
+    from pyspark_entity_resolution_spark.operators import dedup as dd
+
+    path = str(tmp_path / "memo_corpus.parquet")
+    rng = random.Random(13)
+    spark.createDataFrame(
+        _corpus(rng, 30), ["doc_id", "text", "lang", "source"]
+    ).write.parquet(path)
+
+    def fresh_grams():
+        # independently-built Column: lambda-variable counters differ
+        # between constructions, which is exactly what the plan-hash key
+        # must normalize away
+        return F.array_distinct(char_shingles(F.col("text"), 3))
+
+    before = dict(dd._INJECTIVITY_CACHE)
+    try:
+        assert dd._hash_injective(spark.read.parquet(path), fresh_grams()) is True
+        new_keys = set(dd._INJECTIVITY_CACHE) - set(before)
+        assert len(new_keys) == 1
+        (key,) = new_keys
+        dd._INJECTIVITY_CACHE[key] = False  # poison: only a memo hit returns this
+        assert dd._hash_injective(spark.read.parquet(path), fresh_grams()) is False
+        # a different gram expression keys separately (recomputes, True)
+        other = F.array_distinct(char_shingles(F.col("text"), 4))
+        assert dd._hash_injective(spark.read.parquet(path), other) is True
+    finally:
+        dd._INJECTIVITY_CACHE.clear()
+        dd._INJECTIVITY_CACHE.update(before)
+
+
+def test_certificate_tolerates_null_grams(spark):
+    """Null gram elements hash to the xxhash64 seed (a real value), and
+    the certificate only refuses when a null SHARES its bucket with a
+    distinct real value — a preimage of the seed, which no constructible
+    corpus contains. What IS constructible: corpora with null elements
+    must still certify (nulls map to the seed consistently on both sides
+    of a hash intersection, so they are not a correctness hazard on
+    their own), including the null-only-bucket and null-beside-values
+    layouts that a naive count_distinct-based check mishandles."""
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from pyspark_entity_resolution_spark.operators import dedup as dd
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("grams", ArrayType(StringType(), containsNull=True)),
+    ])
+    df = spark.createDataFrame(
+        [(1, ["alpha", None]), (2, ["beta", None]), (3, [None])], schema
+    )
+    assert dd._hash_injective(df, F.col("grams")) is True
