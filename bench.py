@@ -100,11 +100,22 @@ HEADLINE = [
 ]
 
 
-def _gen_er_corpus(path: str, n_per_side: int = 3000, seed: int = 11) -> tuple[str, str]:
+def _gen_er_corpus(
+    path: str, n_per_side: int = 3000, seed: int = 11, n_years: int = 10
+) -> tuple[str, str]:
     """Deterministic AMiner-format corpus at the reference workload's
     post-filter scale (~2.5-3k records/side, SIGMOD/VLDB 1995-2004,
     ~8% planted cross-side duplicates — report.pdf p.7: 1,604 dups in
-    ~2.3-2.6k records/side). Cached on disk across runs."""
+    ~2.3-2.6k records/side). Cached on disk across runs.
+
+    ``n_years`` widens the year span (records/year held at
+    n_per_side/n_years) for scale probes: year-window blocking makes
+    candidate pairs quadratic in PER-YEAR density, so an n-fold corpus
+    with the default fixed 10-year span measures n² OUTPUT growth, not
+    engine scaling — growing the span with n keeps block sizes constant
+    and the blocked workload exactly linear (the ER analog of the
+    dedup probes' per-copy token salting). Callers widening n_years
+    must run the pipeline with a matching ``ERConfig.year_upper``."""
     import random
 
     from pyspark_entity_resolution_spark.sources.aminer import format_aminer_record
@@ -134,7 +145,7 @@ def _gen_er_corpus(path: str, n_per_side: int = 3000, seed: int = 11) -> tuple[s
         authors = ", ".join(
             f"{rng.choice(first)} {rng.choice(last)}" for _ in range(1 + i % 3)
         )
-        year = 1995 + (i % 10)
+        year = 1995 + (i % n_years)
         v = i % 2
         recs_a.append(
             format_aminer_record(title, authors, year, venues_a[v], f"a{idx:06d}")
@@ -152,7 +163,7 @@ def _gen_er_corpus(path: str, n_per_side: int = 3000, seed: int = 11) -> tuple[s
             )
             recs_b.append(
                 format_aminer_record(
-                    title_b, authors_b, 1995 + ((i + 3) % 10), venues_b[v],
+                    title_b, authors_b, 1995 + ((i + 3) % n_years), venues_b[v],
                     f"b{idx:06d}",
                 )
             )

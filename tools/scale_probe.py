@@ -245,6 +245,53 @@ def _docs_xn(spark, factor: int, base_dir: str = "/root/testdata/sf0.1") -> str:
     return dest
 
 
+def _release_leg_state(spark) -> None:
+    """Drop the previous leg's lingering executor state so each operator
+    family measures from a clean slate. The x100 legs localCheckpoint
+    hundreds of blocks (e.g. the 540M-row minhash verify inputs); those
+    blocks are only released when their Python DataFrame objects are
+    collected AND the JVM ContextCleaner runs, so a later small leg can
+    otherwise measure GC pressure instead of its own plan — the CC base
+    leg read 60.8 s mid-probe vs 7.4 s in a fresh session (measured,
+    r5). Forcing both collectors between legs removes that bleed-over."""
+    import gc as _gc
+
+    _gc.collect()
+    try:
+        spark._jvm.System.gc()
+    except Exception:
+        pass
+    time.sleep(2)
+
+
+def _timed_century(tag, fn, runs=2):
+    # base legs: min-of-2 (cold-start inflation is not the scaling
+    # signal). x100 legs: one run — at 100-900 s a warm-up rerun
+    # doubles probe cost for a <5% correction.
+    best, n = None, None
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        n = fn()
+        t = time.perf_counter() - t0
+        best = t if best is None else min(best, t)
+    print(f"[century] {tag}: {best:.1f}s ({n} rows)", flush=True)
+    return best
+
+
+def _with_scaled_partitions(spark, fn, factor=8):
+    # emulate cluster sizing: shuffle width must grow with the data
+    # (a real 100x cluster config would set this); AQE only
+    # coalesces DOWN, so a fixed sf0.1-sized width silently spills
+    # at x100 (measured x1.8 on the substring leg)
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(int(old) * factor))
+    try:
+        return fn()
+    finally:
+        spark.conf.set(key, old)
+
+
 def probe_century(spark) -> None:
     """TWO measured decades (x100 data) for the two heaviest dedup
     operators plus connected components — the direct answer to "would
@@ -265,31 +312,10 @@ def probe_century(spark) -> None:
         _NUM_HASHES,
     )
 
-    def _timed(tag, fn, runs=2):
-        # base legs: min-of-2 (cold-start inflation is not the scaling
-        # signal). x100 legs: one run — at 100-900 s a warm-up rerun
-        # doubles probe cost for a <5% correction.
-        best, n = None, None
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            n = fn()
-            t = time.perf_counter() - t0
-            best = t if best is None else min(best, t)
-        print(f"[century] {tag}: {best:.1f}s ({n} rows)", flush=True)
-        return best
+    _timed = _timed_century
 
     def _scaled_partitions(fn):
-        # emulate cluster sizing: shuffle width must grow with the data
-        # (a real 100x cluster config would set this); AQE only
-        # coalesces DOWN, so a fixed sf0.1-sized width silently spills
-        # at x100 (measured x1.8 on the substring leg)
-        key = "spark.sql.shuffle.partitions"
-        old = spark.conf.get(key)
-        spark.conf.set(key, str(int(old) * 8))
-        try:
-            return fn()
-        finally:
-            spark.conf.set(key, old)
+        return _with_scaled_partitions(spark, fn)
 
     base = spread(spark, spark.read.parquet("/root/testdata/sf0.1/documents.parquet"))
     big = spread(spark, spark.read.parquet(_docs_xn(spark, 100)), factor=2)
@@ -310,6 +336,7 @@ def probe_century(spark) -> None:
         runs=1,
     )
     print(f"[century] minhash_lsh x100 data -> x{t2 / t1:.1f} time", flush=True)
+    _release_leg_state(spark)
 
     t1 = _timed(
         "substring_spans 5k docs", lambda: duplicated_spans(base, w=10).count()
@@ -322,6 +349,7 @@ def probe_century(spark) -> None:
         runs=1,
     )
     print(f"[century] substring_spans x100 data -> x{t2 / t1:.1f} time", flush=True)
+    _release_leg_state(spark)
 
     def _cc(n_nodes, n_edges):
         edges = (
@@ -344,31 +372,45 @@ def probe_century(spark) -> None:
         f"[century] connected_components x100 data -> x{t2 / t1:.1f} time",
         flush=True,
     )
+    _release_leg_state(spark)
 
-    # --- the flagship path two decades up: full ER pipeline (parse ->
-    # clean -> block N=3 -> match -> CC -> resolve) at 300k records/side
-    # vs the 3k bench scale. The blocked window keeps candidate pairs
-    # linear in n; the planted-duplicate rate is n-proportional, so the
-    # match/cluster workload scales exactly x100.
+    probe_century_er(spark)
+
+
+def probe_century_er(spark) -> None:
+    """The flagship path two decades up: full ER pipeline (parse ->
+    clean -> block N=3 -> match -> CC -> resolve) at 300k records/side
+    vs the 3k bench scale. Year-window blocking makes candidate pairs
+    quadratic in PER-YEAR density, so the x100 corpus widens the year
+    span x100 (records/year held at the bench corpus's 300/side) — the
+    blocked workload is then exactly x100, the ER analog of the dedup
+    legs' per-copy token salting. Planted-duplicate volume stays
+    n-proportional. Standalone mode: ``scale_probe.py century-er``."""
     from pyspark_entity_resolution_spark.pipeline import (
         ERConfig,
         run_er_pipeline,
     )
 
-    def _er(n, path):
-        pa, pb = _gen_er_corpus(path, n_per_side=n)
-        out = run_er_pipeline(spark, pa, pb, ERConfig(window=3))
+    # corpora generated OUTSIDE the timed region (the 300k-side dump is
+    # ~60 s of driver-side Python string building — workload setup, not
+    # engine time)
+    base_paths = _gen_er_corpus("/tmp/er_bench_corpus_v1", n_per_side=3000)
+    big_paths = _gen_er_corpus(
+        "/tmp/er_scale_corpus_300k_y1000", n_per_side=300_000, n_years=1000
+    )
+
+    def _er(paths, n_years):
+        cfg = ERConfig(window=3, year_upper=1995 + n_years - 1)
+        out = run_er_pipeline(spark, paths[0], paths[1], cfg)
         return out["entities"].count()
 
-    t1 = _timed(
-        "er_pipeline 3k/side", lambda: _er(3000, "/tmp/er_bench_corpus_v1")
+    t1 = _timed_century(
+        "er_pipeline 3k/side", lambda: _er(base_paths, 10)
     )
-    t2 = _timed(
-        "er_pipeline 300k/side (x100)",
-        lambda: _scaled_partitions(
-            lambda: _er(300_000, "/tmp/er_scale_corpus_300k")
-        ),
-        runs=1,
+    t2 = _timed_century(
+        "er_pipeline 300k/side (x100, year span x100)",
+        lambda: _with_scaled_partitions(spark, lambda: _er(big_paths, 1000)),
+        runs=2,
     )
     print(f"[century] er_pipeline x100 data -> x{t2 / t1:.1f} time", flush=True)
 
@@ -478,6 +520,8 @@ def main() -> None:
         probe_trio(spark)
     elif "ann" in sys.argv[1:]:
         probe_ann(spark)
+    elif "century-er" in sys.argv[1:]:
+        probe_century_er(spark)
     elif "century" in sys.argv[1:]:
         probe_century(spark)
     else:
