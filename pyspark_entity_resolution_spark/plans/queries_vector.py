@@ -7,6 +7,8 @@ bit-deterministic; outputs are additionally rounded to 4 digits.
 
 from __future__ import annotations
 
+import sys
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -371,12 +373,27 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ee = spread(spark, e)
     n = ee.count()
     planes = A.choose_num_planes(n)
-    if planes != 4:
+    if n <= 16 * A.TARGET_BUCKET_SIZE and planes != 4:
+        # inside the band the oracle depends on, a non-4 answer means
+        # choose_num_planes itself drifted — fail loudly, not as a
+        # mystery hash-mismatch in the gate
         raise AssertionError(
             f"embedding_near_dup_lsh's DuckDB oracle is pinned at 4-plane "
-            f"LSH keys, but choose_num_planes({n}) = {planes} for this "
-            f"corpus — regenerate _MT_KEYS_SQL with {planes} planes (or "
-            f"run the gate at a smaller sf)"
+            f"LSH keys, but choose_num_planes({n}) = {planes} inside the "
+            f"4-plane band — choose_num_planes changed; regenerate "
+            f"_MT_KEYS_SQL or fix the function"
+        )
+    if planes != 4:
+        # beyond the band (e.g. the sf1 bench corpus) the query stays
+        # ADAPTIVE — that is the operator's scale behavior the bench
+        # measures — and the pinned oracle is declared invalid up front
+        # so a gate run at this scale is diagnosable, never a silent
+        # hash-mismatch
+        print(
+            f"[embedding_near_dup_lsh] corpus of {n} vectors uses "
+            f"{planes} planes; the 4-plane DuckDB oracle is NOT valid "
+            f"at this scale (bench-only run)",
+            file=sys.stderr,
         )
     return A.embedding_near_duplicates_lsh(
         ee, threshold=0.3, num_planes=planes, num_tables=4, corpus_rows=n

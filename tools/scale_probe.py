@@ -20,6 +20,7 @@ Usage: python tools/scale_probe.py [trio]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -245,25 +246,6 @@ def _docs_xn(spark, factor: int, base_dir: str = "/root/testdata/sf0.1") -> str:
     return dest
 
 
-def _release_leg_state(spark) -> None:
-    """Drop the previous leg's lingering executor state so each operator
-    family measures from a clean slate. The x100 legs localCheckpoint
-    hundreds of blocks (e.g. the 540M-row minhash verify inputs); those
-    blocks are only released when their Python DataFrame objects are
-    collected AND the JVM ContextCleaner runs, so a later small leg can
-    otherwise measure GC pressure instead of its own plan — the CC base
-    leg read 60.8 s mid-probe vs 7.4 s in a fresh session (measured,
-    r5). Forcing both collectors between legs removes that bleed-over."""
-    import gc as _gc
-
-    _gc.collect()
-    try:
-        spark._jvm.System.gc()
-    except Exception:
-        pass
-    time.sleep(2)
-
-
 def _timed_century(tag, fn, runs=2):
     # base legs: min-of-2 (cold-start inflation is not the scaling
     # signal). x100 legs: one run — at 100-900 s a warm-up rerun
@@ -292,64 +274,88 @@ def _with_scaled_partitions(spark, fn, factor=8):
         spark.conf.set(key, old)
 
 
-def probe_century(spark) -> None:
-    """TWO measured decades (x100 data) for the two heaviest dedup
-    operators plus connected components — the direct answer to "would
-    this survive 100x". Uses the same copy-local salting as the trio
-    probe, so the near-dup workload is exactly linear in the factor."""
-    from pyspark.sql import functions as F
+CENTURY_FAMILIES = (
+    "century-minhash", "century-substring", "century-cc", "century-er"
+)
 
-    from pyspark_entity_resolution_spark.operators.clustering import (
-        connected_components,
-    )
+
+def probe_century() -> None:
+    """TWO measured decades (x100 data) for the heaviest dedup operators,
+    connected components, and the full ER pipeline — the direct answer
+    to "would this survive 100x". Each family runs in its OWN
+    subprocess (fresh JVM): an earlier in-process design measured a
+    later family's base leg at 42-61 s vs 7.4 s in a fresh session —
+    the x100 legs' checkpoint blocks bloat the heap and advisory
+    System.gc() does not deflate it, so only process isolation keeps
+    the base legs honest. Corpora are cached on /tmp, so the x100
+    inputs build once and every family pays only its own legs."""
+    import subprocess
+
+    for mode in CENTURY_FAMILIES:
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__), mode], check=True
+        )
+
+
+def probe_century_minhash(spark) -> None:
     from pyspark_entity_resolution_spark.operators.dedup import minhash_lsh_dedup
-    from pyspark_entity_resolution_spark.operators.substring_dedup import (
-        duplicated_spans,
-    )
     from pyspark_entity_resolution_spark.plans.common import spread
     from pyspark_entity_resolution_spark.plans.queries_text import (
         _BANDS,
         _NUM_HASHES,
     )
 
-    _timed = _timed_century
-
-    def _scaled_partitions(fn):
-        return _with_scaled_partitions(spark, fn)
-
     base = spread(spark, spark.read.parquet("/root/testdata/sf0.1/documents.parquet"))
     big = spread(spark, spark.read.parquet(_docs_xn(spark, 100)), factor=2)
-
-    t1 = _timed(
+    t1 = _timed_century(
         "minhash_lsh 5k docs",
         lambda: minhash_lsh_dedup(
             base, num_hashes=_NUM_HASHES, bands=_BANDS, threshold=0.5
         ).count(),
+        runs=3,
     )
-    t2 = _timed(
+    t2 = _timed_century(
         "minhash_lsh 500k docs (x100)",
-        lambda: _scaled_partitions(
+        lambda: _with_scaled_partitions(
+            spark,
             lambda: minhash_lsh_dedup(
                 big, num_hashes=_NUM_HASHES, bands=_BANDS, threshold=0.5
-            ).count()
+            ).count(),
         ),
         runs=1,
     )
     print(f"[century] minhash_lsh x100 data -> x{t2 / t1:.1f} time", flush=True)
-    _release_leg_state(spark)
 
-    t1 = _timed(
-        "substring_spans 5k docs", lambda: duplicated_spans(base, w=10).count()
+
+def probe_century_substring(spark) -> None:
+    from pyspark_entity_resolution_spark.operators.substring_dedup import (
+        duplicated_spans,
     )
-    t2 = _timed(
+    from pyspark_entity_resolution_spark.plans.common import spread
+
+    base = spread(spark, spark.read.parquet("/root/testdata/sf0.1/documents.parquet"))
+    big = spread(spark, spark.read.parquet(_docs_xn(spark, 100)), factor=2)
+    t1 = _timed_century(
+        "substring_spans 5k docs",
+        lambda: duplicated_spans(base, w=10).count(),
+        runs=3,
+    )
+    t2 = _timed_century(
         "substring_spans 500k docs (x100)",
-        lambda: _scaled_partitions(
-            lambda: duplicated_spans(big, w=10).count()
+        lambda: _with_scaled_partitions(
+            spark, lambda: duplicated_spans(big, w=10).count()
         ),
         runs=1,
     )
     print(f"[century] substring_spans x100 data -> x{t2 / t1:.1f} time", flush=True)
-    _release_leg_state(spark)
+
+
+def probe_century_cc(spark) -> None:
+    from pyspark.sql import functions as F
+
+    from pyspark_entity_resolution_spark.operators.clustering import (
+        connected_components,
+    )
 
     def _cc(n_nodes, n_edges):
         edges = (
@@ -362,19 +368,21 @@ def probe_century(spark) -> None:
         )
         return connected_components(edges).select("component").distinct().count()
 
-    t1 = _timed("connected_components 1M edges", lambda: _cc(500_000, 1_000_000))
-    t2 = _timed(
+    t1 = _timed_century(
+        "connected_components 1M edges", lambda: _cc(500_000, 1_000_000),
+        runs=3,
+    )
+    t2 = _timed_century(
         "connected_components 100M edges (x100)",
-        lambda: _scaled_partitions(lambda: _cc(50_000_000, 100_000_000)),
+        lambda: _with_scaled_partitions(
+            spark, lambda: _cc(50_000_000, 100_000_000)
+        ),
         runs=1,
     )
     print(
         f"[century] connected_components x100 data -> x{t2 / t1:.1f} time",
         flush=True,
     )
-    _release_leg_state(spark)
-
-    probe_century_er(spark)
 
 
 def probe_century_er(spark) -> None:
@@ -405,7 +413,7 @@ def probe_century_er(spark) -> None:
         return out["entities"].count()
 
     t1 = _timed_century(
-        "er_pipeline 3k/side", lambda: _er(base_paths, 10)
+        "er_pipeline 3k/side", lambda: _er(base_paths, 10), runs=3
     )
     t2 = _timed_century(
         "er_pipeline 300k/side (x100, year span x100)",
@@ -514,16 +522,25 @@ def probe_ann(spark) -> None:
 
 
 def main() -> None:
+    if "century" in sys.argv[1:]:
+        # no SparkSession here: each family spawns its own process
+        # (fresh JVM) so base legs never measure a predecessor's heap
+        probe_century()
+        return
     spark = get_spark(app_name="scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     if "trio" in sys.argv[1:]:
         probe_trio(spark)
     elif "ann" in sys.argv[1:]:
         probe_ann(spark)
+    elif "century-minhash" in sys.argv[1:]:
+        probe_century_minhash(spark)
+    elif "century-substring" in sys.argv[1:]:
+        probe_century_substring(spark)
+    elif "century-cc" in sys.argv[1:]:
+        probe_century_cc(spark)
     elif "century-er" in sys.argv[1:]:
         probe_century_er(spark)
-    elif "century" in sys.argv[1:]:
-        probe_century(spark)
     else:
         probe_er(spark)
         probe_cc(spark)
