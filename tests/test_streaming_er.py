@@ -603,3 +603,71 @@ def test_compaction_coalesces_hot_buckets_losslessly(spark, tmp_path):
         if f"bucket={hot}/" in rel or rel.startswith(f"bucket={hot}"):
             continue
         assert after_files.get(rel) == data  # untouched buckets byte-identical
+
+
+def test_streaming_compact_every_runs_and_preserves_labels(spark, tmp_path):
+    """compact_every wires compaction into the foreachBatch fold: after
+    enough micro-batches every bucket sits at/below the file threshold
+    and the entity table still equals the batch twin."""
+    from datetime import datetime, timedelta
+
+    from pyspark_entity_resolution_spark.operators.clustering import (
+        cluster_matched_pairs,
+    )
+    from pyspark_entity_resolution_spark.streaming import er as ser
+
+    t0 = datetime(2024, 6, 1, 12, 0, 0)
+    src_l = tmp_path / "cl"
+    src_r = tmp_path / "cr"
+    labels_path = str(tmp_path / "labels_ce")
+
+    words = ["columnar storage engines", "adaptive query routing",
+             "distributed graph joins", "streaming window state",
+             "vectorized hash builds", "parallel sort spills"]
+    left_rows = [
+        (i, t0, words[i - 1], "alice smith", 1999, "vldb", 1)
+        for i in range(1, 7)
+    ]
+    spark.createDataFrame(left_rows, PUB_STREAM_SCHEMA).coalesce(1).write.parquet(
+        str(src_l)
+    )
+    spark.createDataFrame(
+        [(101, t0 + timedelta(minutes=1), words[0],
+          "alice smith", 1999, "vldb", 1)],
+        PUB_STREAM_SCHEMA,
+    ).coalesce(1).write.parquet(str(src_r))
+
+    ls = spark.readStream.schema(PUB_STREAM_SCHEMA).parquet(str(src_l))
+    rs = spark.readStream.schema(PUB_STREAM_SCHEMA).parquet(str(src_r))
+    matches = streaming_match_publications(ls, rs)
+    q = ser.streaming_resolve_entities(
+        matches, labels_path, query_name="entities_compact",
+        n_buckets=4, compact_every=1, max_files_per_bucket=1,
+    )
+    try:
+        q.processAllAvailable()
+        for i in (2, 3):
+            spark.createDataFrame(
+                [(100 + i, t0 + timedelta(minutes=i), words[i - 1],
+                  "alice smith", 1999, "vldb", 1)],
+                PUB_STREAM_SCHEMA,
+            ).coalesce(1).write.mode("append").parquet(str(src_r))
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    counts = ser._bucket_file_counts(spark, labels_path)
+    assert counts and all(n <= 1 for n in counts.values()), counts
+
+    all_matches = spark.createDataFrame(
+        [(1, 101), (2, 102), (3, 103)], "a_id long, b_id long"
+    )
+    got = {
+        (r["id"], r["df_name"], r["cluster_id"])
+        for r in ser.entity_table(spark, labels_path).collect()
+    }
+    expected = {
+        (r["id"], r["df_name"], r["cluster_id"])
+        for r in cluster_matched_pairs(all_matches, "a_id", "b_id").collect()
+    }
+    assert got == expected

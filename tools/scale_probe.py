@@ -15,7 +15,14 @@ Probe C (``trio``): one measured DECADE of scaling for the three
          edges, and the full ER pipeline at 3k vs 30k records/side.
          Turns the "survives 100x" plan-shape argument into numbers.
 
-Usage: python tools/scale_probe.py [trio]
+Probe D (``century``): TWO measured decades (x100) for MinHash-LSH,
+         exact substring dedup, connected components, and the full ER
+         pipeline — each family in its own subprocess (fresh JVM) so
+         base legs never measure a predecessor's heap. Individual
+         families: ``century-minhash`` ``century-substring``
+         ``century-cc`` ``century-er``.
+
+Usage: python tools/scale_probe.py [trio|ann|century|century-<family>]
 """
 
 from __future__ import annotations
