@@ -63,6 +63,18 @@ PACK_PROVENANCE: dict[str, dict[str, list[str]]] = {
         ],
         "renamed_from": ["dedup_substring_spans (spans only, r3)"],
     },
+    "embedding_near_dup_lsh": {
+        # r5 widened this entry: section 'pairs' (the r3-r4 output,
+        # unblocked multi-table LSH self-join) + section 'ingest_match'
+        # (lsh_corpus_index of vec_id%10=0 probed by vec_id%10=1 via
+        # incremental_embedding_matches — the embedding twin of the
+        # minhash ingest path).
+        "constituents": [
+            "unblocked_embedding_lsh_pairs",
+            "incremental_embedding_matches (r5)",
+        ],
+        "renamed_from": ["embedding_near_dup_lsh (pairs only, r3-r4)"],
+    },
     "dedup_minhash_lsh": {
         # r3 switched this entry from label-blocked to UNBLOCKED LSH
         # (commit 2dcc36e); r4 added the ingest-time sections (band-key

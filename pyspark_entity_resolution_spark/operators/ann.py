@@ -632,3 +632,184 @@ def embedding_near_duplicates_lsh(
         .filter(F.col("cos_sim") >= threshold)
         .select("a_id", "b_id", F.round("cos_sim", 4).alias("cos_sim"))
     )
+
+
+# ------------------------------------- ingest-time embedding near-dup --
+
+def lsh_corpus_index(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 4,
+    num_tables: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Multi-table sign-LSH key index of an ACCEPTED embedding corpus —
+    the vector twin of :func:`~.dedup.minhash_corpus_index`. One row per
+    (vector, table), carrying every table's key as a flattened scalar
+    column so the first-colliding-table admission in
+    :func:`incremental_embedding_matches` unrolls to plain string
+    equality in whole-stage codegen.
+
+    Persist this (parquet, partitioned or bucketed by ``key``) as the
+    corpus's embedding near-dup index: at 100 TB the index rows are
+    (id + L short bit-strings), a tiny fraction of the vectors, and the
+    ingest check joins THIS table — never the raw embedding column.
+    ``num_planes``/``num_tables`` MUST match between the index build and
+    every later probe (keys are sign patterns over md5-derived
+    hyperplanes; a mismatch silently generates zero candidates).
+
+    Schema: ``(id, t0..t{L-1}, tbl, key)``.
+    """
+    all_planes = hyperplanes(num_planes * num_tables, dim)
+    keys = F.array(
+        *[
+            _bucket_expr(
+                F.col(vec_col),
+                all_planes[t * num_planes:(t + 1) * num_planes],
+            )
+            for t in range(num_tables)
+        ]
+    )
+    keyed = corpus.select(F.col(id_col).alias("id"), keys.alias("keys"))
+    if not corpus.isStreaming:
+        keyed = keyed.localCheckpoint(eager=False)
+    return keyed.select(
+        "id",
+        *[F.element_at("keys", t + 1).alias(f"t{t}") for t in range(num_tables)],
+        F.posexplode("keys").alias("tbl", "key"),
+    )
+
+
+def incremental_embedding_matches(
+    arriving: DataFrame,
+    index: DataFrame,
+    corpus_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    num_planes: int = 4,
+    num_tables: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Verified cosine near-duplicates of arriving vectors against an
+    accepted corpus: ``(vec_id, accepted_id, cos_sim)``, exactly one row
+    per matching (arriving, accepted) pair — the embedding twin of
+    :func:`~.dedup.incremental_minhash_matches`.
+
+    Arriving vectors hash into the SAME table keys the index was built
+    with and equi-join it on ``(tbl, key)``; collisions verify by exact
+    cosine against ``corpus_vectors`` (the accepted ``(id, vector)``
+    table — at scale, columnar-pruned to just those two columns).
+    Exactly-once admission at the first colliding table (scalar
+    comparisons on both sides' flattened keys), so the inflated
+    candidate stream never needs a dedup shuffle.
+
+    Streaming-clean: with ``arriving`` from ``readStream`` both joins
+    are stream-static append-mode, no keyed state — the arriving vector
+    rides THROUGH the key explode (bounded by micro-batch size; L rows
+    per vector). On the BATCH path the exploded rows carry only the id
+    and key scalars, and the vectors join onto admitted candidates
+    afterwards — never duplicated L-x through the exploded join.
+    """
+    all_planes = hyperplanes(num_planes * num_tables, dim)
+    keys = F.array(
+        *[
+            _bucket_expr(
+                F.col(vec_col),
+                all_planes[t * num_planes:(t + 1) * num_planes],
+            )
+            for t in range(num_tables)
+        ]
+    )
+    staged = arriving.select(
+        F.col(id_col).alias("__arr_id"),
+        F.col(vec_col).alias("__arr_vec"),
+        l2_norm(vec_col).alias("__arr_nrm"),
+        keys.alias("__keys"),
+    )
+    if arriving.isStreaming:
+        arr_carry = ["__arr_id", "__arr_vec", "__arr_nrm"]
+    else:
+        arr_carry = ["__arr_id"]
+        staged = staged.localCheckpoint(eager=False)
+    arr = staged.select(
+        *arr_carry,
+        *[F.element_at("__keys", t + 1).alias(f"__arr_t{t}") for t in range(num_tables)],
+        F.posexplode("__keys").alias("tbl", "key"),
+    )
+    acc = index.select(
+        F.col("id").alias("__acc_id"),
+        *[F.col(f"t{t}").alias(f"__acc_t{t}") for t in range(num_tables)],
+        "tbl", "key",
+    )
+    earlier_table_collides = F.lit(False)
+    for t in range(num_tables - 1):
+        earlier_table_collides = earlier_table_collides | (
+            (F.col("tbl") > F.lit(t))
+            & (F.col(f"__arr_t{t}") == F.col(f"__acc_t{t}"))
+        )
+    cands = arr.join(acc, on=["tbl", "key"]).filter(~earlier_table_collides)
+    if not arriving.isStreaming:
+        cands = cands.join(
+            staged.select("__arr_id", "__arr_vec", "__arr_nrm"), on="__arr_id"
+        )
+    acc_vecs = corpus_vectors.select(
+        F.col(id_col).alias("__acc_id"),
+        F.col(vec_col).alias("__acc_vec"),
+        l2_norm(vec_col).alias("__acc_nrm"),
+    )
+    return (
+        cands.join(acc_vecs, on="__acc_id")
+        .withColumn(
+            "cos_sim",
+            paired_cosine("__arr_vec", "__acc_vec", "__arr_nrm", "__acc_nrm"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select(
+            F.col("__arr_id").alias(id_col),
+            F.col("__acc_id").alias("accepted_id"),
+            F.round("cos_sim", 4).alias("cos_sim"),
+        )
+    )
+
+
+def incremental_embedding_dedup(
+    arriving: DataFrame,
+    index: DataFrame,
+    corpus_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    num_planes: int = 4,
+    num_tables: int = 4,
+    dim: int = 64,
+    within_batch: bool = True,
+) -> DataFrame:
+    """Ingest-time embedding dedup: keep arriving vectors with no
+    verified near-duplicate in the accepted corpus and (by default) drop
+    the larger-id side of verified near-dup pairs WITHIN the batch —
+    the embedding twin of :func:`~.dedup.incremental_minhash_dedup`.
+    Batch-only for the same reason (the anti-joins derive from
+    ``arriving`` itself; over a stream run the matches inside
+    ``foreachBatch``)."""
+    if arriving.isStreaming:
+        raise ValueError(
+            "incremental_embedding_dedup is batch-only; over a stream use "
+            "incremental_embedding_matches inside foreachBatch"
+        )
+    matched = incremental_embedding_matches(
+        arriving, index, corpus_vectors, id_col, vec_col, threshold,
+        num_planes, num_tables, dim,
+    ).select(id_col).distinct()
+    fresh = arriving.join(matched, on=id_col, how="left_anti")
+    if not within_batch:
+        return fresh
+    pairs = embedding_near_duplicates_lsh(
+        fresh, id_col, vec_col, threshold=threshold,
+        num_planes=num_planes, num_tables=num_tables, dim=dim,
+    )
+    losers = pairs.select(
+        F.greatest(F.col("a_id"), F.col("b_id")).alias(id_col)
+    ).distinct()
+    return fresh.join(losers, on=id_col, how="left_anti")

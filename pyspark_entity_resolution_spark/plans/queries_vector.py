@@ -338,17 +338,31 @@ QUERIES["ann_methods_topk"].sql = _ANN_METHODS_BASE_SQL + f"""
 @q(
     "embedding_near_dup_lsh",
     f"""
-    WITH cand AS (
+    WITH keys AS ({_MT_KEYS_SQL}),
+    cand AS (
       SELECT a.vec_id AS a_id, c.vec_id AS b_id
-      FROM ({_MT_KEYS_SQL}) a JOIN ({_MT_KEYS_SQL}) c
+      FROM keys a JOIN keys c
         ON (a.k0 = c.k0 OR a.k1 = c.k1 OR a.k2 = c.k2 OR a.k3 = c.k3)
       WHERE a.vec_id < c.vec_id
+    ),
+    ingest_cand AS (
+      SELECT a.vec_id AS a_id, c.vec_id AS b_id
+      FROM keys a JOIN keys c
+        ON (a.k0 = c.k0 OR a.k1 = c.k1 OR a.k2 = c.k2 OR a.k3 = c.k3)
+      WHERE a.vec_id % 10 = 1 AND c.vec_id % 10 = 0
     )
-    SELECT cand.a_id, cand.b_id,
+    SELECT 'pairs' AS section, cand.a_id, cand.b_id,
            round({_COS.format(a='ea.embedding', b='eb.embedding')}, 4) AS cos_sim
     FROM cand
     JOIN embeddings ea ON ea.vec_id = cand.a_id
     JOIN embeddings eb ON eb.vec_id = cand.b_id
+    WHERE {_COS.format(a='ea.embedding', b='eb.embedding')} >= 0.3
+    UNION ALL
+    SELECT 'ingest_match', i.a_id, i.b_id,
+           round({_COS.format(a='ea.embedding', b='eb.embedding')}, 4)
+    FROM ingest_cand i
+    JOIN embeddings ea ON ea.vec_id = i.a_id
+    JOIN embeddings eb ON eb.vec_id = i.b_id
     WHERE {_COS.format(a='ea.embedding', b='eb.embedding')} >= 0.3
     """,
     "UNBLOCKED embedding-cosine near-duplicate pairs: multi-table "
@@ -357,9 +371,13 @@ QUERIES["ann_methods_topk"].sql = _ANN_METHODS_BASE_SQL + f"""
     "oracle SQL's keys are pinned at 4 planes and a build-time guard "
     "fails loudly if the gate corpus ever outgrows the 4-plane band) "
     "with exactly-once pair admission at the first colliding table, "
-    "then exact-cosine verify >= 0.3. The oracle's OR-join over the "
-    "same table keys yields the identical distinct pair set; the "
-    "engine never runs the all-pairs scan",
+    "then exact-cosine verify >= 0.3 (section 'pairs'). Section "
+    "'ingest_match' (r5) drives the INGEST-TIME variant — "
+    "lsh_corpus_index of an accepted corpus (vec_id%10=0) probed by an "
+    "arriving batch (vec_id%10=1) via incremental_embedding_matches, "
+    "the embedding twin of the minhash ingest path. The oracle's "
+    "OR-joins over the same table keys yield the identical pair sets; "
+    "the engine never runs the all-pairs scan",
 )
 def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ADAPTIVE plane count (the operator's scale path: bucket space grows
@@ -395,9 +413,30 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"at this scale (bench-only run)",
             file=sys.stderr,
         )
-    return A.embedding_near_duplicates_lsh(
+    pairs = A.embedding_near_duplicates_lsh(
         ee, threshold=0.3, num_planes=planes, num_tables=4, corpus_rows=n
+    ).select(
+        F.lit("pairs").alias("section"), "a_id", "b_id", "cos_sim"
     )
+    # ingest-time section: accepted corpus indexed once, arriving batch
+    # probes the index (stream-static-clean plan; here driven in batch).
+    # Plane count adapts to the ACCEPTED corpus's own size — identical
+    # to the pinned oracle at every gate/bench scale (accepted is 10x
+    # smaller than the corpus the guard above already checked).
+    accepted = ee.filter(F.col("vec_id") % 10 == 0)
+    arriving = ee.filter(F.col("vec_id") % 10 == 1)
+    acc_planes = A.choose_num_planes(accepted.count())
+    index = A.lsh_corpus_index(accepted, num_planes=acc_planes, num_tables=4)
+    ingest = A.incremental_embedding_matches(
+        arriving, index, accepted, threshold=0.3,
+        num_planes=acc_planes, num_tables=4,
+    ).select(
+        F.lit("ingest_match").alias("section"),
+        F.col("vec_id").alias("a_id"),
+        F.col("accepted_id").alias("b_id"),
+        "cos_sim",
+    )
+    return pairs.unionByName(ingest)
 
 
 def _kmeans_oracle_sql(k: int = 8, iters: int = 3, dim: int = 64) -> str:
