@@ -425,7 +425,9 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # smaller than the corpus the guard above already checked).
     accepted = ee.filter(F.col("vec_id") % 10 == 0)
     arriving = ee.filter(F.col("vec_id") % 10 == 1)
-    acc_planes = A.choose_num_planes(accepted.count())
+    # the %10 split makes the accepted corpus n/10 rows by construction
+    # — reuse the count already paid for instead of a second job
+    acc_planes = A.choose_num_planes(max(1, n // 10))
     index = A.lsh_corpus_index(accepted, num_planes=acc_planes, num_tables=4)
     ingest = A.incremental_embedding_matches(
         arriving, index, accepted, threshold=0.3,
