@@ -527,6 +527,34 @@ def probe_ann(spark) -> None:
         flush=True,
     )
 
+    # --- ingest-time embedding near-dup: fixed arriving batch (200
+    # vectors) probed against the PERSISTED LSH key index of a 2k vs
+    # 20k accepted corpus. The claim: per-arrival cost tracks bucket
+    # occupancy, not corpus size — adaptive planes hold occupancy flat,
+    # so the x10 corpus costs ~the same per arriving batch.
+    from pyspark_entity_resolution_spark.operators.ann import (
+        choose_num_planes,
+        incremental_embedding_matches,
+        lsh_corpus_index,
+    )
+
+    def _ingest(corpus):
+        n = corpus.count()
+        planes = choose_num_planes(n)
+        idx = lsh_corpus_index(corpus, num_planes=planes, num_tables=4)
+        return incremental_embedding_matches(
+            queries, idx, corpus, threshold=0.9,
+            num_planes=planes, num_tables=4,
+        ).count()
+
+    t5 = _timed("ingest matches, 2k corpus index", lambda: _ingest(base))
+    t6 = _timed("ingest matches, 20k corpus index (x10)", lambda: _ingest(big))
+    print(
+        f"[ann] ingest_matches x10 corpus -> x{t6 / t5:.2f} time "
+        f"(fixed arriving batch)",
+        flush=True,
+    )
+
 
 def main() -> None:
     if "century" in sys.argv[1:]:
