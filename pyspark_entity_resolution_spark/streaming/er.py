@@ -515,3 +515,32 @@ def entity_table(spark, labels_path: str) -> DataFrame:
         split.getItem(0).alias("df_name"),
         F.col("component").alias("cluster_id"),
     )
+
+
+def entity_lookup(
+    spark,
+    labels_path: str,
+    node_keys: list[str],
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Point lookup into the bucketed label store: ``(node, component)``
+    for the requested node keys (``"{side}:{id}"`` format), reading ONLY
+    the bucket directories those keys hash into — the serving-path read
+    (which entity does this record belong to?) touches O(len(keys))
+    buckets, never the full store. ``n_buckets`` must match the store's
+    layout, like every other fold parameter.
+
+    The bucket ids are derived through Spark's own ``xxhash64`` (one
+    tiny local-relation job over the requested keys, no reimplementation
+    of the hash driver-side), then applied as a static partition filter.
+    """
+    keys_df = spark.createDataFrame(
+        [(k,) for k in node_keys], "node string"
+    ).withColumn("bucket", _node_bucket(n_buckets))
+    buckets = sorted({r["bucket"] for r in keys_df.select("bucket").collect()})
+    return (
+        spark.read.parquet(labels_path)
+        .filter(F.col("bucket").isin(buckets))
+        .join(F.broadcast(keys_df.select("node")), on="node", how="left_semi")
+        .select("node", "component")
+    )

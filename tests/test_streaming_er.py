@@ -671,3 +671,34 @@ def test_streaming_compact_every_runs_and_preserves_labels(spark, tmp_path):
         for r in cluster_matched_pairs(all_matches, "a_id", "b_id").collect()
     }
     assert got == expected
+
+
+def test_entity_lookup_prunes_to_key_buckets(spark, tmp_path):
+    """Point lookup must return exactly the requested nodes' labels and
+    its scan must carry a partition filter on the bucket column."""
+    from pyspark_entity_resolution_spark.streaming import er as ser
+
+    labels_path = str(tmp_path / "labels_lookup")
+    n_buckets = 8
+    batch = spark.createDataFrame(
+        [(i, 100 + i) for i in range(1, 13)], "a_id long, b_id long"
+    )
+    ser.incremental_entity_labels(spark, labels_path, batch, n_buckets=n_buckets)
+
+    want = ["a:1", "b:105", "a:12"]
+    looked = ser.entity_lookup(spark, labels_path, want, n_buckets=n_buckets)
+    got = {r["node"]: r["component"] for r in looked.collect()}
+    full = {
+        r["node"]: r["component"]
+        for r in spark.read.parquet(labels_path).select("node", "component").collect()
+    }
+    assert got == {k: full[k] for k in want}
+
+    plan = looked._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters:", 1)
+    assert len(pf) == 2 and "bucket" in pf[1].splitlines()[0]
+
+    # absent keys return no rows (and don't error)
+    assert ser.entity_lookup(
+        spark, labels_path, ["a:999999"], n_buckets=n_buckets
+    ).count() == 0
