@@ -702,3 +702,57 @@ def test_entity_lookup_prunes_to_key_buckets(spark, tmp_path):
     assert ser.entity_lookup(
         spark, labels_path, ["a:999999"], n_buckets=n_buckets
     ).count() == 0
+
+
+def test_fold_replay_with_index_ahead_of_store(spark, tmp_path):
+    """Crash window the design explicitly claims safe: the fold writes
+    the component index BEFORE the label store, so a crash between the
+    two leaves the index AHEAD (keyed by the interrupted fold's ids)
+    while the store is still pre-fold. The replay must land on exactly
+    the from-scratch batch labels — either through superset bucket
+    lists for surviving ids or the detected full-scan fallback for
+    retired ids."""
+    import shutil
+
+    from pyspark_entity_resolution_spark.operators.clustering import (
+        cluster_matched_pairs,
+    )
+    from pyspark_entity_resolution_spark.streaming import er as ser
+
+    n_buckets = 8
+    store = str(tmp_path / "store")
+    ghost = str(tmp_path / "ghost")  # scratch copy to produce the
+    # interrupted fold's index without advancing the real store
+
+    batch1 = spark.createDataFrame(
+        [(1, 101), (2, 102), (3, 103), (4, 104)], "a_id long, b_id long"
+    )
+    # batch2 merges components {1,101} and {2,102} -> the non-surviving
+    # old id is retired by the fold, the surviving min id gains buckets
+    batch2 = spark.createDataFrame([(1, 102)], "a_id long, b_id long")
+
+    ser.incremental_entity_labels(spark, store, batch1, n_buckets=n_buckets)
+    shutil.copytree(store, ghost)
+    shutil.copytree(store + "__cidx", ghost + "__cidx")
+
+    # run the fold to completion on the scratch copy, then transplant
+    # ONLY its (post-fold) index onto the real (pre-fold) store —
+    # byte-identical to crashing between the index and store writes
+    ser.incremental_entity_labels(spark, ghost, batch2, n_buckets=n_buckets)
+    shutil.rmtree(store + "__cidx")
+    shutil.copytree(ghost + "__cidx", store + "__cidx")
+
+    # replay the batch against the index-ahead store
+    ser.incremental_entity_labels(spark, store, batch2, n_buckets=n_buckets)
+
+    got = {
+        (r["id"], r["df_name"], r["cluster_id"])
+        for r in ser.entity_table(spark, store).collect()
+    }
+    expected = {
+        (r["id"], r["df_name"], r["cluster_id"])
+        for r in cluster_matched_pairs(
+            batch1.unionByName(batch2), "a_id", "b_id"
+        ).collect()
+    }
+    assert got == expected
