@@ -46,18 +46,14 @@ def prepare_publications(spark: SparkSession, path: str, cfg: ERConfig) -> DataF
     reference's ``monotonically_increasing_id``, SURVEY.md §7.3).
     """
     df = read_aminer(spark, path)
-    # Text dumps arrive as a handful of whole-file-ish splits, so the
-    # narrow parse->filter->clean chain inherits a partition count below
-    # the cores available — at probe scale the accent-folding pandas UDF
-    # ran 600k records on 13 tasks of a 32-core session. Unlike the
-    # blocking guard (which only rescues DEGENERATE partitioning because
-    # its downstream work is JVM-cheap), the clean stage crosses the
-    # Python boundary per row, so any width short of the session's cores
-    # leaves cores idle on its dominant stage; a cluster-scale input
-    # already at or above that width skips the exchange.
-    target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        df = df.repartition(target)
+    # NO forced repartition before the clean stage, by measurement: an
+    # exchange here shuffles the full raw `value` text and splits the
+    # two accent-folding ArrowEvalPython projections across a stage
+    # boundary — net x3.1 SLOWER at 30k records/side and x1.2 slower at
+    # 300k (r5 bisect). Spark's bytes-per-core file splitting already
+    # gives the text scan (and the narrow chain above it) adequate
+    # width; the blocked join downstream has its own targeted spread
+    # guard (operators/blocking.py).
     year = F.col("year")
     venue_ok = F.lit(False)
     for v in cfg.venues:
