@@ -185,3 +185,25 @@ def test_incremental_embedding_dedup_keeps_fresh_and_minimum(spark, tmp_path):
             spark.readStream.schema(SCHEMA).parquet(str(stream_dir)),
             idx, accepted,
         )
+
+
+def test_zero_vectors_never_match_and_never_error(spark):
+    """A zero vector has no defined cosine; try_divide yields NULL and
+    the threshold filter drops it — zero vectors flow through the
+    ingest path without matching anything or erroring (ANSI mode would
+    have raised on a plain division)."""
+    rng = random.Random(45)
+    acc_rows = _vectors(rng, 5, start_id=0) + [(99, [0.0] * DIM)]
+    arr_rows = [(1000, [0.0] * DIM), (1001, list(acc_rows[0][1]))]
+    accepted = spark.createDataFrame(acc_rows, SCHEMA)
+    arriving = spark.createDataFrame(arr_rows, SCHEMA)
+    idx = lsh_corpus_index(accepted, num_planes=3, num_tables=4, dim=DIM)
+    got = {
+        (r["vec_id"], r["accepted_id"])
+        for r in incremental_embedding_matches(
+            arriving, idx, accepted, threshold=0.0,
+            num_planes=3, num_tables=4, dim=DIM,
+        ).collect()
+    }
+    assert all(1000 not in pair and 99 not in pair for pair in got)
+    assert (1001, 0) in got  # the exact copy still matches
