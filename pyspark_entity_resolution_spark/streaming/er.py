@@ -186,6 +186,59 @@ def _cidx_path(labels_path: str) -> str:
     return labels_path.rstrip("/") + "__cidx"
 
 
+def _meta_path(spark, labels_path: str):
+    jvm = spark._jvm
+    return jvm.org.apache.hadoop.fs.Path(
+        labels_path.rstrip("/") + "/_store_meta.json"
+    )
+
+
+def _write_store_meta(spark, labels_path: str, n_buckets: int) -> None:
+    """Record the store's immutable layout (``n_buckets``) in an
+    underscore-prefixed sidecar file INSIDE the store directory —
+    Spark's file listing ignores ``_``-files, the dynamic partition
+    overwrite never touches non-partition paths, and every later
+    fold/lookup/compaction can verify its caller-supplied ``n_buckets``
+    against the layout instead of silently pruning to wrong buckets."""
+    import json as _json
+
+    jpath = _meta_path(spark, labels_path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(_json.dumps({"n_buckets": n_buckets}).encode()))
+    finally:
+        out.close()
+
+
+def _check_store_meta(spark, labels_path: str, n_buckets: int) -> None:
+    """Raise with a clear message when the caller's ``n_buckets``
+    contradicts the store's recorded layout (a mismatch would compute
+    wrong bucket ids: folds would mis-place rows and lookups would
+    silently return nothing). Stores predating the sidecar pass."""
+    import json as _json
+
+    jpath = _meta_path(spark, labels_path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return
+    stream = fs.open(jpath)
+    try:
+        data = bytes(
+            spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        )
+    finally:
+        stream.close()
+    recorded = _json.loads(data.decode())["n_buckets"]
+    if recorded != n_buckets:
+        raise ValueError(
+            f"label store at {labels_path} is laid out with "
+            f"n_buckets={recorded}, but the caller passed "
+            f"n_buckets={n_buckets} — the layout is immutable for the "
+            f"lifetime of a store (rebuild the store to change it)"
+        )
+
+
 def _write_component_index(labels: DataFrame, cidx_path: str, dynamic: bool) -> None:
     """(Re)write component->bucket index rows. ``labels`` must carry
     (component, bucket); with ``dynamic=True`` only the partitions
@@ -264,6 +317,7 @@ def incremental_entity_labels(
 
     from ..operators.clustering import connected_components
 
+    _check_store_meta(spark, labels_path, n_buckets)
     edges = new_matches.select(
         F.concat(F.lit(left_name + ":"), F.col(left_id).cast("string")).alias("src"),
         F.concat(F.lit(right_name + ":"), F.col(right_id).cast("string")).alias("dst"),
@@ -287,6 +341,7 @@ def incremental_entity_labels(
         bucketed.write.mode("overwrite").partitionBy("bucket").parquet(
             labels_path
         )
+        _write_store_meta(spark, labels_path, n_buckets)
         _write_component_index(bucketed, _cidx_path(labels_path), dynamic=False)
         return labels
 
@@ -381,6 +436,11 @@ def incremental_entity_labels(
     to_write.write.mode("overwrite").option(
         "partitionOverwriteMode", "dynamic"
     ).partitionBy("bucket").parquet(labels_path)
+    jmeta = _meta_path(spark, labels_path)
+    if not jmeta.getFileSystem(spark._jsc.hadoopConfiguration()).exists(jmeta):
+        # upgrade a pre-sidecar store in place (the check above already
+        # accepted this fold's n_buckets as the layout)
+        _write_store_meta(spark, labels_path, n_buckets)
     if cidx is None:
         _write_component_index(
             spark.read.parquet(labels_path), _cidx_path(labels_path),
@@ -534,6 +594,7 @@ def entity_lookup(
     tiny local-relation job over the requested keys, no reimplementation
     of the hash driver-side), then applied as a static partition filter.
     """
+    _check_store_meta(spark, labels_path, n_buckets)
     keys_df = spark.createDataFrame(
         [(k,) for k in node_keys], "node string"
     ).withColumn("bucket", _node_bucket(n_buckets))

@@ -756,3 +756,36 @@ def test_fold_replay_with_index_ahead_of_store(spark, tmp_path):
         ).collect()
     }
     assert got == expected
+
+
+def test_store_meta_rejects_mismatched_n_buckets(spark, tmp_path):
+    """The store records its layout in a sidecar; a fold or lookup with
+    a different n_buckets must fail loudly instead of silently placing
+    rows in (or pruning to) the wrong buckets."""
+    import pytest
+
+    from pyspark_entity_resolution_spark.streaming import er as ser
+
+    labels_path = str(tmp_path / "labels_meta")
+    batch = spark.createDataFrame([(1, 101)], "a_id long, b_id long")
+    ser.incremental_entity_labels(spark, labels_path, batch, n_buckets=8)
+
+    with pytest.raises(ValueError, match="n_buckets=8"):
+        ser.incremental_entity_labels(
+            spark, labels_path,
+            spark.createDataFrame([(2, 102)], "a_id long, b_id long"),
+            n_buckets=16,
+        )
+    with pytest.raises(ValueError, match="n_buckets=8"):
+        ser.entity_lookup(spark, labels_path, ["a:1"], n_buckets=4)
+
+    # matching layout still works end-to-end
+    ser.incremental_entity_labels(
+        spark, labels_path,
+        spark.createDataFrame([(2, 102)], "a_id long, b_id long"),
+        n_buckets=8,
+    )
+    got = {r["node"] for r in ser.entity_lookup(
+        spark, labels_path, ["a:2"], n_buckets=8
+    ).collect()}
+    assert got == {"a:2"}
