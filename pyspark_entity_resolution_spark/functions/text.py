@@ -25,10 +25,12 @@ def tokens(c: Column | str, pattern: str = r"\s+") -> Column:
 
 
 def token_count(c: Column | str) -> Column:
+    """Whitespace-token count (BIGINT)."""
     return F.size(tokens(c)).cast("bigint")
 
 
 def unique_token_count(c: Column | str) -> Column:
+    """Distinct whitespace-token count (BIGINT)."""
     return F.size(F.array_distinct(tokens(c))).cast("bigint")
 
 
@@ -44,6 +46,7 @@ def avg_token_length(c: Column | str) -> Column:
 
 
 def stopword_ratio(c: Column | str) -> Column:
+    """Fraction of tokens that are NLTK English stopwords."""
     toks = tokens(c)
     stop = F.lit(ENGLISH_STOPWORDS)
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
@@ -51,12 +54,14 @@ def stopword_ratio(c: Column | str) -> Column:
 
 
 def digit_ratio(c: Column | str) -> Column:
+    """Fraction of characters that are decimal digits."""
     c = _col(c)
     n_digits = F.length(c) - F.length(F.regexp_replace(c, r"\d", ""))
     return F.try_divide(n_digits.cast("double"), F.length(c))
 
 
 def punct_ratio(c: Column | str) -> Column:
+    """Fraction of characters that are punctuation (non-word, non-space)."""
     c = _col(c)
     n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
     return F.try_divide(n_punct.cast("double"), F.length(c))

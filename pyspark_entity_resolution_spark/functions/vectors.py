@@ -18,6 +18,7 @@ def _col(c: Column | str) -> Column:
 
 
 def as_double(v: Column | str) -> Column:
+    """Element-wise cast of a numeric array to double."""
     return F.transform(_col(v), lambda x: x.cast("double"))
 
 
@@ -26,14 +27,17 @@ def _fold_sum(arr: Column) -> Column:
 
 
 def dot(a: Column | str, b: Column | str) -> Column:
+    """Dot product via zip_with + ordered left fold (deterministic)."""
     return _fold_sum(F.zip_with(as_double(a), as_double(b), lambda x, y: x * y))
 
 
 def l2_norm(v: Column | str) -> Column:
+    """Euclidean norm via the same ordered fold as :func:`dot`."""
     return F.sqrt(_fold_sum(F.transform(as_double(v), lambda x: x * x)))
 
 
 def cosine(a: Column | str, b: Column | str) -> Column:
+    """Cosine similarity; NULL (not an error) for zero-norm vectors."""
     # try_divide: a zero-norm vector yields NULL instead of an ANSI
     # DIVIDE_BY_ZERO error (found by property testing; real embeddings
     # are never zero, but padded/missing rows can be)
@@ -58,4 +62,5 @@ def paired_cosine(
 
 
 def vector_dim(v: Column | str) -> Column:
+    """Array length as BIGINT."""
     return F.size(_col(v)).cast("bigint")

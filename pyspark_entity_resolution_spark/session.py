@@ -24,6 +24,8 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
+    """Session factory: AQE + skew join + Arrow + UTC, local[$SPARK_GRAFT_CPUS]
+    by default, shuffle width sized to the core count."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:

@@ -24,6 +24,9 @@ def write_bucketed(
     sort_cols: list[str] | None = None,
     mode: str = "overwrite",
 ) -> None:
+    """Save as a Hive-bucketed parquet table: equi-joins/aggs on the
+    bucket columns read co-located, with no shuffle Exchange
+    (plan-shape-tested in tests/test_bucketing.py)."""
     writer = (
         df.write.format("parquet")
         .mode(mode)
@@ -35,4 +38,5 @@ def write_bucketed(
 
 
 def read_table(spark: SparkSession, table: str) -> DataFrame:
+    """Read a saved (bucketed) table by name."""
     return spark.table(table)

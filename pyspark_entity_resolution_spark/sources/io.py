@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan (S2); projection/predicate pushdown via Catalyst."""
     return spark.read.parquet(path)
 
 
@@ -24,6 +25,7 @@ def read_csv(
     infer_schema: bool = False,
     schema=None,
 ) -> DataFrame:
+    """CSV scan (S3) with explicit schema, inference, or all-string."""
     reader = spark.read.options(header=header, delimiter=delimiter)
     if schema is not None:
         reader = reader.schema(schema)
@@ -68,6 +70,7 @@ def write_jsonl(
 def write_parquet(
     df: DataFrame, dest: str, single_file: bool = False, compression: str = "snappy"
 ) -> None:
+    """Parquet sink (S5); single_file coalesces to one part (small outputs)."""
     out = df.coalesce(1) if single_file else df
     out.write.option("compression", compression).mode("overwrite").parquet(dest)
 
