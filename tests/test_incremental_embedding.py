@@ -207,3 +207,35 @@ def test_zero_vectors_never_match_and_never_error(spark):
     }
     assert all(1000 not in pair and 99 not in pair for pair in got)
     assert (1001, 0) in got  # the exact copy still matches
+
+
+def test_index_survives_parquet_round_trip(spark, tmp_path):
+    """The docstring's deployment contract: persist lsh_corpus_index as
+    parquet (partitioned by key), read it back in a fresh plan, and get
+    the identical match set — schema and key encoding are stable across
+    the round trip, and the partitioned layout prunes on the join key."""
+    rng = random.Random(46)
+    acc_rows = _vectors(rng, 30, start_id=0)
+    arr_rows = _vectors(rng, 10, start_id=1000)
+    arr_rows.append((2000, [v * 1.01 for v in acc_rows[4][1]]))
+    accepted = spark.createDataFrame(acc_rows, SCHEMA)
+    arriving = spark.createDataFrame(arr_rows, SCHEMA)
+
+    live_idx = lsh_corpus_index(accepted, num_planes=3, num_tables=4, dim=DIM)
+    idx_path = str(tmp_path / "emb_index")
+    live_idx.write.partitionBy("key").parquet(idx_path)
+    stored_idx = spark.read.parquet(idx_path)
+
+    def match_set(idx):
+        return {
+            (r["vec_id"], r["accepted_id"], r["cos_sim"])
+            for r in incremental_embedding_matches(
+                arriving, idx, accepted, threshold=0.6,
+                num_planes=3, num_tables=4, dim=DIM,
+            ).collect()
+        }
+
+    live = match_set(live_idx)
+    stored = match_set(stored_idx)
+    assert stored == live
+    assert any(p[0] == 2000 for p in live)  # the planted near-dup matched
