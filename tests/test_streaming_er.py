@@ -789,3 +789,20 @@ def test_store_meta_rejects_mismatched_n_buckets(spark, tmp_path):
         spark, labels_path, ["a:2"], n_buckets=8
     ).collect()}
     assert got == {"a:2"}
+
+
+def test_store_utilities_handle_empty_inputs(spark, tmp_path):
+    """Degenerate-input pins: compacting a store that does not exist is
+    a no-op, and a point lookup with no keys returns an empty result
+    instead of erroring."""
+    from pyspark_entity_resolution_spark.streaming import er as ser
+
+    assert ser.compact_label_store(spark, str(tmp_path / "missing")) == []
+
+    labels_path = str(tmp_path / "labels_empty_lookup")
+    ser.incremental_entity_labels(
+        spark, labels_path,
+        spark.createDataFrame([(1, 101)], "a_id long, b_id long"),
+        n_buckets=4,
+    )
+    assert ser.entity_lookup(spark, labels_path, [], n_buckets=4).count() == 0
