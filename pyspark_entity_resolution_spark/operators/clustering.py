@@ -24,6 +24,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _release_checkpoint(df: DataFrame) -> None:
+    """Best-effort unpersist of a ``localCheckpoint`` result's backing
+    RDD blocks. Superseded round checkpoints used to stay persisted
+    until the JVM's ContextCleaner got around to them, which at the
+    x100 probe scale (100M-edge rounds) held multiple full edge-set
+    copies on the heap at once — the measured GC-pressure variance in
+    the century probe. A non-LogicalRDD plan (or a Connect session,
+    where the JVM internals are unreachable) is silently skipped: the
+    call is an optimization, never a correctness dependency."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def _large_star(e: DataFrame) -> DataFrame:
     """For each node u: connect every strictly-larger neighbor to
     min(N(u) ∪ {u}).
@@ -67,6 +82,8 @@ def connected_components(
     dst: str = "dst",
     max_iterations: int = 25,
     target_edges_per_partition: int = 100_000,
+    checkpoint_storage=None,
+    disk_only_above_edges: int = 20_000_000,
 ) -> DataFrame:
     """Return ``(node, component)`` for every node appearing in ``edges``.
 
@@ -79,6 +96,16 @@ def connected_components(
       (``localCheckpoint`` + count) so the iterative rounds never
       re-evaluate an expensive upstream candidate join. This is not a
       lazy transformation.
+    - Checkpoint STORAGE LEVEL is size-adaptive: above
+      ``disk_only_above_edges`` edges the per-round checkpoints persist
+      DISK_ONLY instead of Spark's MEMORY_AND_DISK default. The rounds
+      read each checkpoint a handful of times (OS page cache absorbs
+      most of the re-reads), while the in-memory copies of a huge edge
+      set otherwise crowd the unified memory region that the rounds'
+      hash aggregations need — measured on the x100 probe (100M edges,
+      8g heap) as the difference between finishing and
+      AGGREGATE_OUT_OF_MEMORY. Pass ``checkpoint_storage`` (a
+      ``StorageLevel``) to override the choice in either direction.
     - NOT thread-safe with respect to ``spark.sql.shuffle.partitions``:
       the loop narrows the session conf to the edge volume for the
       duration of the call (restored in a ``finally``), because Spark
@@ -112,42 +139,98 @@ def connected_components(
         width = max(1, min(int(session_width), -(-n_edges // target_edges_per_partition)))
     except ValueError:  # non-numeric (e.g. "auto") — leave it alone
         width = None
+    level = checkpoint_storage
+    if level is None and n_edges >= disk_only_above_edges:
+        from pyspark import StorageLevel
+
+        level = StorageLevel.DISK_ONLY
+    if level is not None:
+        # DEMOTE the raw checkpoint to the chosen level (the count above
+        # needed it materialized before the size was known): one cheap
+        # shuffle-free copy-through, after which the big edge set no
+        # longer occupies the storage-memory region the loop's first
+        # distinct() aggregations need. Measured on the x100 probe
+        # (100M edges, 8g heap): with raw resident in unified memory the
+        # all-nodes distinct dies in UNABLE_TO_ACQUIRE_MEMORY before the
+        # first round starts.
+        demoted = raw.localCheckpoint(storageLevel=level)
+        _release_checkpoint(raw)
+        raw = demoted
     try:
         if width is not None:
             spark.conf.set(key, str(width))
-        return _connected_components_loop(raw, max_iterations)
+        return _connected_components_loop(raw, max_iterations, level)
     finally:
         spark.conf.set(key, session_width)
 
 
-def _connected_components_loop(raw: DataFrame, max_iterations: int) -> DataFrame:
+def _connected_components_loop(
+    raw: DataFrame, max_iterations: int, level=None
+) -> DataFrame:
     all_nodes = (
         raw.select(F.col("u").alias("node"))
         .union(raw.select(F.col("v").alias("node")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(storageLevel=level)
     )
     e = (
         raw.filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(storageLevel=level)
     )
+    # raw's blocks are superseded the moment both derivatives above are
+    # materialized (the caller's count() already ran on them)
+    _release_checkpoint(raw)
+
+    # NOTE on a measured dead end (round 6): per-round FREEZE-OUT of
+    # finished star components (drop proper stars from the working edge
+    # set so later rounds shuffle only the churning frontier) was
+    # implemented and bisected as a net LOSS on the probe workloads —
+    # 1M edges 20.5 s -> 43.0 s, 10M edges 73.8 s -> 99.7 s — because
+    # on a random match graph the giant component holds nearly all the
+    # edge mass and never freezes until the final round, while the
+    # bookkeeping (node-role aggregation + done/live split joins) adds
+    # ~3 extra full-edge-set shuffles and 2 extra actions to EVERY
+    # round. What survives from that attempt is (a) the superseded-
+    # checkpoint release below and (b) the stricter node-role
+    # convergence probe, both wins independent of graph shape.
     for _ in range(max_iterations):
+        prev = e
         # lazy checkpoint: the convergence probe below is the action that
         # materializes it, so each round runs ONE job instead of an
         # eager-checkpoint job followed by a probe job
-        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
-        # Fixed-point test, direct: small-star output always points
-        # larger -> smaller, so e is a star forest (= the algorithm's
-        # fixed point, Kiveris et al. Thm 3.1) iff no edge target v is
-        # also an edge source u. One semi-join probe on the checkpointed
-        # round output replaces the old signature-equality check, which
-        # could only detect convergence one full (and therefore
-        # redundant) round after it happened.
-        not_forest = e.select(F.col("v").alias("n")).join(
-            e.select(F.col("u").alias("n")), on="n", how="left_semi"
+        e = _small_star(_large_star(e)).localCheckpoint(
+            eager=False, storageLevel=level
         )
-        if not_forest.isEmpty():
+        # Fixed-point probe via node roles in ONE map-side-combined
+        # aggregation: the round output is a settled star forest iff no
+        # node both emits and receives an edge AND no node emits more
+        # than one. This is deliberately STRICTER than the previous
+        # "no target is also a source" semi-join probe: small-star
+        # output can hand a node TWO outgoing edges toward two
+        # different local minima (it sat in two rewired neighborhoods
+        # whose roots are not themselves sources), a state the old
+        # probe declared converged — mislabeling that node into two
+        # components — but which is not a fixed point. Such a node
+        # keeps nsrc > 1 here, so the loop keeps iterating until the
+        # halves merge.
+        churn = (
+            e.select(F.col("u").alias("n"), F.lit(1).alias("s"), F.lit(0).alias("t"))
+            .union(
+                e.select(F.col("v").alias("n"), F.lit(0).alias("s"), F.lit(1).alias("t"))
+            )
+            .groupBy("n")
+            .agg(F.sum("s").alias("nsrc"), F.sum("t").alias("ntgt"))
+            .filter(
+                (F.col("nsrc") >= 1) & ((F.col("nsrc") > 1) | (F.col("ntgt") > 0))
+            )
+        )
+        converged = churn.isEmpty()
+        # the superseded round's blocks are re-readable only until this
+        # release; every consumer of `prev` (this round's stars + probe)
+        # has already run
+        _release_checkpoint(prev)
+        if converged:
             break
 
     # converged: e is a star forest (child -> root). Roots label themselves,
@@ -162,7 +245,10 @@ def _connected_components_loop(raw: DataFrame, max_iterations: int) -> DataFrame
     # eager: materialize the labeling inside the caller's narrowed
     # shuffle-width window (see connected_components) and hand consumers
     # a checkpointed table — entity resolution joins it twice downstream
-    return labeled.union(singletons).localCheckpoint()
+    result = labeled.union(singletons).localCheckpoint(storageLevel=level)
+    for superseded in (e, all_nodes):
+        _release_checkpoint(superseded)
+    return result
 
 
 def cluster_matched_pairs(

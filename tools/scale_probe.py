@@ -365,13 +365,13 @@ def probe_century_cc(spark) -> None:
     )
 
     def _cc(n_nodes, n_edges):
-        edges = (
-            spark.range(n_edges)
-            .select(
-                (F.abs(F.xxhash64(F.col("id"))) % n_nodes).alias("src"),
-                (F.abs(F.xxhash64(F.col("id") + 7_777_777)) % n_nodes).alias("dst"),
-            )
-            .localCheckpoint()
+        # no probe-side localCheckpoint: connected_components checkpoints
+        # its input itself, and a second full-edge-set copy held across
+        # the whole call was exactly the heap pressure that tipped the
+        # x100 leg (100M edges, 8g) into AGGREGATE_OUT_OF_MEMORY
+        edges = spark.range(n_edges).select(
+            (F.abs(F.xxhash64(F.col("id"))) % n_nodes).alias("src"),
+            (F.abs(F.xxhash64(F.col("id") + 7_777_777)) % n_nodes).alias("dst"),
         )
         return connected_components(edges).select("component").distinct().count()
 
