@@ -285,8 +285,19 @@ def ivf_assign(
     ``keep_norm=True`` retains the per-vector L2 norm as ``vec_norm``
     so downstream scoring (ivf_topk / ivf_topk_multi) reuses the fold
     already paid for here instead of re-running an array aggregate per
-    row.
+    row. An input that already carries a ``vec_norm`` (or the internal
+    ``__vnrm``) column is rejected up front — renaming next to a
+    same-named column would emit ambiguous duplicates that break the
+    downstream joins.
     """
+    clash = {"vec_norm", "__vnrm"} if keep_norm else {"__vnrm"}
+    clash = clash.intersection(df.columns)
+    if clash:
+        raise ValueError(
+            f"ivf_assign input already has column(s) {sorted(clash)}, "
+            "which collide with the norm column this operator emits — "
+            "rename or drop them first"
+        )
     c = F.broadcast(
         centroids.select(
             F.col(centroid_id), F.col(centroid_vec),

@@ -416,12 +416,20 @@ def simhash_candidates(
 # ------------------------------------------------------ n-gram Jaccard --
 
 # session-scoped certificate memo, keyed by the corpus plan's semantic
-# hash + the gram expression. Token vocabularies grow with the corpus
-# (unlike the charset^k char-gram bound), so the certificate job is not
-# always trivially cheap — and bench/pipeline code re-certifies the SAME
-# corpus on every call (the bench harness alone builds each query four
-# times). Semantically-equal plans share one verdict per session.
-_INJECTIVITY_CACHE: dict[int, bool] = {}
+# hash + the gram expression + the plan's resolved input-file list.
+# Token vocabularies grow with the corpus (unlike the charset^k
+# char-gram bound), so the certificate job is not always trivially
+# cheap — and bench/pipeline code re-certifies the SAME corpus on every
+# call (the bench harness alone builds each query four times).
+# Semantically-equal plans over the same files share one verdict per
+# session. The file list matters because semanticHash for parquet scans
+# hashes rootPaths, not data: overwriting or appending to the same path
+# mid-session produces new part-file names (Spark writers name parts
+# per-job), so folding inputFiles() into the key invalidates the memo
+# exactly when the underlying data could have changed — keeping the
+# certificate's exactness contract unconditional. It also stretches the
+# 32-bit semanticHash keyspace, shrinking cross-plan collision odds.
+_INJECTIVITY_CACHE: dict[tuple, bool] = {}
 
 
 def _hash_injective(df: DataFrame, grams: Column) -> bool:
@@ -459,7 +467,13 @@ def _hash_injective(df: DataFrame, grams: Column) -> bool:
         # independently-built but equal plans — e.g. the bench harness
         # re-reading the same parquet per timing run — share a verdict,
         # where the Column's string form would differ on a counter.
-        key = df.select(grams.alias("__gram"))._jdf.semanticHash()
+        # The resolved file list rides along so a same-path overwrite/
+        # append between calls starts a fresh certificate (module
+        # comment above).
+        key = (
+            df.select(grams.alias("__gram"))._jdf.semanticHash(),
+            tuple(sorted(df.inputFiles())),
+        )
     except Exception:
         pass
     if key is not None and key in _INJECTIVITY_CACHE:

@@ -20,6 +20,8 @@ the batch twin in tests/test_streaming_er.py).
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -168,13 +170,104 @@ def _node_bucket(n_buckets: int) -> Column:
     return F.pmod(F.xxhash64(F.col("node")), F.lit(n_buckets)).cast("int")
 
 
-# Observability for the latest incremental fold (read by tests and
-# operational tooling): "expansion_buckets" is the bucket list the
-# member expansion was pruned to, or None when the fold fell back to a
-# full-store expansion (index absent or behind); "expansion_scan" is
-# the pruned store scan itself, whose physical plan shows the partition
-# filter. Overwritten by every incremental fold in this process.
+@dataclass
+class FoldReport:
+    """What one incremental fold did — returned by
+    :func:`incremental_entity_labels` so observability is the
+    function's contract, not a process global.
+
+    ``labels`` is the full current label table (``node, component``) —
+    the value pre-r6 callers received directly. ``expansion_buckets``
+    is the bucket list the member expansion was pruned to (``None`` on
+    a full-store fallback: index absent/behind, or a cold start).
+    ``expansion_plan`` is the formatted physical plan of the executed
+    expansion scan (its ``PartitionFilters`` line shows the pruning) —
+    a string, never a live DataFrame, because the fold's dynamic
+    overwrite replaces the scanned files and re-executing such a plan
+    after the fold would read deleted files. ``n_hit_components``
+    counts the previously-known components this batch touched
+    (``None`` on cold start or when the index was absent — the fold
+    then never needed the number)."""
+
+    labels: DataFrame
+    expansion_buckets: list[int] | None = None
+    expansion_plan: str | None = None
+    n_hit_components: int | None = None
+    cold_start: bool = False
+
+
+# DEPRECATED observability back-channel, kept one round for callers
+# that still read it: mirrors the FoldReport fields of the latest fold
+# in this process ("expansion_buckets", "expansion_plan") — METADATA
+# ONLY, no live DataFrame (a retained pre-overwrite scan plan could
+# read deleted files if executed after the fold, and a process-global
+# is clobbered by concurrent folds over different stores). Prefer the
+# returned FoldReport.
 LAST_FOLD_INFO: dict = {}
+
+
+def _lease_path(spark, labels_path: str):
+    """Sibling writer-lease marker of a label store (outside the store
+    directory so a cold-start full overwrite cannot delete it
+    mid-write)."""
+    return spark._jvm.org.apache.hadoop.fs.Path(
+        labels_path.rstrip("/") + "__lease"
+    )
+
+
+def _acquire_store_lease(spark, labels_path: str, owner: str):
+    """Create-exclusive writer lease for the label store. The store's
+    write protocol (index-ahead ordering, dynamic partition overwrite,
+    compaction's read-then-replace) is SINGLE-WRITER: two concurrent
+    writers would silently corrupt buckets. ``foreachBatch`` already
+    serializes fold+compact inside one streaming query; this lease
+    extends the guarantee to direct callers in other processes.
+    Returns the filesystem handle for :func:`_release_store_lease`;
+    raises RuntimeError when another writer holds the lease. A lease
+    left behind by a crashed writer must be cleared explicitly with
+    :func:`break_store_lease` — a deliberate manual step, since only
+    an operator can know the other writer is truly gone."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    jpath = _lease_path(spark, labels_path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    try:
+        out = fs.create(jpath, False)  # overwrite=False: create-exclusive
+    except Exception as exc:  # Hadoop FileAlreadyExistsException et al.
+        if fs.exists(jpath):
+            raise RuntimeError(
+                f"label store at {labels_path} is locked by another "
+                f"writer (lease file {jpath}): a fold and a compaction "
+                "must not run concurrently — wait for the other writer, "
+                "or, if it crashed, clear the stale lease with "
+                "break_store_lease()"
+            ) from None
+        raise exc
+    try:
+        out.write(
+            bytearray(
+                _json.dumps(
+                    {"owner": owner, "pid": _os.getpid(), "ts": _time.time()}
+                ).encode()
+            )
+        )
+    finally:
+        out.close()
+    return fs
+
+
+def _release_store_lease(spark, labels_path: str, fs) -> None:
+    fs.delete(_lease_path(spark, labels_path), False)
+
+
+def break_store_lease(spark, labels_path: str) -> bool:
+    """Forcibly clear a label-store writer lease (after a writer crash).
+    Returns True if a lease file was removed."""
+    jpath = _lease_path(spark, labels_path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.delete(jpath, False))
 
 
 def _cidx_path(labels_path: str) -> str:
@@ -199,16 +292,29 @@ def _write_store_meta(spark, labels_path: str, n_buckets: int) -> None:
     Spark's file listing ignores ``_``-files, the dynamic partition
     overwrite never touches non-partition paths, and every later
     fold/lookup/compaction can verify its caller-supplied ``n_buckets``
-    against the layout instead of silently pruning to wrong buckets."""
+    against the layout instead of silently pruning to wrong buckets.
+
+    Written ATOMICALLY (temp name, then rename into place): a crash
+    mid-write must not leave a truncated sidecar that would make every
+    later fold/lookup die parsing it. Rename is atomic on HDFS and
+    local filesystems; on object stores it degrades to copy+delete,
+    where the read side's unreadable-sidecar tolerance
+    (:func:`_check_store_meta`) is the backstop."""
     import json as _json
 
+    jvm = spark._jvm
     jpath = _meta_path(spark, labels_path)
+    jtmp = jvm.org.apache.hadoop.fs.Path(
+        labels_path.rstrip("/") + "/_store_meta.json.tmp"
+    )
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    out = fs.create(jpath, True)
+    out = fs.create(jtmp, True)
     try:
         out.write(bytearray(_json.dumps({"n_buckets": n_buckets}).encode()))
     finally:
         out.close()
+    fs.delete(jpath, False)  # rename won't clobber an existing file
+    fs.rename(jtmp, jpath)
 
 
 def _check_store_meta(spark, labels_path: str, n_buckets: int) -> None:
@@ -222,14 +328,24 @@ def _check_store_meta(spark, labels_path: str, n_buckets: int) -> None:
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(jpath):
         return
-    stream = fs.open(jpath)
     try:
-        data = bytes(
-            spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
-        )
-    finally:
-        stream.close()
-    recorded = _json.loads(data.decode())["n_buckets"]
+        stream = fs.open(jpath)
+        try:
+            data = bytes(
+                spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+            )
+        finally:
+            stream.close()
+        recorded = _json.loads(data.decode())["n_buckets"]
+    except Exception:
+        # an unreadable sidecar — truncated JSON or a failing read
+        # (e.g. a checksum mismatch after a torn write on a store
+        # predating the atomic rename, or a non-atomic object store) —
+        # must not brick the store: treat it as absent and rewrite it
+        # with the caller's layout, the same trust the pre-sidecar
+        # upgrade path extends
+        _write_store_meta(spark, labels_path, n_buckets)
+        return
     if recorded != n_buckets:
         raise ValueError(
             f"label store at {labels_path} is laid out with "
@@ -309,15 +425,46 @@ def incremental_entity_labels(
     table. Re-delivered pairs (foreachBatch is at-least-once on restart)
     are idempotent: an edge already inside one component changes nothing.
 
-    Returns the FULL current label table (touched rows from this fold
-    plus untouched rows; the untouched-bucket portion is read lazily
-    from files this fold did not rewrite).
+    Returns a :class:`FoldReport`; its ``labels`` field is the FULL
+    current label table (touched rows from this fold plus untouched
+    rows; the untouched-bucket portion is read lazily from files this
+    fold did not rewrite).
+
+    SINGLE-WRITER: the whole fold runs under the store's writer lease
+    (see :func:`_acquire_store_lease`) — a concurrent fold or
+    compaction from another process raises instead of corrupting
+    buckets.
     """
     from pyspark.errors import AnalysisException
 
     from ..operators.clustering import connected_components
 
     _check_store_meta(spark, labels_path, n_buckets)
+    fs = _acquire_store_lease(spark, labels_path, "incremental_entity_labels")
+    try:
+        return _fold_locked(
+            spark, labels_path, new_matches, left_id, right_id,
+            left_name, right_name, n_buckets, AnalysisException,
+            connected_components,
+        )
+    finally:
+        _release_store_lease(spark, labels_path, fs)
+
+
+def _record_fold_info(report: FoldReport) -> FoldReport:
+    LAST_FOLD_INFO.clear()
+    LAST_FOLD_INFO.update(
+        expansion_buckets=report.expansion_buckets,
+        expansion_plan=report.expansion_plan,
+    )
+    return report
+
+
+def _fold_locked(
+    spark, labels_path, new_matches, left_id, right_id,
+    left_name, right_name, n_buckets, AnalysisException,
+    connected_components,
+) -> FoldReport:
     edges = new_matches.select(
         F.concat(F.lit(left_name + ":"), F.col(left_id).cast("string")).alias("src"),
         F.concat(F.lit(right_name + ":"), F.col(right_id).cast("string")).alias("dst"),
@@ -343,7 +490,7 @@ def incremental_entity_labels(
         )
         _write_store_meta(spark, labels_path, n_buckets)
         _write_component_index(bucketed, _cidx_path(labels_path), dynamic=False)
-        return labels
+        return _record_fold_info(FoldReport(labels=labels, cold_start=True))
 
     # --- incremental fold against the bucketed store -----------------
     batch_nodes = (
@@ -381,16 +528,40 @@ def incremental_entity_labels(
         cidx = spark.read.parquet(_cidx_path(labels_path))
     except AnalysisException:
         cidx = None
-    member_buckets = None
+    member_buckets, n_hit = None, None
     if cidx is not None:
+        # ONE action answers all three probe questions (how many hit
+        # components, how many the index knows, which buckets): marker
+        # rows for the hit components ride a unionByName next to the
+        # inner-join result, so the former extra hit_components.count()
+        # round trip is folded into this aggregation. The big cidx side
+        # keeps its broadcast-inner-join shape.
         hits_with_buckets = cidx.join(
             F.broadcast(hit_components), on="component", how="inner"
         )
-        probe = hits_with_buckets.agg(
-            F.count_distinct("component").alias("known"),
-            F.collect_set("bucket").alias("buckets"),
-        ).collect()[0]
-        n_hit = hit_components.count()
+        probe = (
+            hits_with_buckets.select(
+                "component", "bucket", F.lit(False).alias("__marker")
+            )
+            .unionByName(
+                hit_components.select(
+                    "component",
+                    F.lit(None).cast(cidx.schema["bucket"].dataType).alias("bucket"),
+                    F.lit(True).alias("__marker"),
+                )
+            )
+            .agg(
+                F.count_distinct(
+                    F.when(F.col("__marker"), F.col("component"))
+                ).alias("n_hit"),
+                F.count_distinct(
+                    F.when(~F.col("__marker"), F.col("component"))
+                ).alias("known"),
+                F.collect_set("bucket").alias("buckets"),  # nulls ignored
+            )
+            .collect()[0]
+        )
+        n_hit = probe["n_hit"]
         if probe["known"] == n_hit:
             member_buckets = probe["buckets"]
     scan = (
@@ -398,12 +569,15 @@ def incremental_entity_labels(
         if member_buckets is None
         else prev.filter(F.col("bucket").isin([int(b) for b in member_buckets]))
     )
-    LAST_FOLD_INFO.clear()
-    LAST_FOLD_INFO.update(
-        expansion_buckets=(
-            None if member_buckets is None else sorted(int(b) for b in member_buckets)
-        ),
-        expansion_scan=scan,
+    expansion_buckets = (
+        None if member_buckets is None else sorted(int(b) for b in member_buckets)
+    )
+    # the plan STRING is captured for the report (PartitionFilters show
+    # the pruning); the live scan DataFrame is deliberately not exposed
+    # — after the dynamic overwrite below its captured file listing
+    # points at deleted files
+    expansion_plan = scan._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     members = scan.join(hit_components, on="component", how="left_semi")
     star = members.select(
@@ -451,7 +625,14 @@ def incremental_entity_labels(
     # `prev` plan captured a file listing whose touched-bucket files the
     # dynamic overwrite just replaced, so re-using it would read deleted
     # files; a new read lists the store as it now is
-    return spark.read.parquet(labels_path).select("node", "component")
+    return _record_fold_info(
+        FoldReport(
+            labels=spark.read.parquet(labels_path).select("node", "component"),
+            expansion_buckets=expansion_buckets,
+            expansion_plan=expansion_plan,
+            n_hit_components=n_hit,
+        )
+    )
 
 
 def _bucket_file_counts(spark, path: str) -> dict[int, int]:
@@ -495,7 +676,24 @@ def compact_label_store(
     files byte-identical. Safe to run between folds (same writer path,
     same layout); schedule it via ``streaming_resolve_entities``'s
     ``compact_every`` or call it directly.
+
+    SINGLE-WRITER: compaction runs under the same writer lease as the
+    fold (:func:`_acquire_store_lease`) — compacting while a fold from
+    another process is mid-flight would replace bucket files the fold
+    is reading and double-write the ones it is writing.
     """
+    fs = _acquire_store_lease(spark, labels_path, "compact_label_store")
+    try:
+        return _compact_locked(
+            spark, labels_path, max_files_per_bucket, include_index
+        )
+    finally:
+        _release_store_lease(spark, labels_path, fs)
+
+
+def _compact_locked(
+    spark, labels_path, max_files_per_bucket, include_index
+) -> list[int]:
     compacted: list[int] = []
     paths = [labels_path]
     if include_index:

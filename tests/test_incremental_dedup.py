@@ -126,3 +126,81 @@ def test_streaming_anti_join_form(spark, tmp_path):
     q.awaitTermination(60)
     kept = {r.doc_id for r in spark.table("ingest_dedup").collect()}
     assert kept == {11}
+
+
+def test_foreachbatch_driver_matches_equal_direct_streaming_form(spark, tmp_path):
+    """streaming_incremental_dedup(emit="matches") must drain to exactly
+    the result set of the direct stream-static plan — same matches, but
+    folded through the slim batch path (verify payload joined
+    post-admission instead of riding bands-x through the exploded
+    join)."""
+    from pyspark_entity_resolution_spark.streaming.ingest import (
+        streaming_incremental_dedup,
+    )
+
+    hist = _docs(spark, HIST)
+    idx = minhash_corpus_index(hist).localCheckpoint()
+    prof = token_profile(hist).localCheckpoint()
+    src = str(tmp_path / "arrivals_fb")
+    out = str(tmp_path / "matches_fb")
+    # two parquet files -> the availableNow drain sees the data in
+    # (at least) one batch per file boundary on replay semantics
+    _docs(spark, ARRIVING[:3]).coalesce(1).write.mode("append").parquet(src)
+    _docs(spark, ARRIVING[3:]).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = streaming_incremental_dedup(
+        stream, idx, prof, out, emit="matches",
+        checkpoint_dir=str(tmp_path / "ckpt_fb"),
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r.doc_id, r.accepted_id, round(r.jaccard, 6))
+        for r in spark.read.parquet(out).collect()
+    }
+    expected = {
+        (r.doc_id, r.accepted_id, round(r.jaccard, 6))
+        for r in incremental_minhash_matches(
+            _docs(spark, ARRIVING), idx, prof
+        ).collect()
+    }
+    assert got == expected and len(got) > 0
+
+
+def test_foreachbatch_driver_kept_mode_drops_history_and_batch_losers(spark, tmp_path):
+    """emit="kept" gives the stream what the direct plan cannot express
+    at all: per-batch within-batch loser dropping plus the history
+    anti-join, equal to the batch operator folded batch-by-batch."""
+    from pyspark_entity_resolution_spark.streaming.ingest import (
+        streaming_incremental_dedup,
+    )
+
+    hist = _docs(spark, HIST)
+    idx = minhash_corpus_index(hist).localCheckpoint()
+    prof = token_profile(hist).localCheckpoint()
+    src = str(tmp_path / "arrivals_kept")
+    out = str(tmp_path / "kept_fb")
+    _docs(spark, ARRIVING).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = streaming_incremental_dedup(
+        stream, idx, prof, out, emit="kept",
+        checkpoint_dir=str(tmp_path / "ckpt_kept"),
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    kept = {r.doc_id for r in spark.read.parquet(out).collect()}
+    # 10 and 20 match history doc 0; 12 loses to 11 within the batch
+    assert kept == {11, 13}
+
+    with pytest.raises(ValueError, match="emit"):
+        streaming_incremental_dedup(
+            stream, idx, prof, out, emit="bogus"
+        )

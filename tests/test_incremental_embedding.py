@@ -239,3 +239,102 @@ def test_index_survives_parquet_round_trip(spark, tmp_path):
     stored = match_set(stored_idx)
     assert stored == live
     assert any(p[0] == 2000 for p in live)  # the planted near-dup matched
+
+
+def test_foreachbatch_embedding_driver_equals_direct_streaming_form(spark, tmp_path):
+    """streaming_incremental_embedding_dedup(emit="matches") drains to
+    exactly the direct stream-static plan's result set, via the slim
+    batch path (vectors joined post-admission)."""
+    from pyspark_entity_resolution_spark.streaming.ingest import (
+        streaming_incremental_embedding_dedup,
+    )
+
+    rng = random.Random(47)
+    acc_rows = _vectors(rng, 25, start_id=0)
+    arr_rows = _vectors(rng, 12, start_id=1000)
+    arr_rows.append((2000, [v * 1.01 for v in acc_rows[3][1]]))
+    arr_rows.append((2001, [v * 0.98 for v in acc_rows[7][1]]))
+
+    accepted = spark.createDataFrame(acc_rows, SCHEMA)
+    idx = lsh_corpus_index(
+        accepted, num_planes=3, num_tables=4, dim=DIM
+    ).localCheckpoint()
+    src = str(tmp_path / "arr_fb")
+    out = str(tmp_path / "matches_fb")
+    spark.createDataFrame(arr_rows[:7], SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    spark.createDataFrame(arr_rows[7:], SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = streaming_incremental_embedding_dedup(
+        stream, idx, accepted, out, threshold=0.6,
+        num_planes=3, num_tables=4, dim=DIM, emit="matches",
+        checkpoint_dir=str(tmp_path / "ckpt_emb_fb"),
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r["vec_id"], r["accepted_id"], r["cos_sim"])
+        for r in spark.read.parquet(out).collect()
+    }
+    expected = {
+        (r["vec_id"], r["accepted_id"], r["cos_sim"])
+        for r in incremental_embedding_matches(
+            spark.createDataFrame(arr_rows, SCHEMA), idx, accepted,
+            threshold=0.6, num_planes=3, num_tables=4, dim=DIM,
+        ).collect()
+    }
+    assert got == expected
+    assert {(a, c) for a, c, _ in got} >= {(2000, 3), (2001, 7)}
+
+
+def test_foreachbatch_embedding_driver_kept_mode(spark, tmp_path):
+    """emit="kept": arriving vectors with a corpus near-dup (and the
+    larger-id side of within-batch pairs) never reach the sink."""
+    from pyspark_entity_resolution_spark.streaming.ingest import (
+        streaming_incremental_embedding_dedup,
+    )
+
+    rng = random.Random(48)
+    acc_rows = _vectors(rng, 20, start_id=0)
+    arr_rows = _vectors(rng, 8, start_id=1000)
+    arr_rows.append((2000, [v * 1.02 for v in acc_rows[5][1]]))  # corpus dup
+    base = [rng.uniform(-1, 1) for _ in range(DIM)]
+    arr_rows.append((3000, base))
+    arr_rows.append((3001, [v * 1.01 for v in base]))  # in-batch dup, loses
+
+    accepted = spark.createDataFrame(acc_rows, SCHEMA)
+    idx = lsh_corpus_index(
+        accepted, num_planes=3, num_tables=4, dim=DIM
+    ).localCheckpoint()
+    src = str(tmp_path / "arr_kept")
+    out = str(tmp_path / "kept_emb")
+    spark.createDataFrame(arr_rows, SCHEMA).coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    q = streaming_incremental_embedding_dedup(
+        stream, idx, accepted, out, threshold=0.85,
+        num_planes=3, num_tables=4, dim=DIM, emit="kept",
+        checkpoint_dir=str(tmp_path / "ckpt_kept_emb"),
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    kept = {r["vec_id"] for r in spark.read.parquet(out).collect()}
+    expected_kept = {
+        r["vec_id"]
+        for r in incremental_embedding_dedup(
+            spark.createDataFrame(arr_rows, SCHEMA), idx, accepted,
+            threshold=0.85, num_planes=3, num_tables=4, dim=DIM,
+        ).collect()
+    }
+    assert kept == expected_kept
+    assert 2000 not in kept and 3001 not in kept and 3000 in kept

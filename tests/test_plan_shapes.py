@@ -128,3 +128,49 @@ def test_simhash_candidates_have_no_dedup_aggregate(spark):
     assert "HashAggregate" not in plan
     n = df.count()
     assert df.distinct().count() == n
+
+
+def test_batch_ingest_join_carries_no_payload_arrays(spark):
+    """Slim batch path of the incremental near-dup matchers: the
+    exploded band/key join must carry only ids and key scalars — the
+    verification payload (token arrays / vectors) joins onto ADMITTED
+    candidates afterwards, so no array column may appear below the
+    band-join's own output. The streaming form deliberately differs
+    (stream-static cannot re-join the payload; bounded by micro-batch
+    size) — this pins the batch shape the foreachBatch ingest drivers
+    (streaming/ingest.py) fold every micro-batch through."""
+    from pyspark_entity_resolution_spark.operators.ann import (
+        incremental_embedding_matches,
+        lsh_corpus_index,
+    )
+    from pyspark_entity_resolution_spark.operators.dedup import (
+        incremental_minhash_matches,
+        minhash_corpus_index,
+        token_profile,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    hist = docs.filter("doc_id % 10 = 0")
+    arriving = docs.filter("doc_id % 10 = 1")
+    m = incremental_minhash_matches(
+        arriving, minhash_corpus_index(hist), token_profile(hist)
+    )
+    plan = m._jdf.queryExecution().optimizedPlan().toString()
+    assert "__arr_toks" in plan  # the payload join exists (above admission)
+    # the band explode emits only the id + key scalars: no Generate
+    # (posexplode) node may list the token array among its outputs
+    explode_lines = [ln for ln in plan.splitlines() if "posexplode" in ln]
+    assert explode_lines, plan
+    assert all("__arr_toks" not in ln for ln in explode_lines), explode_lines
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    ehist = emb.filter("vec_id % 10 = 0")
+    earr = emb.filter("vec_id % 10 = 1")
+    em = incremental_embedding_matches(
+        earr, lsh_corpus_index(ehist), ehist
+    )
+    eplan = em._jdf.queryExecution().optimizedPlan().toString()
+    assert "__arr_vec" in eplan
+    eexplode = [ln for ln in eplan.splitlines() if "posexplode" in ln]
+    assert eexplode, eplan
+    assert all("__arr_vec" not in ln for ln in eexplode), eexplode

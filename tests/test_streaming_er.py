@@ -434,17 +434,20 @@ def test_member_expansion_prunes_to_index_buckets(spark, tmp_path):
     assert len(live_buckets) > 2
 
     batch2 = spark.createDataFrame([(1, 120)], "a_id long, b_id long")
-    ser.incremental_entity_labels(spark, labels_path, batch2, n_buckets=n_buckets)
+    report = ser.incremental_entity_labels(
+        spark, labels_path, batch2, n_buckets=n_buckets
+    )
 
-    pruned = ser.LAST_FOLD_INFO["expansion_buckets"]
+    pruned = report.expansion_buckets
     assert pruned is not None  # the index answered, no full-scan fallback
     assert set(pruned) < live_buckets  # strictly fewer buckets than the store
-    plan = (
-        ser.LAST_FOLD_INFO["expansion_scan"]
-        ._jdf.queryExecution().executedPlan().toString()
-    )
-    pf = plan.split("PartitionFilters:", 1)
+    assert report.n_hit_components == 1  # one prior component touched
+    pf = report.expansion_plan.split("PartitionFilters:", 1)
     assert len(pf) == 2 and "bucket" in pf[1].splitlines()[0]
+    # the deprecated process-global mirrors the report's METADATA (and
+    # only metadata — no live DataFrame back-channel)
+    assert ser.LAST_FOLD_INFO["expansion_buckets"] == pruned
+    assert set(ser.LAST_FOLD_INFO) == {"expansion_buckets", "expansion_plan"}
 
     got = {
         (r["id"], r["df_name"], r["cluster_id"])
@@ -480,8 +483,10 @@ def test_expansion_full_scan_without_index_then_rebuilds(spark, tmp_path):
     ser.incremental_entity_labels(spark, labels_path, batch1, n_buckets=4)
     shutil.rmtree(labels_path + "__cidx")
 
-    ser.incremental_entity_labels(spark, labels_path, batch2, n_buckets=4)
-    assert ser.LAST_FOLD_INFO["expansion_buckets"] is None  # full-scan path
+    report = ser.incremental_entity_labels(
+        spark, labels_path, batch2, n_buckets=4
+    )
+    assert report.expansion_buckets is None  # full-scan path
     assert os.path.isdir(labels_path + "__cidx")  # rebuilt after the fold
 
     got = {
@@ -498,8 +503,10 @@ def test_expansion_full_scan_without_index_then_rebuilds(spark, tmp_path):
 
     # the rebuilt index serves the NEXT fold (pruned again)
     batch3 = spark.createDataFrame([(2, 103)], "a_id long, b_id long")
-    ser.incremental_entity_labels(spark, labels_path, batch3, n_buckets=4)
-    assert ser.LAST_FOLD_INFO["expansion_buckets"] is not None
+    report = ser.incremental_entity_labels(
+        spark, labels_path, batch3, n_buckets=4
+    )
+    assert report.expansion_buckets is not None
 
 
 def test_expansion_falls_back_when_index_misses_a_component(spark, tmp_path):
@@ -535,8 +542,10 @@ def test_expansion_falls_back_when_index_misses_a_component(spark, tmp_path):
     pruned_idx.write.mode("overwrite").partitionBy("bucket").parquet(cidx_path)
 
     batch2 = spark.createDataFrame([(1, 103)], "a_id long, b_id long")
-    ser.incremental_entity_labels(spark, labels_path, batch2, n_buckets=4)
-    assert ser.LAST_FOLD_INFO["expansion_buckets"] is None  # detected, fell back
+    report = ser.incremental_entity_labels(
+        spark, labels_path, batch2, n_buckets=4
+    )
+    assert report.expansion_buckets is None  # detected, fell back
 
     got = {
         (r["id"], r["df_name"], r["cluster_id"])
@@ -806,3 +815,110 @@ def test_store_utilities_handle_empty_inputs(spark, tmp_path):
         n_buckets=4,
     )
     assert ser.entity_lookup(spark, labels_path, [], n_buckets=4).count() == 0
+
+
+def test_writer_lease_blocks_concurrent_fold_and_compact(spark, tmp_path):
+    """Single-writer contract: while one writer holds the store lease
+    (simulating a fold in flight in another process), both a fold and a
+    compaction raise a clear contention error instead of corrupting
+    buckets; break_store_lease clears a crashed writer's leftover and
+    normal operation resumes."""
+    import pytest
+
+    from pyspark_entity_resolution_spark.streaming import er as ser
+
+    labels_path = str(tmp_path / "labels_lease")
+    batch = spark.createDataFrame([(1, 101)], "a_id long, b_id long")
+    ser.incremental_entity_labels(spark, labels_path, batch, n_buckets=4)
+
+    # simulate another process's in-flight fold
+    held = ser._acquire_store_lease(spark, labels_path, "other-writer")
+    try:
+        with pytest.raises(RuntimeError, match="locked by another writer"):
+            ser.incremental_entity_labels(
+                spark, labels_path,
+                spark.createDataFrame([(2, 102)], "a_id long, b_id long"),
+                n_buckets=4,
+            )
+        with pytest.raises(RuntimeError, match="locked by another writer"):
+            ser.compact_label_store(spark, labels_path)
+    finally:
+        pass  # deliberately do NOT release: exercise the crash path
+
+    # crashed-writer recovery is an explicit operator action
+    assert ser.break_store_lease(spark, labels_path) is True
+    assert ser.break_store_lease(spark, labels_path) is False  # idempotent
+    report = ser.incremental_entity_labels(
+        spark, labels_path,
+        spark.createDataFrame([(2, 102)], "a_id long, b_id long"),
+        n_buckets=4,
+    )
+    assert report.labels.count() == 4
+    assert ser.compact_label_store(spark, labels_path) == []
+    del held
+
+
+def test_truncated_store_meta_is_tolerated_and_rewritten(spark, tmp_path):
+    """A sidecar truncated by a crash mid-write (pre-atomic-rename
+    stores, non-atomic object stores) must not brick the store: the
+    check treats it as absent, rewrites it, and the fold proceeds."""
+    import json
+    import os
+
+    from pyspark_entity_resolution_spark.streaming import er as ser
+
+    labels_path = str(tmp_path / "labels_truncmeta")
+    ser.incremental_entity_labels(
+        spark, labels_path,
+        spark.createDataFrame([(1, 101)], "a_id long, b_id long"),
+        n_buckets=4,
+    )
+    meta = os.path.join(labels_path, "_store_meta.json")
+    with open(meta, "w") as f:
+        f.write('{"n_bu')  # torn write
+
+    report = ser.incremental_entity_labels(
+        spark, labels_path,
+        spark.createDataFrame([(2, 102)], "a_id long, b_id long"),
+        n_buckets=4,
+    )
+    assert report.labels.count() == 4
+    assert json.load(open(meta)) == {"n_buckets": 4}
+    # and the restored sidecar enforces the layout again
+    import pytest
+
+    with pytest.raises(ValueError, match="n_buckets=4"):
+        ser.entity_lookup(spark, labels_path, ["a:1"], n_buckets=8)
+
+
+def test_incremental_fold_driver_round_trips_are_bounded(spark, tmp_path):
+    """The fold's pre-write probes are driver round trips on the
+    micro-batch critical path. r6 folded the hit-component count into
+    the index-probe aggregation (marker-row union), taking the probe
+    phase from three collect-class actions (bucket collect, index
+    probe, hit count) to two. Pin the TOTAL per-fold job count so a
+    future change can't quietly stack more per-batch latency."""
+    from pyspark_entity_resolution_spark.streaming import er as ser
+
+    labels_path = str(tmp_path / "labels_jobs")
+    ser.incremental_entity_labels(
+        spark, labels_path,
+        spark.createDataFrame([(1, 101), (2, 102)], "a_id long, b_id long"),
+        n_buckets=4,
+    )
+
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None) or [])
+    ser.incremental_entity_labels(
+        spark, labels_path,
+        spark.createDataFrame([(1, 103)], "a_id long, b_id long"),
+        n_buckets=4,
+    )
+    after = set(tracker.getJobIdsForGroup(None) or [])
+    n_jobs = len(after - before)
+    # measured 44 at r6 (probe collects + CC round/convergence jobs +
+    # checkpoint and write jobs). The bound has headroom for
+    # Spark-version job-splitting differences but sits BELOW the
+    # pre-r6 count, which ran one job more (the separate
+    # hit_components.count()).
+    assert 0 < n_jobs <= 48, f"fold ran {n_jobs} driver jobs"
