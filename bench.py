@@ -260,7 +260,13 @@ def _bench_er_pipeline_e2e(spark) -> float:
         shutil.rmtree(dest, ignore_errors=True)
 
 
-def main() -> None:
+def main(full: bool = False) -> None:
+    """Default: the HEADLINE set, min-of-3, plus the two ER pipeline
+    rows — the driver's ``BENCH_r{N}.json`` artifact. ``--full``: every
+    registry query (all 50 of the correctness gate), min-of-2 — the
+    regression net for the ~30 queries the headline never times, where
+    a perf regression was previously invisible round-over-round. Same
+    tail-safe two-line emission either way."""
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     match = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(match.group(1).rstrip(".")) if match else None
@@ -279,43 +285,55 @@ def main() -> None:
 
     spark.range(1).select(remove_accents(F.lit("café"))).count()
 
+    names = sorted(specs) if full else HEADLINE
+    runs = 2 if full else 3
     per_query: dict[str, float] = {}
+    query_spread: dict[str, float] = {}
     query_rows: dict[str, int] = {}
     total = 0.0
-    for name in HEADLINE:
+    for name in names:
         fn = specs[name].fn
         print(f"[bench] {name} ...", file=sys.stderr, flush=True)
-        # min of 3 runs for EVERY query: the first pays codegen/JIT warmup
-        # for this plan, and machine-state noise between runs reaches ~50%
-        # on sub-3 s queries — round-over-round deltas on unchanged code
-        # were masking real regressions at min-of-2.
-        best = None
-        for attempt in range(3):
+        # min of 3 runs for EVERY headline query: the first pays
+        # codegen/JIT warmup for this plan, and machine-state noise
+        # between runs reaches ~50% on sub-3 s queries —
+        # round-over-round deltas on unchanged code were masking real
+        # regressions at min-of-2. (--full runs min-of-2: 50 queries x3
+        # would double a regression net whose per-query precision bar
+        # is lower.) The per-query SPREAD (max - min across the runs)
+        # rides in the workload metadata so the next round can separate
+        # regression from machine noise without a rerun.
+        times = []
+        for attempt in range(runs):
             start = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            elapsed = time.perf_counter() - start
-            best = elapsed if best is None else min(best, elapsed)
-        best = round(best, 3)
+            times.append(time.perf_counter() - start)
+        best = round(min(times), 3)
+        query_spread[name] = round(max(times) - min(times), 3)
         # untimed result-cardinality probe: a changed row count on an
         # unchanged query name = workload (testdata/pack) change, which
         # is exactly what kept masquerading as a perf regression in r2/r3
         query_rows[name] = fn(spark, sf_dir).count()
-        print(f"[bench] {name}: {best}s  ({query_rows[name]} rows)",
+        print(f"[bench] {name}: {best}s (±{query_spread[name]})  "
+              f"({query_rows[name]} rows)",
               file=sys.stderr, flush=True)
         per_query[name] = best
         total += best
 
-    er_elapsed = _bench_er_pipeline(spark)
-    print(f"[bench] er_pipeline_blocked_n3: {er_elapsed}s", file=sys.stderr, flush=True)
-    per_query["er_pipeline_blocked_n3"] = er_elapsed
-    total += er_elapsed
+    if not full:
+        er_elapsed = _bench_er_pipeline(spark)
+        print(f"[bench] er_pipeline_blocked_n3: {er_elapsed}s",
+              file=sys.stderr, flush=True)
+        per_query["er_pipeline_blocked_n3"] = er_elapsed
+        total += er_elapsed
 
-    e2e_elapsed = _bench_er_pipeline_e2e(spark)
-    print(
-        f"[bench] er_pipeline_e2e_n3: {e2e_elapsed}s", file=sys.stderr, flush=True
-    )
-    per_query["er_pipeline_e2e_n3"] = e2e_elapsed
-    total += e2e_elapsed
+        e2e_elapsed = _bench_er_pipeline_e2e(spark)
+        print(
+            f"[bench] er_pipeline_e2e_n3: {e2e_elapsed}s",
+            file=sys.stderr, flush=True,
+        )
+        per_query["er_pipeline_e2e_n3"] = e2e_elapsed
+        total += e2e_elapsed
 
     # --- workload self-description (untimed) -------------------------
     # Table cardinalities come from parquet footer metadata (cheap); the
@@ -335,17 +353,22 @@ def main() -> None:
         sf,
         {
             "sf_dir": sf_dir,
+            "mode": "full" if full else "headline",
+            "runs_per_query": runs,
+            "query_spread_sec": query_spread,
             "table_rows": tables,
             "query_result_rows": query_rows,
             "er_corpus": er_corpus_meta(),
             "pack_provenance": PACK_PROVENANCE,
         },
+        metric="full_total_runtime" if full else "headline_total_runtime",
     )
     spark.stop()
 
 
 def emit_bench_artifact(
-    total: float, per_query: dict, sf: float, workload: dict
+    total: float, per_query: dict, sf: float, workload: dict,
+    metric: str = "headline_total_runtime",
 ) -> None:
     """Two stdout lines, metadata FIRST and the compact headline LAST:
     the driver keeps only a bounded tail of stdout and parses the final
@@ -362,7 +385,7 @@ def emit_bench_artifact(
     print(
         json.dumps(
             {
-                "metric": "headline_total_runtime",
+                "metric": metric,
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": per_query,
@@ -374,4 +397,4 @@ def emit_bench_artifact(
 
 
 if __name__ == "__main__":
-    main()
+    main(full="--full" in sys.argv[1:])

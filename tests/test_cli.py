@@ -67,3 +67,25 @@ def test_bench_artifact_tail_parses(capsys):
     meta = json.loads(lines[-2])
     assert meta["metric"] == "workload_metadata"
     assert meta["workload"]["table_rows"]["lineitem"] == 600572
+
+
+def test_bench_full_artifact_contract(capsys):
+    """--full mode keeps the same tail-safe two-line emission with its
+    own metric name, and the per-query spread rides the metadata line,
+    never the tail line."""
+    import bench
+
+    bench.emit_bench_artifact(
+        5.0,
+        {"q1": 1.0},
+        0.1,
+        {"mode": "full", "runs_per_query": 2, "query_spread_sec": {"q1": 0.2}},
+        metric="full_total_runtime",
+    )
+    lines = [l for l in capsys.readouterr().out.strip().splitlines() if l.strip()]
+    assert len(lines) == 2
+    meta = json.loads(lines[0])
+    assert meta["workload"]["query_spread_sec"] == {"q1": 0.2}
+    head = json.loads(lines[-1])
+    assert head["metric"] == "full_total_runtime"
+    assert "workload" not in head

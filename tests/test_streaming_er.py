@@ -922,3 +922,69 @@ def test_incremental_fold_driver_round_trips_are_bounded(spark, tmp_path):
     # pre-r6 count, which ran one job more (the separate
     # hit_components.count()).
     assert 0 < n_jobs <= 48, f"fold ran {n_jobs} driver jobs"
+
+
+@pytest.mark.slow
+def test_store_and_index_file_counts_bounded_under_long_churn(spark, tmp_path):
+    """A long match stream (120 folds, the compaction cadence every 10)
+    must keep BOTH the label store's and the __cidx index's per-bucket
+    data-file counts bounded — the cadence has to hold under churn, not
+    just in the three-batch smoke test above. Folds mirror
+    streaming_resolve_entities' _fold exactly (fold, then compact on
+    every Nth batch id)."""
+    from pyspark_entity_resolution_spark.operators.clustering import (
+        cluster_matched_pairs,
+    )
+    from pyspark_entity_resolution_spark.streaming import er as ser
+
+    labels_path = str(tmp_path / "labels_churn")
+    n_buckets = 4
+    compact_every = 10
+    max_files = 6
+    pairs = []
+    worst_store, worst_cidx = 0, 0
+    for batch_id in range(120):
+        # rotating hot components plus periodic merges of older ones
+        a = batch_id % 17
+        b = 1000 + batch_id
+        batch_pairs = [(a, b)]
+        if batch_id % 7 == 3:
+            batch_pairs.append((a, 1000 + max(0, batch_id - 9)))
+        pairs.extend(batch_pairs)
+        batch = spark.createDataFrame(batch_pairs, "a_id long, b_id long")
+        ser.incremental_entity_labels(
+            spark, labels_path, batch, n_buckets=n_buckets
+        )
+        if (batch_id + 1) % compact_every == 0:
+            ser.compact_label_store(
+                spark, labels_path, max_files_per_bucket=max_files
+            )
+            sc = ser._bucket_file_counts(spark, labels_path)
+            cc = ser._bucket_file_counts(spark, labels_path + "__cidx")
+            worst_store = max(worst_store, *sc.values())
+            worst_cidx = max(worst_cidx, *cc.values()) if cc else worst_cidx
+
+    # post-compaction counts stay at/below the threshold the whole run
+    assert worst_store <= max_files, worst_store
+    assert worst_cidx <= max_files, worst_cidx
+    # and BETWEEN compactions growth is bounded by what the folds since
+    # the last compaction can add — never unbounded accumulation
+    sc = ser._bucket_file_counts(spark, labels_path)
+    cc = ser._bucket_file_counts(spark, labels_path + "__cidx")
+    bound = max_files + compact_every * 4  # <= width files per touched bucket/fold
+    assert max(sc.values()) <= bound, sc
+    assert cc and max(cc.values()) <= bound, cc
+
+    # churn never cost a row: labels equal the from-scratch batch run
+    got = {
+        (r["id"], r["df_name"], r["cluster_id"])
+        for r in ser.entity_table(spark, labels_path).collect()
+    }
+    expected = {
+        (r["id"], r["df_name"], r["cluster_id"])
+        for r in cluster_matched_pairs(
+            spark.createDataFrame(pairs, "a_id long, b_id long"),
+            "a_id", "b_id",
+        ).collect()
+    }
+    assert got == expected

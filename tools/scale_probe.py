@@ -20,7 +20,9 @@ Probe D (``century``): TWO measured decades (x100) for MinHash-LSH,
          pipeline — each family in its own subprocess (fresh JVM) so
          base legs never measure a predecessor's heap. Individual
          families: ``century-minhash`` ``century-substring``
-         ``century-cc`` ``century-er``.
+         ``century-cc`` ``century-er`` ``century-ingest`` (the
+         ingest-time serving paths: fixed arriving batch vs a x100
+         persisted index).
 
 Usage: python tools/scale_probe.py [trio|ann|century|century-<family>]
 """
@@ -282,7 +284,8 @@ def _with_scaled_partitions(spark, fn, factor=8):
 
 
 CENTURY_FAMILIES = (
-    "century-minhash", "century-substring", "century-cc", "century-er"
+    "century-minhash", "century-substring", "century-cc", "century-er",
+    "century-ingest",
 )
 
 
@@ -556,6 +559,134 @@ def probe_ann(spark) -> None:
     )
 
 
+def _emb_xn(spark, factor: int, base_dir: str = "/root/testdata/sf0.1") -> str:
+    """factor-x embeddings corpus at /tmp (cached): each copy gets
+    remapped ids and a per-copy nudge on the first component (same
+    geometry rationale as _emb_x10, built via one broadcast cross join
+    so x100 is a single pass)."""
+    from pyspark.sql import functions as F
+
+    dest = f"/tmp/scale_emb_xn{factor}.parquet"
+    if os.path.exists(dest + "/_SUCCESS"):
+        return dest
+    emb = spark.read.parquet(f"{base_dir}/embeddings.parquet")
+    copies = spark.range(factor).select(F.col("id").alias("__copy"))
+    nudged = F.transform(
+        F.col("embedding"),
+        lambda x, j: F.when(
+            j == F.lit(0),
+            (x + F.col("__copy").cast("float") * F.lit(0.013)).cast("float"),
+        ).otherwise(x),
+    )
+    out = emb.crossJoin(F.broadcast(copies)).select(
+        (F.col("vec_id") + F.col("__copy") * 10_000_000).alias("vec_id"),
+        nudged.alias("embedding"),
+        "label",
+    )
+    out.repartition(64).write.mode("overwrite").parquet(dest)
+    return dest
+
+
+def probe_century_ingest(spark) -> None:
+    """Ingest-time near-dup serving cost two decades up — THE 100 TB
+    story for these paths: a FIXED arriving batch probes a PERSISTED
+    corpus index (parquet on disk, built untimed) at x1 vs x100 corpus
+    size. The arriving side equi-joins the slim (id + keys) index and
+    verification joins only the admitted candidates, so corpus growth
+    enters the timed leg only through the index/profile scan — never a
+    corpus re-hash or all-pairs pass. Expect the x100 leg to track the
+    batch size (near-flat), not the corpus. MinHash (text) and
+    sign-LSH (embedding, planes scaled by choose_num_planes exactly as
+    production would) twins. Standalone: ``scale_probe.py
+    century-ingest``."""
+    from pyspark.sql import functions as F
+
+    from pyspark_entity_resolution_spark.operators.ann import (
+        choose_num_planes,
+        incremental_embedding_matches,
+        lsh_corpus_index,
+    )
+    from pyspark_entity_resolution_spark.operators.dedup import (
+        incremental_minhash_matches,
+        minhash_corpus_index,
+        token_profile,
+    )
+
+    # --- MinHash twin: 500-doc batch vs 5k and 500k corpora ----------
+    base_docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    big_docs = spark.read.parquet(_docs_xn(spark, 100))
+    batch = (
+        base_docs.filter(F.col("doc_id") % 10 == 1).limit(500).localCheckpoint()
+    )
+
+    def _minhash_tables(docs, tag):
+        ipath = f"/tmp/ingest_midx_{tag}.parquet"
+        ppath = f"/tmp/ingest_mprof_{tag}.parquet"
+        if not os.path.exists(ipath + "/_SUCCESS"):
+            minhash_corpus_index(docs).write.mode("overwrite").parquet(ipath)
+        if not os.path.exists(ppath + "/_SUCCESS"):
+            token_profile(docs).write.mode("overwrite").parquet(ppath)
+        return spark.read.parquet(ipath), spark.read.parquet(ppath)
+
+    idx1, prof1 = _minhash_tables(base_docs, "x1")
+    idx100, prof100 = _minhash_tables(big_docs, "x100")
+    t1 = _timed_century(
+        "minhash ingest probe, 500-doc batch, 5k-doc index",
+        lambda: incremental_minhash_matches(batch, idx1, prof1).count(),
+        runs=3,
+    )
+    t2 = _timed_century(
+        "minhash ingest probe, 500-doc batch, 500k-doc index (x100)",
+        lambda: incremental_minhash_matches(batch, idx100, prof100).count(),
+        runs=3,
+    )
+    print(
+        f"[century] minhash ingest probe x100 corpus -> x{t2 / t1:.2f} time "
+        f"(fixed batch)",
+        flush=True,
+    )
+
+    # --- embedding twin: 500-vector batch vs 2k and 200k corpora -----
+    base_emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    big_emb = spark.read.parquet(_emb_xn(spark, 100))
+    vbatch = (
+        base_emb.filter(F.col("vec_id") % 10 == 1).limit(500).localCheckpoint()
+    )
+
+    def _emb_tables(emb, tag):
+        n = emb.count()
+        planes = choose_num_planes(n)
+        ipath = f"/tmp/ingest_eidx_{tag}_p{planes}.parquet"
+        if not os.path.exists(ipath + "/_SUCCESS"):
+            lsh_corpus_index(emb, num_planes=planes, num_tables=4).write.mode(
+                "overwrite"
+            ).parquet(ipath)
+        return spark.read.parquet(ipath), planes
+
+    eidx1, p1 = _emb_tables(base_emb, "x1")
+    eidx100, p100 = _emb_tables(big_emb, "x100")
+    t3 = _timed_century(
+        f"embedding ingest probe, 500-vec batch, 2k-vec index (planes={p1})",
+        lambda: incremental_embedding_matches(
+            vbatch, eidx1, base_emb, threshold=0.9, num_planes=p1, num_tables=4
+        ).count(),
+        runs=3,
+    )
+    t4 = _timed_century(
+        f"embedding ingest probe, 500-vec batch, 200k-vec index (x100, planes={p100})",
+        lambda: incremental_embedding_matches(
+            vbatch, eidx100, big_emb, threshold=0.9, num_planes=p100,
+            num_tables=4,
+        ).count(),
+        runs=3,
+    )
+    print(
+        f"[century] embedding ingest probe x100 corpus -> x{t4 / t3:.2f} time "
+        f"(fixed batch)",
+        flush=True,
+    )
+
+
 def main() -> None:
     if "century" in sys.argv[1:]:
         # no SparkSession here: each family spawns its own process
@@ -576,6 +707,8 @@ def main() -> None:
         probe_century_cc(spark)
     elif "century-er" in sys.argv[1:]:
         probe_century_er(spark)
+    elif "century-ingest" in sys.argv[1:]:
+        probe_century_ingest(spark)
     else:
         probe_er(spark)
         probe_cc(spark)
