@@ -39,6 +39,36 @@ def _release_checkpoint(df: DataFrame) -> None:
         pass
 
 
+def _checkpoint_bytes(df: DataFrame) -> "int | None":
+    """Actual persisted footprint (memory + disk bytes) of a
+    materialized ``localCheckpoint`` result's RDD blocks, read from the
+    block manager's storage info — a measurement, not a per-row size
+    guess (UnsafeRow width varies with node-key type: long ids vs
+    namespaced strings differ 4x). None when the JVM internals are
+    unreachable (Connect) or the RDD is not in the storage list."""
+    try:
+        rid = df._jdf.queryExecution().analyzed().rdd().id()
+        sc = df.sparkSession.sparkContext
+        for info in sc._jsc.sc().getRDDStorageInfo():
+            if info.id() == rid:
+                return int(info.memSize()) + int(info.diskSize())
+    except Exception:
+        pass
+    return None
+
+
+def _jvm_max_heap(spark) -> "int | None":
+    """Driver JVM max heap in bytes (== the executor heap in local
+    mode, the only mode where ``localCheckpoint`` blocks live on the
+    driver's block manager anyway). None on Connect."""
+    try:
+        return int(
+            spark.sparkContext._jvm.java.lang.Runtime.getRuntime().maxMemory()
+        )
+    except Exception:
+        return None
+
+
 def _large_star(e: DataFrame) -> DataFrame:
     """For each node u: connect every strictly-larger neighbor to
     min(N(u) ∪ {u}).
@@ -96,16 +126,21 @@ def connected_components(
       (``localCheckpoint`` + count) so the iterative rounds never
       re-evaluate an expensive upstream candidate join. This is not a
       lazy transformation.
-    - Checkpoint STORAGE LEVEL is size-adaptive: above
-      ``disk_only_above_edges`` edges the per-round checkpoints persist
-      DISK_ONLY instead of Spark's MEMORY_AND_DISK default. The rounds
-      read each checkpoint a handful of times (OS page cache absorbs
-      most of the re-reads), while the in-memory copies of a huge edge
-      set otherwise crowd the unified memory region that the rounds'
-      hash aggregations need — measured on the x100 probe (100M edges,
-      8g heap) as the difference between finishing and
-      AGGREGATE_OUT_OF_MEMORY. Pass ``checkpoint_storage`` (a
-      ``StorageLevel``) to override the choice in either direction.
+    - Checkpoint STORAGE LEVEL is memory-aware: above
+      ``disk_only_above_edges`` edges the MEASURED footprint of the
+      materialized edge checkpoint is compared against the JVM heap,
+      and only when the loop's ~4 resident copies (all_nodes + previous
+      + current round, with headroom for large-star expansion) would
+      crowd the unified memory region do the per-round checkpoints
+      demote to DISK_ONLY (the rounds re-read each checkpoint a handful
+      of times; the OS page cache absorbs most of it). Measured both
+      ways on the x100 probe (100M edges): at 8g heap MEMORY_AND_DISK
+      dies in AGGREGATE_OUT_OF_MEMORY — persisted blocks are protected
+      from execution eviction up to ``spark.memory.storageFraction`` —
+      while at 64g DISK_ONLY costs ~1.3x wall-clock over in-memory
+      checkpoints, so neither choice is right unconditionally. Pass
+      ``checkpoint_storage`` (a ``StorageLevel``) to override the
+      choice in either direction.
     - NOT thread-safe with respect to ``spark.sql.shuffle.partitions``:
       the loop narrows the session conf to the edge volume for the
       duration of the call (restored in a ``finally``), because Spark
@@ -141,9 +176,22 @@ def connected_components(
         width = None
     level = checkpoint_storage
     if level is None and n_edges >= disk_only_above_edges:
-        from pyspark import StorageLevel
+        # memory-aware demotion: `raw` is materialized, so its real
+        # block footprint is readable from the storage manager. The
+        # loop keeps at most ~3 full-size checkpoints resident
+        # (all_nodes + previous + current round — superseded ones are
+        # released eagerly); 4x buffers large-star's transient
+        # expansion. Demote only when that working set would not fit
+        # beside execution in the unified region (~60% of heap, half
+        # of it eviction-protected storage). Unknown heap or footprint
+        # (Connect, storage-info miss) demotes conservatively: the
+        # fixed edge-count threshold already says the graph is huge.
+        ckpt_bytes = _checkpoint_bytes(raw)
+        heap = _jvm_max_heap(spark)
+        if ckpt_bytes is None or heap is None or 4 * ckpt_bytes > 0.3 * heap:
+            from pyspark import StorageLevel
 
-        level = StorageLevel.DISK_ONLY
+            level = StorageLevel.DISK_ONLY
     if level is not None:
         # DEMOTE the raw checkpoint to the chosen level (the count above
         # needed it materialized before the size was known): one cheap

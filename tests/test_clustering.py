@@ -68,3 +68,34 @@ def test_cluster_matched_pairs_namespacing(spark):
         frozenset({("a", "1"), ("b", "1")}),
         frozenset({("a", "2"), ("b", "3")}),
     }
+
+
+def test_explicit_checkpoint_storage_and_probes(spark):
+    """checkpoint_storage overrides the memory-aware choice without
+    changing results, and the storage probes the choice rests on return
+    sane values on a materialized checkpoint (real footprint > 0, real
+    heap > 0) — if either probe ever breaks, the demotion heuristic
+    silently degrades to always-DISK_ONLY on huge graphs, a measured
+    ~1.3x wall-clock loss on big heaps."""
+    from pyspark import StorageLevel
+
+    from pyspark_entity_resolution_spark.operators.clustering import (
+        _checkpoint_bytes,
+        _jvm_max_heap,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], ["src", "dst"]
+    )
+    got = _components_as_partitions(
+        connected_components(
+            edges, checkpoint_storage=StorageLevel.DISK_ONLY
+        ).collect()
+    )
+    assert got == {frozenset({"a", "b", "c"}), frozenset({"x", "y"})}
+
+    ck = edges.localCheckpoint()
+    ck.count()
+    assert (_checkpoint_bytes(ck) or 0) > 0
+    ck.unpersist()
+    assert (_jvm_max_heap(spark) or 0) > 0
