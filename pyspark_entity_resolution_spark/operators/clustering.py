@@ -242,38 +242,64 @@ def _connected_components_loop(
     # round. What survives from that attempt is (a) the superseded-
     # checkpoint release below and (b) the stricter node-role
     # convergence probe, both wins independent of graph shape.
+    # the initial count doubles as the first gate value for the probe
+    # gating below (a pre-converged input gets probed in round 0); the
+    # scan over the just-materialized checkpoint is trivial
+    prev_count = e.count()
     for _ in range(max_iterations):
         prev = e
-        # lazy checkpoint: the convergence probe below is the action that
-        # materializes it, so each round runs ONE job instead of an
-        # eager-checkpoint job followed by a probe job
+        # lazy checkpoint: the count below is the action that
+        # materializes it, so each round runs ONE heavy job instead of
+        # an eager-checkpoint job followed by a probe job
         e = _small_star(_large_star(e)).localCheckpoint(
             eager=False, storageLevel=level
         )
-        # Fixed-point probe via node roles in ONE map-side-combined
-        # aggregation: the round output is a settled star forest iff no
-        # node both emits and receives an edge AND no node emits more
-        # than one. This is deliberately STRICTER than the previous
-        # "no target is also a source" semi-join probe: small-star
-        # output can hand a node TWO outgoing edges toward two
-        # different local minima (it sat in two rewired neighborhoods
-        # whose roots are not themselves sources), a state the old
-        # probe declared converged — mislabeling that node into two
-        # components — but which is not a fixed point. Such a node
-        # keeps nsrc > 1 here, so the loop keeps iterating until the
-        # halves merge.
-        churn = (
-            e.select(F.col("u").alias("n"), F.lit(1).alias("s"), F.lit(0).alias("t"))
-            .union(
-                e.select(F.col("v").alias("n"), F.lit(0).alias("s"), F.lit(1).alias("t"))
+        count = e.count()
+        converged = False
+        # COUNT-GATED fixed-point probe: a converged round necessarily
+        # reproduces the previous round's edge count (f(fixpoint) =
+        # fixpoint), so rounds where the count still moved skip the
+        # probe outright — its union+groupBy re-reads 2|e| checkpointed
+        # rows, measured ~18% of loop wall-clock at 10M edges (8.8 s of
+        # 49 s) and proportionally more at 100M, while the gating count
+        # is a near-free scan of the persisted blocks that the lazy
+        # checkpoint needs as its materializing action anyway. An
+        # accidental count plateau before convergence just runs the
+        # probe one round early (it answers "not yet"); a star forest
+        # reached in the same round the count moved is detected one
+        # round late (one extra no-op round, then the plateau gates the
+        # probe in). Correctness never rests on the gate — only the
+        # probe below ever declares convergence.
+        if count == prev_count:
+            # Fixed-point probe via node roles in ONE map-side-combined
+            # aggregation: the round output is a settled star forest
+            # iff no node both emits and receives an edge AND no node
+            # emits more than one. This is deliberately STRICTER than
+            # the previous "no target is also a source" semi-join
+            # probe: small-star output can hand a node TWO outgoing
+            # edges toward two different local minima (it sat in two
+            # rewired neighborhoods whose roots are not themselves
+            # sources), a state the old probe declared converged —
+            # mislabeling that node into two components — but which is
+            # not a fixed point. Such a node keeps nsrc > 1 here, so
+            # the loop keeps iterating until the halves merge.
+            churn = (
+                e.select(
+                    F.col("u").alias("n"), F.lit(1).alias("s"), F.lit(0).alias("t")
+                )
+                .union(
+                    e.select(
+                        F.col("v").alias("n"), F.lit(0).alias("s"), F.lit(1).alias("t")
+                    )
+                )
+                .groupBy("n")
+                .agg(F.sum("s").alias("nsrc"), F.sum("t").alias("ntgt"))
+                .filter(
+                    (F.col("nsrc") >= 1) & ((F.col("nsrc") > 1) | (F.col("ntgt") > 0))
+                )
             )
-            .groupBy("n")
-            .agg(F.sum("s").alias("nsrc"), F.sum("t").alias("ntgt"))
-            .filter(
-                (F.col("nsrc") >= 1) & ((F.col("nsrc") > 1) | (F.col("ntgt") > 0))
-            )
-        )
-        converged = churn.isEmpty()
+            converged = churn.isEmpty()
+        prev_count = count
         # the superseded round's blocks are re-readable only until this
         # release; every consumer of `prev` (this round's stars + probe)
         # has already run

@@ -382,6 +382,12 @@ def probe_century_cc(spark) -> None:
         "connected_components 1M edges", lambda: _cc(500_000, 1_000_000),
         runs=3,
     )
+    # Width note (re-bisected in r6 on the memory-aware-checkpoint
+    # code): narrow width measured WORSE here this time (591 s at 32 vs
+    # 542 s at x8, 64g heap, single runs inside the documented noise
+    # band) — the r4 "narrow wins" lesson does not survive the r6
+    # checkpoint changes, so the leg keeps the same x8 scaling as the
+    # pair-verify legs for cross-round comparability.
     t2 = _timed_century(
         "connected_components 100M edges (x100)",
         lambda: _with_scaled_partitions(
