@@ -744,15 +744,21 @@ def incremental_embedding_matches(
     else:
         arr_carry = ["__arr_id"]
         staged = staged.localCheckpoint(eager=False)
+    from .dedup import _BAND_SALTS
+
     arr = staged.select(
         *arr_carry,
         *[F.element_at("__keys", t + 1).alias(f"__arr_t{t}") for t in range(num_tables)],
         F.posexplode("__keys").alias("tbl", "key"),
+        F.explode(F.array(*[F.lit(s) for s in range(_BAND_SALTS)])).alias(
+            "__salt"
+        ),
     )
     acc = index.select(
         F.col("id").alias("__acc_id"),
         *[F.col(f"t{t}").alias(f"__acc_t{t}") for t in range(num_tables)],
         "tbl", "key",
+        F.pmod(F.xxhash64(F.col("id")), F.lit(_BAND_SALTS)).alias("__salt"),
     )
     earlier_table_collides = F.lit(False)
     for t in range(num_tables - 1):
@@ -760,7 +766,22 @@ def incremental_embedding_matches(
             (F.col("tbl") > F.lit(t))
             & (F.col(f"__arr_t{t}") == F.col(f"__acc_t{t}"))
         )
-    cands = arr.join(acc, on=["tbl", "key"]).filter(~earlier_table_collides)
+    # pin the parallelism of the row-amplifying table-key join — same
+    # rationale, salting scheme (arriving rows replicated across all
+    # sub-buckets, each index row in exactly one, pairs still meet
+    # exactly once) and measurement as incremental_minhash_matches
+    # (dedup.py): a broadcast index plus AQE byte-coalescing of the
+    # slim arriving exchange pins the fan-out onto ~1 partition, and a
+    # mega-bucket's fan-out onto one task; the explicit fixed-width
+    # repartition is exempt from AQE coalescing
+    width = arr.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    if str(width).isdigit():
+        arr = arr.repartition(int(width), "tbl", "key", "__salt")
+    cands = (
+        arr.join(acc, on=["tbl", "key", "__salt"])
+        .filter(~earlier_table_collides)
+        .drop("__salt")
+    )
     if not arriving.isStreaming:
         cands = cands.join(
             staged.select("__arr_id", "__arr_vec", "__arr_nrm"), on="__arr_id"

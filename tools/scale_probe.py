@@ -567,27 +567,58 @@ def probe_ann(spark) -> None:
 
 def _emb_xn(spark, factor: int, base_dir: str = "/root/testdata/sf0.1") -> str:
     """factor-x embeddings corpus at /tmp (cached): each copy gets
-    remapped ids and a per-copy nudge on the first component (same
-    geometry rationale as _emb_x10, built via one broadcast cross join
-    so x100 is a single pass)."""
+    remapped ids and a per-copy ROTATION + DETERMINISTIC SIGN-FLIP of
+    the components — both orthogonal transforms, so within-copy inner
+    products (and thus the near-dup structure the probe's arriving
+    batch hits in copy 0) are preserved exactly, while cross-copy
+    cosines are incoherent (expected 0, concentration ~1/sqrt(64)),
+    far below any near-dup threshold. Rotation alone is not enough at
+    factor > dim: copies c and c+64 would share a rotation, so the
+    per-copy sign pattern (hash parity of (copy, position)) breaks the
+    tie. The first cut of this helper used a first-component NUDGE
+    (the ANN probe's tie-breaker trick) — measured INSUFFICIENT here:
+    at threshold 0.9 the x100 corpus matched 7,148 rows vs the base's
+    200, quietly turning the fixed-batch probe into a growing-output
+    one. Built via one broadcast cross join so x100 is a single pass."""
     from pyspark.sql import functions as F
 
-    dest = f"/tmp/scale_emb_xn{factor}.parquet"
+    dest = f"/tmp/scale_emb_xn{factor}_rot.parquet"
     if os.path.exists(dest + "/_SUCCESS"):
         return dest
     emb = spark.read.parquet(f"{base_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
     copies = spark.range(factor).select(F.col("id").alias("__copy"))
-    nudged = F.transform(
-        F.col("embedding"),
-        lambda x, j: F.when(
-            j == F.lit(0),
-            (x + F.col("__copy").cast("float") * F.lit(0.013)).cast("float"),
-        ).otherwise(x),
-    )
-    out = emb.crossJoin(F.broadcast(copies)).select(
-        (F.col("vec_id") + F.col("__copy") * 10_000_000).alias("vec_id"),
-        nudged.alias("embedding"),
-        "label",
+    out = (
+        emb.crossJoin(F.broadcast(copies))
+        .select(
+            (F.col("vec_id") + F.col("__copy") * 10_000_000).alias("vec_id"),
+            F.transform(
+                F.col("embedding"),
+                # copy 0 is the IDENTITY (sign +1, rotation 0): the
+                # probe's arriving batch carries raw base vectors, so
+                # its in-corpus near-dups must survive verbatim in the
+                # scaled corpus — the first cut sign-flipped copy 0 too
+                # and the x100 leg matched 0 rows
+                lambda x, j: F.when(F.col("__copy") == 0, x).otherwise(
+                    (
+                        (
+                            F.lit(1.0)
+                            - 2.0
+                            * F.pmod(
+                                F.xxhash64(F.col("__copy") * dim + j), F.lit(2)
+                            ).cast("double")
+                        ).cast("float")
+                        * F.element_at(
+                            F.col("embedding"),
+                            (F.pmod(j + F.col("__copy"), F.lit(dim)) + 1).cast(
+                                "int"
+                            ),
+                        )
+                    ).cast("float")
+                ),
+            ).alias("embedding"),
+            "label",
+        )
     )
     out.repartition(64).write.mode("overwrite").parquet(dest)
     return dest
