@@ -204,3 +204,20 @@ def test_foreachbatch_driver_kept_mode_drops_history_and_batch_losers(spark, tmp
         streaming_incremental_dedup(
             stream, idx, prof, out, emit="bogus"
         )
+
+
+def test_band_join_parallelism_is_pinned(spark):
+    """The row-amplifying band join must (a) carry the 8-way salt on its
+    join keys — a dense corpus's mega-buckets otherwise run their whole
+    fan-out on one task — and (b) repartition the arriving side at an
+    explicit width (REPARTITION_BY_NUM), which AQE never byte-coalesces
+    back to ~1 partition. Both were measured as a 4-6x serving-latency
+    cliff on small corpora (see incremental_minhash_matches)."""
+    hist = _docs(spark, HIST)
+    idx, prof = minhash_corpus_index(hist), token_profile(hist)
+    plan = (
+        incremental_minhash_matches(_docs(spark, ARRIVING), idx, prof)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "__salt" in plan
+    assert "REPARTITION_BY_NUM" in plan
