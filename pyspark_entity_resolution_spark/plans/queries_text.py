@@ -97,7 +97,12 @@ def _text_analysis_sql() -> str:
 def text_analysis_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import cleaning as C
 
-    d = load(spark, sf_dir, "documents")
+    # spread: the per-row work here (one md5 per distinct char-3-gram plus
+    # the stopword-array filters) is CPU-bound; on a single small input
+    # file the scan is one task and the whole projection runs one-core
+    # (measured 6.1 s -> 0.7 s at sf0.1). At scale the scan is already
+    # wide and the round-robin is a cheap row redistribution.
+    d = spread(spark, load(spark, sf_dir, "documents"))
     c = F.col("text")
     minhash = F.array_min(
         F.transform(F.array_distinct(T.char_shingles(c, 3)), F.md5)
@@ -400,7 +405,10 @@ _WGRAMS2_SQL = (
 def text_quality_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.repetition import repetition_stats
 
-    d = load(spark, sf_dir, "documents")
+    # spread: tokenize + 2-gram explode + quality regexes are CPU-bound
+    # per-row work; one input file = one scan task otherwise (measured
+    # 6.7 s -> 1.5 s at sf0.1). No-op-ish on an already-wide scan.
+    d = spread(spark, load(spark, sf_dir, "documents"))
     text = F.col("text")
     rep = repetition_stats(d, n=2).select(
         "doc_id",
@@ -485,7 +493,12 @@ def _pii_sql() -> str:
 def pii_redaction_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import pii as P
 
-    d = load(spark, sf_dir, "documents")
+    # spread: 4 regex extract_alls + 4 regex replaces per row is
+    # CPU-bound scan work (measured 1.1 s -> 0.2 s at sf0.1 off the
+    # one-file single-task scan). dedup_exact_pack deliberately does NOT
+    # spread: its work is one hash-groupBy and the extra shuffle measured
+    # 2x slower on the same input.
+    d = spread(spark, load(spark, sf_dir, "documents"))
     did = F.col("doc_id")
     aug = F.concat(
         F.col("text"),
