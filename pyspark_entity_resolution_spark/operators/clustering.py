@@ -78,8 +78,20 @@ def _large_star(e: DataFrame) -> DataFrame:
     rewired row (y, m(x)), so the output row count equals the input edge
     count — no duplicate growth to bound. Small-star's round-final
     ``distinct`` dedups whatever coincides. Dropping it removes one
-    shuffle per round (measured ~10% per-round saving at sf0.1)."""
-    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    shuffle per round (measured ~10% per-round saving at sf0.1).
+
+    The explicit ``repartition(u)`` pins ONE exchange of the
+    symmetrized edge set that BOTH consumers (the min-aggregation and
+    the join probe side) reuse — without it each consumer plans its own
+    scan+union of the round checkpoint and its own shuffle toward
+    hashpartitioning(u). Bisected at 10M edges (r6, fresh JVM per
+    sample): 51.6 s min baseline -> 43.6 s min with the pinned
+    exchange; a SHUFFLE_HASH hint on the mins side measured a wash on
+    top of it (the per-partition sort of the reused exchange is not the
+    bottleneck), so the join strategy is left to Catalyst/AQE."""
+    sym = e.union(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).repartition(F.col("u"))
     mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
     mins = mins.select("u", F.least("mv", "u").alias("m"))
     return (
@@ -92,10 +104,13 @@ def _large_star(e: DataFrame) -> DataFrame:
 
 def _small_star(e: DataFrame) -> DataFrame:
     """Direct edges large->small; for each node u connect all of its
-    smaller neighbors (and u itself) to the minimum one."""
+    smaller neighbors (and u itself) to the minimum one.
+
+    Same pinned-exchange shape as :func:`_large_star`: one shuffle of
+    the directed edge set serves the min-aggregation and the join."""
     d = e.select(
         F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-    )
+    ).repartition(F.col("u"))
     mins = d.groupBy("u").agg(F.min("v").alias("m"))
     rewired = d.join(mins, on="u").select(F.col("v").alias("u"), F.col("m").alias("v"))
     selfs = mins.select(F.col("u"), F.col("m").alias("v"))
