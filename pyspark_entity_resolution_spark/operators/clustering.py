@@ -155,7 +155,10 @@ def connected_components(
       while at 64g DISK_ONLY costs ~1.3x wall-clock over in-memory
       checkpoints, so neither choice is right unconditionally. Pass
       ``checkpoint_storage`` (a ``StorageLevel``) to override the
-      choice in either direction.
+      choice in either direction; an explicit level also applies to
+      the INITIAL edge-set materialization, which the automatic
+      demotion cannot protect (it measures the footprint only after
+      that first checkpoint exists).
     - NOT thread-safe with respect to ``spark.sql.shuffle.partitions``:
       the loop narrows the session conf to the edge volume for the
       duration of the call (restored in a ``finally``), because Spark
@@ -168,8 +171,16 @@ def connected_components(
     # materialize the caller's edge plan ONCE: all_nodes and the working
     # edge set both derive from the checkpointed raw list, so an
     # expensive upstream candidate join (blocked self-join, LSH band
-    # join, deletion-neighborhood join...) is never evaluated twice
-    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint()
+    # join, deletion-neighborhood join...) is never evaluated twice.
+    # An explicit ``checkpoint_storage`` applies HERE too, not only to
+    # the per-round checkpoints: the automatic demotion below can only
+    # act after this first materialization succeeds, so a caller on a
+    # heap-constrained driver (observed: 100M edges at 8g dies in a
+    # GCLocker-starved heap OOM during this very materialization) needs
+    # the override to reach the initial checkpoint as well.
+    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(
+        storageLevel=checkpoint_storage
+    )
     n_edges = raw.count()  # one tiny job on the checkpointed rows
 
     # size the loop's shuffle width to the EDGE volume, not the session
@@ -190,6 +201,7 @@ def connected_components(
     except ValueError:  # non-numeric (e.g. "auto") — leave it alone
         width = None
     level = checkpoint_storage
+    demote = False
     if level is None and n_edges >= disk_only_above_edges:
         # memory-aware demotion: `raw` is materialized, so its real
         # block footprint is readable from the storage manager. The
@@ -207,7 +219,8 @@ def connected_components(
             from pyspark import StorageLevel
 
             level = StorageLevel.DISK_ONLY
-    if level is not None:
+            demote = True
+    if demote:
         # DEMOTE the raw checkpoint to the chosen level (the count above
         # needed it materialized before the size was known): one cheap
         # shuffle-free copy-through, after which the big edge set no
