@@ -69,7 +69,16 @@ def _jvm_max_heap(spark) -> "int | None":
         return None
 
 
-def _large_star(e: DataFrame) -> DataFrame:
+# pin the per-star exchange only on BIG graphs: bisected a 51.6 -> 43.6 s
+# win at 10M edges (fresh JVM per sample) and a wash at 1M (mins 7.8-11.1 s
+# straddle both arms), while on micro-batch fold graphs (tens of edges) the
+# extra exchange materializes ~5 more AQE jobs per fold — pure driver
+# round-trip latency on the streaming-ER critical path, pinned by
+# test_incremental_fold_driver_round_trips_are_bounded
+PIN_EXCHANGE_ABOVE_EDGES = 2_000_000
+
+
+def _large_star(e: DataFrame, pin: bool) -> DataFrame:
     """For each node u: connect every strictly-larger neighbor to
     min(N(u) ∪ {u}).
 
@@ -80,18 +89,20 @@ def _large_star(e: DataFrame) -> DataFrame:
     ``distinct`` dedups whatever coincides. Dropping it removes one
     shuffle per round (measured ~10% per-round saving at sf0.1).
 
-    The explicit ``repartition(u)`` pins ONE exchange of the
-    symmetrized edge set that BOTH consumers (the min-aggregation and
-    the join probe side) reuse — without it each consumer plans its own
-    scan+union of the round checkpoint and its own shuffle toward
-    hashpartitioning(u). Bisected at 10M edges (r6, fresh JVM per
-    sample): 51.6 s min baseline -> 43.6 s min with the pinned
-    exchange; a SHUFFLE_HASH hint on the mins side measured a wash on
-    top of it (the per-partition sort of the reused exchange is not the
-    bottleneck), so the join strategy is left to Catalyst/AQE."""
-    sym = e.union(
-        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).repartition(F.col("u"))
+    ``pin`` (decided once from the input edge volume, see
+    ``PIN_EXCHANGE_ABOVE_EDGES``) adds an explicit ``repartition(u)``
+    that pins ONE exchange of the symmetrized edge set for BOTH
+    consumers (the min-aggregation and the join probe side) to reuse —
+    without it each consumer plans its own scan+union of the round
+    checkpoint and its own shuffle toward hashpartitioning(u). Bisected
+    at 10M edges (r6, fresh JVM per sample): 51.6 s min baseline ->
+    43.6 s min with the pinned exchange; a SHUFFLE_HASH hint on the
+    mins side measured a wash on top of it (the per-partition sort of
+    the reused exchange is not the bottleneck), so the join strategy is
+    left to Catalyst/AQE."""
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    if pin:
+        sym = sym.repartition(F.col("u"))
     mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
     mins = mins.select("u", F.least("mv", "u").alias("m"))
     return (
@@ -102,15 +113,18 @@ def _large_star(e: DataFrame) -> DataFrame:
     )
 
 
-def _small_star(e: DataFrame) -> DataFrame:
+def _small_star(e: DataFrame, pin: bool) -> DataFrame:
     """Direct edges large->small; for each node u connect all of its
     smaller neighbors (and u itself) to the minimum one.
 
-    Same pinned-exchange shape as :func:`_large_star`: one shuffle of
-    the directed edge set serves the min-aggregation and the join."""
+    Same volume-gated pinned-exchange shape as :func:`_large_star`: on
+    big graphs one shuffle of the directed edge set serves the
+    min-aggregation and the join."""
     d = e.select(
         F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-    ).repartition(F.col("u"))
+    )
+    if pin:
+        d = d.repartition(F.col("u"))
     mins = d.groupBy("u").agg(F.min("v").alias("m"))
     rewired = d.join(mins, on="u").select(F.col("v").alias("u"), F.col("m").alias("v"))
     selfs = mins.select(F.col("u"), F.col("m").alias("v"))
@@ -235,13 +249,15 @@ def connected_components(
     try:
         if width is not None:
             spark.conf.set(key, str(width))
-        return _connected_components_loop(raw, max_iterations, level)
+        return _connected_components_loop(
+            raw, max_iterations, level, pin=n_edges >= PIN_EXCHANGE_ABOVE_EDGES
+        )
     finally:
         spark.conf.set(key, session_width)
 
 
 def _connected_components_loop(
-    raw: DataFrame, max_iterations: int, level=None
+    raw: DataFrame, max_iterations: int, level=None, pin: bool = False
 ) -> DataFrame:
     all_nodes = (
         raw.select(F.col("u").alias("node"))
@@ -279,7 +295,7 @@ def _connected_components_loop(
         # lazy checkpoint: the count below is the action that
         # materializes it, so each round runs ONE heavy job instead of
         # an eager-checkpoint job followed by a probe job
-        e = _small_star(_large_star(e)).localCheckpoint(
+        e = _small_star(_large_star(e, pin), pin).localCheckpoint(
             eager=False, storageLevel=level
         )
         count = e.count()
