@@ -725,6 +725,15 @@ def probe_century_ingest(spark) -> None:
 
 
 def main() -> None:
+    # the x100 legs need a big driver heap (local mode: the executors'
+    # heap too) — the 100M-edge CC leg at the session factory's 8g
+    # default dies in a GCLocker-starved OOM while materializing the
+    # initial edge checkpoint, before any demotion logic can act. The
+    # README's probe numbers are all measured at 64g; default to that
+    # here (subprocess family runs inherit it) while still honoring an
+    # explicit override from the environment.
+    if any(a.startswith("century") for a in sys.argv[1:]):
+        os.environ.setdefault("SPARK_DRIVER_MEMORY", "64g")
     if "century" in sys.argv[1:]:
         # no SparkSession here: each family spawns its own process
         # (fresh JVM) so base legs never measure a predecessor's heap
