@@ -99,3 +99,33 @@ def test_explicit_checkpoint_storage_and_probes(spark):
     assert (_checkpoint_bytes(ck) or 0) > 0
     ck.unpersist()
     assert (_jvm_max_heap(spark) or 0) > 0
+
+
+def test_pinned_exchange_path_matches_default(spark):
+    """The per-star exchange pin is volume-gated (PIN_EXCHANGE_ABOVE_EDGES,
+    2M), so ordinary test graphs never execute the pinned star plans —
+    force the gate to zero and assert the pinned path labels a random
+    graph identically to the default path. Guards the pin's rewiring
+    algebra (the repartition must not change which rows meet which
+    minima), not its performance."""
+    import random
+
+    from pyspark_entity_resolution_spark.operators import clustering as C
+
+    rng = random.Random(42)
+    n_nodes, n_edges = 400, 900
+    edges = spark.createDataFrame(
+        [
+            (rng.randrange(n_nodes), rng.randrange(n_nodes))
+            for _ in range(n_edges)
+        ],
+        ["src", "dst"],
+    )
+    baseline = _components_as_partitions(connected_components(edges).collect())
+    old = C.PIN_EXCHANGE_ABOVE_EDGES
+    C.PIN_EXCHANGE_ABOVE_EDGES = 0
+    try:
+        pinned = _components_as_partitions(connected_components(edges).collect())
+    finally:
+        C.PIN_EXCHANGE_ABOVE_EDGES = old
+    assert pinned == baseline
