@@ -187,13 +187,17 @@ class FoldReport:
     after the fold would read deleted files. ``n_hit_components``
     counts the previously-known components this batch touched
     (``None`` on cold start or when the index was absent — the fold
-    then never needed the number)."""
+    then never needed the number). ``written_buckets`` is the sorted
+    bucket list this fold actually rewrote (changed rows only — the
+    r6 diff-based write; ``None`` on cold start, where every bucket is
+    laid down)."""
 
     labels: DataFrame
     expansion_buckets: list[int] | None = None
     expansion_plan: str | None = None
     n_hit_components: int | None = None
     cold_start: bool = False
+    written_buckets: list[int] | None = None
 
 
 # DEPRECATED observability back-channel, kept one round for callers
@@ -393,13 +397,22 @@ def incremental_entity_labels(
 
     The label store is parquet HASH-BUCKETED on the node key
     (``bucket = pmod(xxhash64(node), n_buckets)``, a partition column),
-    and each batch rewrites ONLY buckets containing touched nodes via
-    dynamic partition overwrite — per-batch write cost is
-    O(touched buckets × bucket size), not O(all nodes); untouched
-    bucket files are left byte-identical on disk. ``n_buckets`` must
-    stay constant for the lifetime of a store (it defines the layout);
-    a store written by the pre-bucketed flat layout is migrated
-    wholesale on its first fold.
+    and each batch rewrites ONLY buckets containing CHANGED rows (new
+    nodes, plus members of component ids retired by a merge — members
+    of a surviving component keep byte-identical rows because the id is
+    the min member key) via dynamic partition overwrite. Per-batch
+    write cost is therefore O(changed-node buckets × bucket size), not
+    O(touched-component member count): one new member of a million-row
+    component rewrites one bucket, not the component's full scatter.
+    Unrewritten bucket files are left byte-identical on disk. SIZING:
+    node hashes scatter, so a batch with k changed nodes touches
+    ~min(k, n_buckets) buckets — keep ``n_buckets`` well above the
+    expected per-batch changed-node count or every fold pays
+    ~n_buckets × bucket size (the whole store) in carried rewrites;
+    bucket size (rows / n_buckets) sets the per-fold cost floor.
+    ``n_buckets`` must stay constant for the lifetime of a store (it
+    defines the layout); a store written by the pre-bucketed flat
+    layout is migrated wholesale on its first fold.
 
     READS are bucket-pruned symmetrically via a component->bucket side
     index (``{labels_path}__cidx``: one tiny row per distinct
@@ -585,22 +598,56 @@ def _fold_locked(
     )
     new_labels = connected_components(edges.unionByName(star))  # eager ckpt
 
-    touched_nodes = new_labels.select("node")
-    touched_buckets = (
-        touched_nodes.select(_node_bucket(n_buckets).alias("bucket")).distinct()
+    # DIFF-BASED WRITE (r6): rewrite only buckets holding rows whose
+    # label actually CHANGED, not every bucket holding any member of a
+    # touched component. Node-hash bucketing scatters a component's
+    # members across ~min(members, n_buckets) buckets, so the previous
+    # all-members rewrite made ONE new member of a large component
+    # rewrite nearly the whole store (measured x27 fold cost at a x100
+    # store in `scale_probe.py century-labelstore`). The common fold
+    # changes almost nothing: a component's id is the MIN member key,
+    # so members of a surviving component keep byte-identical rows, and
+    # only (a) brand-new nodes and (b) members of RETIRED (merged-away)
+    # component ids differ. `members` is exactly the prior rows of
+    # every node whose label could change (batch nodes not in it are
+    # new), so one left join against it classifies each new_labels row.
+    # Index invariants survive unchanged: a retired id's members ALL
+    # change, so every bucket listing it is rewritten (purging it), and
+    # unrewritten index buckets stay valid because their store buckets
+    # are untouched; a surviving id keeps its (superset-safe) listings.
+    changed = (
+        new_labels.join(
+            members.select("node", F.col("component").alias("__old")),
+            on="node",
+            how="left",
+        )
+        .filter(F.col("__old").isNull() | (F.col("__old") != F.col("component")))
+        .select("node", "component")
     )
-    # rows that share a touched bucket but are not themselves touched
-    # must ride along in the rewrite (partition-granularity overwrite);
-    # materialize them BEFORE their files are overwritten
+    # materialize the (small) changed set once: its bucket ids drive a
+    # STATIC partition filter for the carried read (the same
+    # collect-then-isin pattern as the node probe above — join-based
+    # pruning would hinge on DPP firing), and both writes re-read it.
+    # Bisected against the alternatives (one fused write-set checkpoint:
+    # 52 fold jobs; a lazy `changed` evaluated by the collect and the
+    # checkpoint separately: 53) — checkpoint-then-collect is the
+    # cheapest shape at 50
+    changed = changed.withColumn(
+        "bucket", _node_bucket(n_buckets)
+    ).localCheckpoint()
+    written_buckets = sorted(
+        r.bucket for r in changed.select("bucket").distinct().collect()
+    )
+    # rows that share a rewritten bucket but are not themselves changed
+    # must ride along (partition-granularity overwrite); materialized
+    # BEFORE their files are overwritten
     carried = (
-        prev.join(touched_buckets, on="bucket", how="left_semi")
-        .join(touched_nodes, on="node", how="left_anti")
+        prev.filter(F.col("bucket").isin(written_buckets))
+        .join(changed.select("node"), on="node", how="left_anti")
         .select("node", "component", "bucket")
         .localCheckpoint()
     )
-    to_write = new_labels.withColumn("bucket", _node_bucket(n_buckets)).unionByName(
-        carried
-    )
+    to_write = changed.unionByName(carried)
     # index first, store second (inputs are checkpointed, so the two
     # writes see identical rows): a crash between them leaves the index
     # ahead of the store, the recoverable direction — see docstring. A
@@ -631,6 +678,7 @@ def _fold_locked(
             expansion_buckets=expansion_buckets,
             expansion_plan=expansion_plan,
             n_hit_components=n_hit,
+            written_buckets=written_buckets,
         )
     )
 

@@ -916,12 +916,18 @@ def test_incremental_fold_driver_round_trips_are_bounded(spark, tmp_path):
     )
     after = set(tracker.getJobIdsForGroup(None) or [])
     n_jobs = len(after - before)
-    # measured 44 at r6 (probe collects + CC round/convergence jobs +
-    # checkpoint and write jobs). The bound has headroom for
-    # Spark-version job-splitting differences but sits BELOW the
-    # pre-r6 count, which ran one job more (the separate
-    # hit_components.count()).
-    assert 0 < n_jobs <= 48, f"fold ran {n_jobs} driver jobs"
+    # measured 44 at r6 after folding the hit count into the index
+    # probe (one fewer action than pre-r6); 50 after the r6 diff-based
+    # write, whose changed-set checkpoint + written-bucket collect +
+    # carried checkpoint add ~6 ms-class jobs per fold and in exchange
+    # cut the WRITE volume from O(touched-component member scatter) to
+    # O(changed rows) — the trade that dominates real fold wall time
+    # (the labelstore century probe measured the all-members rewrite at
+    # x27 fold cost on a x100 store). The bound has
+    # headroom for Spark-version job-splitting differences; tighten it
+    # if a cheaper shape is bisected (52- and 53-job variants are
+    # recorded at the changed-set checkpoint in streaming/er.py).
+    assert 0 < n_jobs <= 54, f"fold ran {n_jobs} driver jobs"
 
 
 @pytest.mark.slow
@@ -986,5 +992,90 @@ def test_store_and_index_file_counts_bounded_under_long_churn(spark, tmp_path):
             spark.createDataFrame(pairs, "a_id long, b_id long"),
             "a_id", "b_id",
         ).collect()
+    }
+    assert got == expected
+
+
+def test_diff_write_skips_unchanged_members_of_touched_components(spark, tmp_path):
+    """The r6 diff-based write: a fold rewrites only buckets holding rows
+    whose LABEL changed, not every bucket holding a member of a touched
+    component. Attaching a new node to a surviving component (its id is
+    the min member key, so existing member rows are byte-equal) must
+    rewrite exactly the new node's bucket; a merge must rewrite exactly
+    the retired side's member buckets. Without the diff, node-hash
+    scatter makes one new member of a large component rewrite
+    ~min(members, n_buckets) buckets — the whole store (measured x27
+    fold cost at a x100 store in scale_probe.py century-labelstore)."""
+    from pyspark_entity_resolution_spark.operators.clustering import (
+        cluster_matched_pairs,
+    )
+    from pyspark_entity_resolution_spark.streaming.er import (
+        entity_table,
+        incremental_entity_labels,
+    )
+
+    labels_path = str(tmp_path / "labels_diff")
+    n_buckets = 16
+
+    def _buckets_of(nodes):
+        return {
+            r.b
+            for r in spark.createDataFrame([(n,) for n in nodes], "node string")
+            .select(
+                F.pmod(F.xxhash64("node"), F.lit(n_buckets)).cast("int").alias("b")
+            )
+            .collect()
+        }
+
+    batch1 = spark.createDataFrame(
+        [(1, 100 + i) for i in range(1, 9)] + [(2, 301), (2, 302)],
+        "a_id long, b_id long",
+    )
+    incremental_entity_labels(spark, labels_path, batch1, n_buckets=n_buckets)
+
+    # --- attach a new node: only its own bucket may be rewritten ------
+    before = _snapshot_bucket_files(labels_path)
+    report = incremental_entity_labels(
+        spark,
+        labels_path,
+        spark.createDataFrame([(1, 200)], "a_id long, b_id long"),
+        n_buckets=n_buckets,
+    )
+    # a:1 is the surviving min root, so the only changed row is b:200
+    assert set(report.written_buckets) == _buckets_of(["b:200"])
+    after = _snapshot_bucket_files(labels_path)
+    for rel, data in before.items():
+        bucket = int(rel.split("/")[0].split("=")[1])
+        if bucket not in set(report.written_buckets):
+            assert after.get(rel) == data, f"unchanged bucket rewritten: {rel}"
+
+    # --- merge: only the retired side's member buckets rewritten ------
+    before = _snapshot_bucket_files(labels_path)
+    report = incremental_entity_labels(
+        spark,
+        labels_path,
+        spark.createDataFrame([(2, 101)], "a_id long, b_id long"),
+        n_buckets=n_buckets,
+    )
+    # components a:1... and a:2... merge; "a:1" is the min, so exactly
+    # the a:2 side's members change labels (b:101 already carried a:1)
+    assert set(report.written_buckets) == _buckets_of(["a:2", "b:301", "b:302"])
+    after = _snapshot_bucket_files(labels_path)
+    for rel, data in before.items():
+        bucket = int(rel.split("/")[0].split("=")[1])
+        if bucket not in set(report.written_buckets):
+            assert after.get(rel) == data, f"unchanged bucket rewritten: {rel}"
+
+    # --- and the store still equals the from-scratch batch labels -----
+    all_matches = batch1.unionByName(
+        spark.createDataFrame([(1, 200), (2, 101)], "a_id long, b_id long")
+    )
+    got = {
+        (r["id"], r["df_name"], r["cluster_id"])
+        for r in entity_table(spark, labels_path).collect()
+    }
+    expected = {
+        (r["id"], r["df_name"], r["cluster_id"])
+        for r in cluster_matched_pairs(all_matches, "a_id", "b_id").collect()
     }
     assert got == expected

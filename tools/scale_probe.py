@@ -285,7 +285,7 @@ def _with_scaled_partitions(spark, fn, factor=8):
 
 CENTURY_FAMILIES = (
     "century-minhash", "century-substring", "century-cc", "century-er",
-    "century-ingest",
+    "century-ingest", "century-labelstore",
 )
 
 
@@ -724,6 +724,94 @@ def probe_century_ingest(spark) -> None:
     )
 
 
+def probe_century_labelstore(spark) -> None:
+    """Streaming-ER label-store fold + point-lookup cost two decades up —
+    the serving story behind `streaming/er.py`: a FIXED 1k-match batch
+    (50 touched components, 20 new members each) folds into a PERSISTED
+    bucketed label store at x1 vs x100 store size, with `n_buckets`
+    scaled with the store exactly as a deployment would size it (the
+    sidecar pins the layout), so per-bucket row count is constant and
+    the fold's contract — read O(touched components) through the
+    component->bucket index, rewrite O(touched buckets) — predicts
+    near-flat fold cost while the store grows x100. The initial store
+    build is untimed (it is history, not serving). `entity_lookup` of a
+    fixed 100-key set is timed the same way: bucket-pruned reads should
+    track the key count, not the store. Standalone: ``scale_probe.py
+    century-labelstore``."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from pyspark_entity_resolution_spark.streaming.er import (
+        entity_lookup,
+        incremental_entity_labels,
+    )
+
+    SPAN = 100_000  # id span reserved per group (root + members + probe ids)
+    PER = 15        # members per group in the initial store
+
+    def _star_matches(n_groups):
+        # group g: root a:(g*SPAN) matched to members b:(g*SPAN+1..PER)
+        # — one component per group, built in a single untimed fold
+        return spark.range(n_groups * PER).select(
+            ((F.col("id") / PER).cast("long") * SPAN).alias("a_id"),
+            (
+                (F.col("id") / PER).cast("long") * SPAN
+                + 1
+                + F.col("id") % PER
+            ).alias("b_id"),
+        )
+
+    def _probe_batch(n_groups, fold, k_groups=50, per=20):
+        # 50 groups spread across the id space, `per` NEVER-SEEN member
+        # ids each (offset block per fold) — every fold does identical
+        # work: touch 50 components, attach 1000 new nodes
+        stride = max(1, n_groups // k_groups)
+        g = (F.col("id") / per).cast("long") * stride * SPAN
+        return spark.range(k_groups * per).select(
+            g.alias("a_id"),
+            (g + 1_000 + fold * per + F.col("id") % per).alias("b_id"),
+        )
+
+    def _leg(tag, n_groups, n_buckets):
+        path = f"/tmp/labelstore_probe_{tag}"
+        shutil.rmtree(path, ignore_errors=True)
+        incremental_entity_labels(
+            spark, path, _star_matches(n_groups), n_buckets=n_buckets
+        )  # untimed history build
+        folds = []
+        for fold in range(3):
+            t0 = time.perf_counter()
+            incremental_entity_labels(
+                spark, path, _probe_batch(n_groups, fold), n_buckets=n_buckets
+            )
+            folds.append(time.perf_counter() - t0)
+        keys = [f"a:{g * (max(1, n_groups // 100)) * SPAN}" for g in range(100)]
+        lookups = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            entity_lookup(spark, path, keys, n_buckets=n_buckets).count()
+            lookups.append(time.perf_counter() - t0)
+        print(
+            f"[century] labelstore {tag}: {n_groups * (PER + 1)} labels, "
+            f"{n_buckets} buckets — fold(1k matches/50 components) "
+            f"min {min(folds):.2f}s {[round(t, 2) for t in folds]}, "
+            f"lookup(100 keys) min {min(lookups):.2f}s",
+            flush=True,
+        )
+        return min(folds), min(lookups)
+
+    f1, l1 = _leg("x1", 12_500, 8)       # 200k labels, 25k rows/bucket
+    f100, l100 = _with_scaled_partitions(
+        spark, lambda: _leg("x100", 1_250_000, 800)
+    )                                    # 20M labels, same rows/bucket
+    print(
+        f"[century] labelstore x100 store -> fold x{f100 / f1:.2f}, "
+        f"lookup x{l100 / l1:.2f} (fixed batch / fixed keys)",
+        flush=True,
+    )
+
+
 def main() -> None:
     # the x100 legs need a big driver heap (local mode: the executors'
     # heap too) — the 100M-edge CC leg at the session factory's 8g
@@ -755,6 +843,8 @@ def main() -> None:
         probe_century_er(spark)
     elif "century-ingest" in sys.argv[1:]:
         probe_century_ingest(spark)
+    elif "century-labelstore" in sys.argv[1:]:
+        probe_century_labelstore(spark)
     else:
         probe_er(spark)
         probe_cc(spark)
