@@ -1,0 +1,167 @@
+"""Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+SIGMOD'03 — the MOSS algorithm).
+
+Local document fingerprinting for near-verbatim overlap detection: hash
+every character k-gram, slide a window of ``w`` consecutive k-gram
+positions over the document, and select the minimal hash in each window.
+The selected (position, hash) pairs are the document's fingerprints.
+Guarantees (the paper's winnowing invariants):
+
+- every verbatim match of length >= w + k - 1 characters between two
+  documents is caught by at least one SHARED fingerprint, and
+- expected selection density is 2 / (w + 1) of all k-gram positions,
+  so the fingerprint set is a tunable-size sketch of the document.
+
+This complements the repo's other text sketches: MinHash (set-level
+similarity, ``operators/dedup.py``) answers "are these documents
+similar overall", substring spans (``operators/substring_dedup.py``)
+answers "which exact token runs repeat corpus-wide", while winnowing
+answers "do these documents share any verbatim region" with a
+guaranteed-coverage, position-addressed sketch — the plagiarism /
+provenance primitive.
+
+Spark-first design, mirroring the substring-dedup layout:
+
+- the k-gram hash is ``md5`` (bit-identical in Spark and DuckDB, so the
+  whole operator is oracle-checkable; xxhash64 would be ~2x cheaper but
+  exists only on the Spark side),
+- selection is ONE window-function pass — ``min`` of the (hash ||
+  zero-padded position) key over a ``rowsBetween(0, w-1)`` frame,
+  partitioned by document — so the only shuffle is the hash-partition
+  by document id, identical in shape to the substring-dedup window
+  stage that measured x37 at x100 data,
+- the per-window tie-break is the POSITION suffix of the composite key:
+  equal hashes resolve to the LEFTMOST position. The paper's "robust
+  winnowing" breaks ties to the right; with a 128-bit hash over
+  position-distinct grams, in-window hash ties are ~nonexistent and
+  any FIXED tie-break preserves both invariants above. Leftmost is the
+  one a plain ``min`` computes in both engines — deterministic and
+  oracle-checkable, chosen deliberately (documented divergence).
+- consecutive-window dedup is a ``lag`` over the SAME window spec
+  (selections of one key form a consecutive run of window starts —
+  if windows p and p' both select position q, every window between
+  them contains q and selects it too, the composite key being
+  tie-free) — so dedup costs no second shuffle and no ``distinct``.
+
+The reference repo has no fingerprinting operator; this is part of the
+LLM-training-data-pipeline surface (document fingerprinting / rolling
+hash) built on the same documents table as the dedup family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# md5 hex digest length: the composite selection key is HASH || POS,
+# split back apart at this boundary after selection
+_MD5_LEN = 32
+_POS_PAD = 10
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 8,
+) -> DataFrame:
+    """Winnowed fingerprints per document: ``(id_col, fp_pos, fp_hash)``.
+
+    ``fp_pos`` is the 1-based character position (in the
+    whitespace-normalized text) of the selected k-gram, ``fp_hash`` its
+    md5. Text is normalized exactly like :func:`..functions.text.
+    fingerprint_md5` (trim + collapse whitespace) so fingerprints are
+    layout-invariant; NULL text is treated as empty. Documents shorter
+    than ``k`` contribute their single truncated gram (the
+    :func:`char_shingles` convention); documents with fewer than ``w``
+    k-gram positions yield the minimum over all their positions (one
+    shrunk window), so every non-degenerate document has >= 1
+    fingerprint.
+
+    Plan shape: explode to one row per k-gram position (~len(text) rows
+    per document, the same expansion class as substring dedup), ONE
+    hash-partition shuffle on the document id for the window sort, two
+    window expressions over the same spec (min-select + lag-dedup, no
+    re-shuffle, no re-sort), then a projection. No UDFs, no distinct.
+    """
+    txt = F.trim(
+        F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")), r"\s+", " ")
+    )
+    n_pos = F.greatest(F.lit(1), F.length(txt) - F.lit(k - 1))
+    grams = df.select(
+        F.col(id_col),
+        F.posexplode(F.sequence(F.lit(1), n_pos)).alias("__i", "pos"),
+        n_pos.alias("__np"),
+        txt.alias("__txt"),
+    ).select(
+        id_col,
+        "pos",
+        "__np",
+        F.concat(
+            F.md5(F.col("__txt").substr(F.col("pos"), F.lit(k))),
+            F.lpad(F.col("pos").cast("string"), _POS_PAD, "0"),
+        ).alias("__key"),
+    )
+    win = Window.partitionBy(id_col).orderBy("pos")
+    sel = (
+        grams.withColumn("__sel", F.min("__key").over(win.rowsBetween(0, w - 1)))
+        # full windows only (every other frame is a suffix of a full
+        # window and selects a key some full window already selected) —
+        # EXCEPT when the whole document has fewer than w positions, in
+        # which case the one shrunk window at pos=1 is the algorithm
+        .filter(
+            F.col("pos") <= F.greatest(F.lit(1), F.col("__np") - F.lit(w - 1))
+        )
+        .withColumn("__prev", F.lag("__sel").over(win))
+        .filter(F.col("__prev").isNull() | (F.col("__sel") != F.col("__prev")))
+    )
+    return sel.select(
+        id_col,
+        F.substring("__sel", _MD5_LEN + 1, _POS_PAD).cast("bigint").alias("fp_pos"),
+        F.substring("__sel", 1, _MD5_LEN).alias("fp_hash"),
+    )
+
+
+def fingerprint_overlap_pairs(
+    fps: DataFrame,
+    id_col: str = "doc_id",
+    min_df: int = 2,
+    max_df: int = 10,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Candidate verbatim-overlap pairs from a winnowed fingerprint set:
+    ``(a_id, b_id, n_shared)`` — documents sharing >= ``min_shared``
+    distinct fingerprint hashes, counted over hashes whose document
+    frequency lies in ``[min_df, max_df]``.
+
+    The ``max_df`` cap is the standard common-gram suppression (MOSS
+    drops over-shared fingerprints the same way): a hash appearing in
+    thousands of documents signals boilerplate, not provenance, and —
+    the scale reason — it BOUNDS the equi-join's per-bucket fan-out at
+    C(max_df, 2) pairs per hash, keeping the candidate join linear in
+    corpus size instead of quadratic in the hottest bucket. Never an
+    all-pairs comparison: one groupBy for document frequency, one
+    self-equi-join on the hash, one pair aggregation.
+    """
+    # a document may select the same gram hash at several positions;
+    # presence is what pairs care about
+    present = fps.select(id_col, "fp_hash").distinct()
+    dfreq = (
+        present.groupBy("fp_hash")
+        .agg(F.count("*").alias("__df"))
+        .filter((F.col("__df") >= min_df) & (F.col("__df") <= max_df))
+        .select("fp_hash")
+    )
+    keyed = present.join(dfreq, "fp_hash")
+    a = keyed.select(F.col("fp_hash"), F.col(id_col).alias("a_id"))
+    b = keyed.select(F.col("fp_hash"), F.col(id_col).alias("b_id"))
+    return (
+        a.join(b, "fp_hash")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        # `present` is distinct per (doc, hash), so each shared hash
+        # contributes exactly one joined row per pair
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -841,3 +841,92 @@ def text_vector_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return top_terms.unionByName(cosine)
+
+
+_WINNOW_K = 8
+_WINNOW_W = 8
+_WINNOW_MAX_DF = 10
+
+
+@q(
+    "doc_fingerprint_winnow",
+    f"""
+    WITH t AS (SELECT doc_id,
+                      trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')) AS txt
+               FROM documents),
+    p AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             md5(txt[i : i + {_WINNOW_K - 1}]) AS h,
+             greatest(1, len(txt) - {_WINNOW_K - 1}) AS np
+      FROM t, UNNEST(range(1, greatest(1, len(txt) - {_WINNOW_K - 1}) + 1)) AS u(i)
+    ),
+    sel AS (
+      SELECT doc_id, pos, np,
+             min(h || lpad(CAST(pos AS VARCHAR), 10, '0'))
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING) AS wsel
+      FROM p
+    ),
+    fps AS (
+      SELECT DISTINCT doc_id,
+             CAST(substr(wsel, 33) AS BIGINT) AS fp_pos,
+             substr(wsel, 1, 32) AS fp_hash
+      FROM sel WHERE pos <= greatest(1, np - {_WINNOW_W} + 1)
+    ),
+    present AS (SELECT DISTINCT doc_id, fp_hash FROM fps),
+    rare AS (
+      SELECT fp_hash FROM present GROUP BY fp_hash
+      HAVING COUNT(*) BETWEEN 2 AND {_WINNOW_MAX_DF}
+    ),
+    keyed AS (SELECT p.doc_id, p.fp_hash FROM present p
+              JOIN rare r ON p.fp_hash = r.fp_hash),
+    pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_shared
+      FROM keyed a JOIN keyed b
+        ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT 'fp' AS section, doc_id, fp_pos, fp_hash,
+           CAST(NULL AS BIGINT) AS b_id, CAST(NULL AS BIGINT) AS n_shared
+    FROM fps
+    UNION ALL
+    SELECT 'pairs' AS section, a_id AS doc_id, CAST(NULL AS BIGINT),
+           CAST(NULL AS VARCHAR), b_id, n_shared
+    FROM pairs
+    """,
+    "winnowing document fingerprints (Schleimer et al. SIGMOD'03, the "
+    "MOSS local fingerprinting algorithm): md5 over every char-8-gram, "
+    "minimum composite (hash || position) key per sliding window of 8 "
+    "consecutive positions — guarantees every verbatim match of >= "
+    "w + k - 1 chars shares a fingerprint at ~2/(w+1) selection density; "
+    "section 'fp' is the position-addressed fingerprint set (ONE window "
+    "pass, lag-dedup on the same sort — no distinct), section 'pairs' "
+    "the candidate verbatim-overlap pairs via ONE equi-join on the "
+    "fingerprint hash with document-frequency suppression (df in "
+    "[2, 10]) bounding per-bucket fan-out — never pairwise documents",
+)
+def doc_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.winnowing import fingerprint_overlap_pairs, winnow_fingerprints
+
+    d = spread(spark, load(spark, sf_dir, "documents"))
+    fps = winnow_fingerprints(d, k=_WINNOW_K, w=_WINNOW_W).localCheckpoint(
+        eager=False
+    )  # reuse barrier: the explode + window pass feeds both sections
+    pairs = fingerprint_overlap_pairs(fps, max_df=_WINNOW_MAX_DF)
+    fp_rows = fps.select(
+        F.lit("fp").alias("section"),
+        "doc_id",
+        "fp_pos",
+        "fp_hash",
+        F.lit(None).cast("bigint").alias("b_id"),
+        F.lit(None).cast("bigint").alias("n_shared"),
+    )
+    pair_rows = pairs.select(
+        F.lit("pairs").alias("section"),
+        F.col("a_id").alias("doc_id"),
+        F.lit(None).cast("bigint").alias("fp_pos"),
+        F.lit(None).cast("string").alias("fp_hash"),
+        "b_id",
+        "n_shared",
+    )
+    return fp_rows.unionByName(pair_rows)
