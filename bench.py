@@ -101,6 +101,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_substring_spans",
+    "doc_fingerprint_winnow",
     "ann_methods_topk",
     "embedding_near_dup_lsh",
     "text_vector_pack",
