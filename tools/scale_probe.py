@@ -24,7 +24,7 @@ Probe D (``century``): TWO measured decades (x100) for MinHash-LSH,
          ingest-time serving paths: fixed arriving batch vs a x100
          persisted index).
 
-Usage: python tools/scale_probe.py [trio|ann|century|century-<family>]
+Usage: python tools/scale_probe.py [trio|ann|winnow|century|century-<family>]
 """
 
 from __future__ import annotations
@@ -812,6 +812,84 @@ def probe_century_labelstore(spark) -> None:
     )
 
 
+def _docs_x10_rotated(spark) -> str:
+    """10x documents corpus for CHARACTER-gram operators: copy i maps
+    every letter through a Caesar rotation of i (copy 0 original). A
+    bijective character map preserves the within-copy gram-equality
+    structure EXACTLY — positions, repetition pattern, and document
+    frequencies are those of the original — while making every gram
+    hash copy-local (no cross-copy collision is possible for i != 0).
+
+    The token-salt corpus (``_docs_x10``) is the wrong construction
+    here, measured x32 OUTPUT growth at x10 data on the winnowing
+    pair probe: appending ``~i`` to every token rewrites the char-gram
+    frequency distribution (salt-straddling 8-grams shift mass into
+    the df in [2,10] pairing band), so that probe would measure corpus
+    statistics, not engine scaling. Token-level operators (minhash on
+    word shingles, substring spans on token windows) are unaffected by
+    this distinction and keep the salt construction."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    dest = "/tmp/scale_docs_x10_rot.parquet"
+    if os.path.exists(dest + "/_SUCCESS"):
+        return dest
+    docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    copies = [docs]
+    for i in range(1, 10):
+        rot = alpha[i:] + alpha[:i]
+        copies.append(
+            docs.select(
+                (F.col("doc_id") + i * 10_000_000).alias("doc_id"),
+                F.translate(F.col("text"), alpha, rot).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    out.repartition(32).write.mode("overwrite").parquet(dest)
+    return dest
+
+
+def probe_winnow(spark) -> None:
+    """One measured decade for winnowing fingerprints + overlap pairs
+    (sf0.1 5k docs vs a x10 alphabet-rotated corpus — see
+    :func:`_docs_x10_rotated` for why char-gram probes must not reuse
+    the token-salt corpus). Output scales exactly x10 by construction,
+    so the time ratio is the engine-scaling signal."""
+    from pyspark_entity_resolution_spark.operators.winnowing import (
+        fingerprint_overlap_pairs,
+        winnow_fingerprints,
+    )
+    from pyspark_entity_resolution_spark.plans.common import spread
+
+    def _timed(tag, fn):
+        best, n = None, None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n = fn()
+            t = time.perf_counter() - t0
+            best = t if best is None else min(best, t)
+        print(f"[winnow] {tag}: {best:.1f}s ({n} rows)", flush=True)
+        return best
+
+    base = spread(spark, spark.read.parquet("/root/testdata/sf0.1/documents.parquet"))
+    big = spread(spark, spark.read.parquet(_docs_x10_rotated(spark)))
+
+    def _run(df):
+        fps = winnow_fingerprints(df).localCheckpoint(eager=False)
+        return fps.count() + fingerprint_overlap_pairs(fps, max_df=10).count()
+
+    t1 = _timed("winnow fp+pairs 5k docs", lambda: _run(base))
+    t2 = _timed("winnow fp+pairs 50k docs (x10)", lambda: _run(big))
+    print(f"[winnow] x10 data -> x{t2 / t1:.1f} time", flush=True)
+
+
 def main() -> None:
     # the x100 legs need a big driver heap (local mode: the executors'
     # heap too) — the 100M-edge CC leg at the session factory's 8g
@@ -833,6 +911,8 @@ def main() -> None:
         probe_trio(spark)
     elif "ann" in sys.argv[1:]:
         probe_ann(spark)
+    elif "winnow" in sys.argv[1:]:
+        probe_winnow(spark)
     elif "century-minhash" in sys.argv[1:]:
         probe_century_minhash(spark)
     elif "century-substring" in sys.argv[1:]:
