@@ -1,0 +1,300 @@
+"""Product quantization for ANN search (Jégou, Douze, Schmid, "Product
+Quantization for Nearest Neighbor Search", TPAMI 2011).
+
+The memory-compression arm of the ANN family: split each d-dim vector
+into ``m`` contiguous sub-vectors, learn a tiny k-means codebook per
+sub-space, and store each corpus vector as ``m`` small integer codes —
+at m=4, k=8 that is 4 codes (3 bits each) instead of 64 floats, a
+~64x shrink of the scanned table. Search runs in the COMPRESSED
+domain via Asymmetric Distance Computation (ADC): per query, build an
+m x k lookup table of exact sub-distances to every codebook centroid
+(one array expression, no data scan), then score each corpus row as
+the sum of ``m`` table lookups — pure whole-stage-codegen arithmetic
+over a table a fraction of the raw corpus's size. At 100 TB this is
+the standard IVF-PQ recipe's second half: the coarse IVF (already in
+``operators/ann.py``) prunes WHICH rows to score, PQ shrinks WHAT is
+read and computed per row; :func:`ivf_pq_topk` composes the two.
+
+Spark-first shape, mirroring ``operators/kmeans.py`` (whose
+determinism contract this reuses verbatim):
+
+- training collects only k x (d/m) floats per block per iteration
+  (driver-size constant; at real scale you train on a sample anyway —
+  pass a sampled DataFrame),
+- codebooks ride in the ADC expressions as LITERALS (broadcast in
+  spirit — no join, no shuffle, for the same reason kmeans embeds its
+  centroids),
+- the compressed scan is ONE broadcast of the (small) query side
+  against the codes table + a top-k rank window — the exact plan
+  shape of the pack's brute-force baseline, on a 64x smaller table.
+
+Oracle-grade determinism: with ``quantize=d`` every vector component
+is ``floor(x * 10^d + 0.5)`` first; sub-distance folds run in element
+order, ADC adds block LUT entries in block order, and ties rank
+toward the lower centroid/neighbor id — so a fixed-iteration run is
+bit-reproducible in ANSI SQL (see plans/queries_vector.ann_pq_adc_topk,
+the same unrolled-Lloyd's oracle family as kmeans_assignments).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vectors import as_double
+
+
+def _sq_dist(vec: Column, centroid: list[float]) -> Column:
+    """Ordered-fold squared distance to a literal centroid (the kmeans
+    expression, reused for the sub-space folds)."""
+    return F.aggregate(
+        F.zip_with(vec, F.lit(centroid), lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _quantized(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    quantize: int | None,
+    extra_cols: tuple = (),
+):
+    if quantize is None:
+        qv = as_double(vec_col)
+    else:
+        scale = float(10**quantize)
+        qv = F.transform(
+            as_double(vec_col),
+            lambda x: F.floor(x * scale + F.lit(0.5)).cast("double"),
+        )
+    return df.select(id_col, qv.alias("__v"), *extra_cols)
+
+
+def _lloyd_codebook(
+    work: DataFrame, k: int, max_iterations: int, id_col: str
+) -> list[list[float]]:
+    """Centroids after fixed Lloyd iterations on ``(id, __v)`` rows —
+    the ``operators/kmeans.kmeans`` loop returning the CODEBOOK instead
+    of assignments (same init: k smallest ids; same tie-break: lower
+    centroid id; same exact-integer mean update; same converged-early
+    break, which is oracle-safe because a fixed point reproduces itself
+    under further unrolled iterations)."""
+    init = work.orderBy(id_col).limit(k).select("__v").collect()
+    centroids: list[list[float]] = [[float(x) for x in row["__v"]] for row in init]
+    for it in range(max_iterations):
+        if it == max_iterations - 1:
+            break  # the last pass would only re-assign; codes do that
+        dists = F.array(*[_sq_dist(F.col("__v"), c) for c in centroids])
+        assigned = work.select(
+            F.col("__v"),
+            F.array_position(dists, F.array_min(dists)).cast("bigint").alias("cluster"),
+        )
+        means = (
+            assigned.select("cluster", F.posexplode("__v").alias("dim", "val"))
+            .groupBy("cluster", "dim")
+            .agg((F.sum("val") / F.count(F.lit(1))).alias("m"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dims"))
+            .select("cluster", F.transform("dims", lambda s: s["m"]).alias("centroid"))
+            .orderBy("cluster")
+            .collect()
+        )
+        new_centroids = list(centroids)
+        for row in means:
+            new_centroids[row["cluster"] - 1] = [float(x) for x in row["centroid"]]
+        if new_centroids == centroids:
+            break
+        centroids = new_centroids
+    return centroids
+
+
+def _block_bounds(dim: int, m: int) -> list[tuple[int, int]]:
+    """1-based (start, length) of each contiguous sub-vector block."""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    return [(b * sub + 1, sub) for b in range(m)]
+
+
+def pq_train(
+    df: DataFrame,
+    dim: int,
+    m: int = 4,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iterations: int = 2,
+    quantize: int | None = 6,
+) -> list[list[list[float]]]:
+    """Train the ``m`` sub-space codebooks: ``codebooks[b][c]`` is the
+    (d/m)-dim centroid of code ``c+1`` in block ``b``. Each block runs
+    the kmeans loop on its slice of the (quantized) vectors; the
+    returned structure is driver-sized (m x k x d/m floats) and rides
+    downstream expressions as literals."""
+    work = _quantized(df, id_col, vec_col, quantize)
+    books = []
+    for start, sub in _block_bounds(dim, m):
+        block = work.select(id_col, F.slice("__v", start, sub).alias("__v"))
+        books.append(_lloyd_codebook(block, k, max_iterations, id_col))
+    return books
+
+
+def pq_assign(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quantize: int | None = 6,
+    extra_cols: tuple = (),
+) -> DataFrame:
+    """Compress each vector to its per-block codes: ``(id, code_1 ..
+    code_m [, extra_cols])``, code ``b`` = argmin centroid of block
+    ``b`` (ties to the lower code). One narrow projection over the
+    corpus — this is the table a PQ deployment PERSISTS; everything
+    downstream scans codes, never raw vectors. ``extra_cols`` pass
+    through untouched (e.g. the IVF list id)."""
+    m = len(codebooks)
+    work = _quantized(df, id_col, vec_col, quantize, extra_cols=extra_cols)
+    cols = [F.col(id_col)] + [F.col(c) for c in extra_cols]
+    for b, (start, sub) in enumerate(_block_bounds(dim, m)):
+        sl = F.slice("__v", start, sub)
+        dists = F.array(*[_sq_dist(sl, c) for c in codebooks[b]])
+        cols.append(
+            F.array_position(dists, F.array_min(dists))
+            .cast("bigint")
+            .alias(f"code_{b + 1}")
+        )
+    return work.select(*cols)
+
+
+def pq_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    topk: int = 10,
+    quantize: int | None = 6,
+) -> DataFrame:
+    """ADC top-k: ``(query_id, neighbor_id, rank, adc_dist)``.
+
+    Per query row, an m x k LUT of exact sub-distances to every
+    codebook centroid is ONE array-literal expression (k folds per
+    block — no scan); the compressed scan broadcasts the slim query
+    side against the codes table and scores each row as m array
+    lookups added in block order. Ranking ties break toward the lower
+    neighbor id. ``adc_dist`` is emitted unrounded: with ``quantize``
+    every term is a deterministic ordered fold, bit-equal across
+    engines (the kmeans precedent)."""
+    m = len(codebooks)
+    qwork = _quantized(queries, id_col, vec_col, quantize).select(
+        F.col(id_col).alias("query_id"),
+        *[
+            F.array(
+                *[_sq_dist(F.slice("__v", start, sub), c) for c in codebooks[b]]
+            ).alias(f"__lut_{b + 1}")
+            for b, (start, sub) in enumerate(_block_bounds(dim, m))
+        ],
+    )
+    adc = None
+    for b in range(m):
+        term = F.get(F.col(f"__lut_{b + 1}"), F.col(f"code_{b + 1}").cast("int") - 1)
+        adc = term if adc is None else adc + term
+    from pyspark.sql.window import Window
+
+    scored = (
+        codes.crossJoin(F.broadcast(qwork))
+        # queries typically come FROM the corpus; family convention
+        # (ivf_topk, lsh_topk) excludes the self-match
+        .filter(F.col("query_id") != F.col(id_col))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            adc.alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "neighbor_id", "rank", "adc_dist")
+    )
+
+
+def ivf_pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    dim: int,
+    m: int = 4,
+    k: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    topk: int = 10,
+    quantize: int | None = 6,
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """IVF-PQ composition — the 100 TB serving recipe: coarse-quantize
+    the corpus into inverted lists (``operators/ann.py`` IVF machinery
+    and its ``centroids`` table contract: ``centroid_id`` +
+    ``centroid_vec``), PQ-compress each row, and have queries score
+    ONLY their ``nprobe`` nearest lists' codes via ADC. The scan cost
+    per query drops from |corpus| rows of d floats to |corpus| *
+    nprobe / n_lists rows of m codes. Returns the :func:`pq_topk`
+    schema (ranks within the probed lists).
+
+    Composition notes: residual-free PQ on raw sub-vectors (the
+    simpler of the paper's two variants; residual encoding would
+    subtract the coarse centroid first — noted, not implemented); the
+    corpus side keeps ONE list per vector (``ivf_assign`` nprobe=1)
+    so a (query, neighbor) pair meets through at most one probe and
+    needs no dedup; pass ``codebooks`` to reuse a trained set (e.g.
+    from a sample) instead of training on the full corpus here."""
+    from .ann import ivf_assign
+
+    books = codebooks or pq_train(
+        corpus, dim=dim, m=m, k=k, id_col=id_col, vec_col=vec_col, quantize=quantize
+    )
+    lists = ivf_assign(corpus, centroids, id_col, vec_col)
+    codes = pq_assign(
+        lists,
+        books,
+        dim=dim,
+        id_col=id_col,
+        vec_col=vec_col,
+        quantize=quantize,
+        extra_cols=("ivf_bucket",),
+    )
+    qprobe = ivf_assign(queries, centroids, id_col, vec_col, nprobe=nprobe).select(
+        F.col(id_col).alias("query_id"), "ivf_bucket"
+    )
+    qwork = _quantized(queries, id_col, vec_col, quantize).select(
+        F.col(id_col).alias("query_id"),
+        *[
+            F.array(
+                *[_sq_dist(F.slice("__v", start, sub), c) for c in books[b]]
+            ).alias(f"__lut_{b + 1}")
+            for b, (start, sub) in enumerate(_block_bounds(dim, m))
+        ],
+    )
+    adc = None
+    for b in range(m):
+        term = F.get(F.col(f"__lut_{b + 1}"), F.col(f"code_{b + 1}").cast("int") - 1)
+        adc = term if adc is None else adc + term
+    from pyspark.sql.window import Window
+
+    probed = qprobe.join(F.broadcast(qwork), "query_id").join(codes, "ivf_bucket")
+    scored = probed.filter(F.col("query_id") != F.col(id_col)).select(
+        "query_id", F.col(id_col).alias("neighbor_id"), adc.alias("adc_dist")
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "neighbor_id", "rank", "adc_dist")
+    )

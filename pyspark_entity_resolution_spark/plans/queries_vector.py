@@ -509,3 +509,133 @@ def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load(spark, sf_dir, "embeddings")
     return kmeans(spread(spark, e), k=8, max_iterations=3, quantize=6)
+
+
+def _pq_oracle_sql(
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    quantize: int = 6,
+    qmod: int = 25,
+    topk: int = 10,
+) -> str:
+    """Unrolled product-quantization ADC in ANSI SQL: per block, the
+    same fixed-iteration Lloyd's chain as :func:`_kmeans_oracle_sql`
+    on the block's sub-vector slice; then codes (rk=1 of the final
+    assignment), per-query LUTs against the final codebook, ADC as the
+    block-ordered sum of LUT lookups, and a (adc, neighbor) rank
+    window. Bit-reproducible for the same reasons as the kmeans
+    oracle: quantized integer components, exact integer sums, one IEEE
+    division per centroid component, ordered distance folds, and a
+    fixed ``l1 + l2 + l3 + l4`` block addition order."""
+    sub = dim // m
+    scale = 10 ** quantize
+    dist = (
+        "list_reduce(list_transform(range(1, {s} + 1),"
+        " i -> (t.sv[i] - c.cv[i]) * (t.sv[i] - c.cv[i])),"
+        " (x, y) -> x + y)"
+    ).format(s=sub)
+    parts = [
+        "WITH e AS (",
+        "  SELECT vec_id,",
+        f"         list_transform(embedding, x -> floor(x::DOUBLE * {scale} + 0.5)) AS qv",
+        "  FROM embeddings",
+        "),",
+        f"q AS (SELECT vec_id, qv FROM e WHERE vec_id % {qmod} = 0)",
+    ]
+    for b in range(1, m + 1):
+        lo, hi = (b - 1) * sub + 1, b * sub
+        parts.append(f""",
+eb{b} AS (SELECT vec_id, qv[{lo}:{hi}] AS sv FROM e),
+qb{b} AS (SELECT vec_id, qv[{lo}:{hi}] AS sv FROM q),
+c0_{b} AS (
+  SELECT row_number() OVER (ORDER BY vec_id) AS cl, sv AS cv
+  FROM (SELECT vec_id, sv FROM eb{b} ORDER BY vec_id LIMIT {k})
+)""")
+        for j in range(1, iters + 1):
+            prev = f"c{j - 1}_{b}"
+            parts.append(f""",
+a{j}_{b} AS (
+  SELECT vec_id, sv, cl, dist,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rk
+  FROM (SELECT t.vec_id, t.sv, c.cl, {dist} AS dist
+        FROM eb{b} t CROSS JOIN {prev} c)
+)""")
+            if j < iters:
+                parts.append(f""",
+m{j}_{b} AS (
+  SELECT cl, list(sm / cnt ORDER BY dim) AS cv
+  FROM (
+    SELECT cl, i AS dim, SUM(sv[i]) AS sm, COUNT(*) AS cnt
+    FROM (SELECT cl, sv FROM a{j}_{b} WHERE rk = 1) t,
+         UNNEST(range(1, {sub} + 1)) AS u(i)
+    GROUP BY cl, i
+  )
+  GROUP BY cl
+),
+c{j}_{b} AS (
+  SELECT c.cl, coalesce(mm.cv, c.cv) AS cv
+  FROM {prev} c LEFT JOIN m{j}_{b} mm ON mm.cl = c.cl
+)""")
+        parts.append(f""",
+code_{b} AS (SELECT vec_id, cl AS code FROM a{iters}_{b} WHERE rk = 1),
+lut{b} AS (
+  SELECT t.vec_id AS qid, c.cl, {dist} AS d
+  FROM qb{b} t CROSS JOIN c{iters - 1}_{b} c
+)""")
+    code_cols = ", ".join(f"cb{b}.code AS k{b}" for b in range(1, m + 1))
+    code_joins = " ".join(
+        f"JOIN code_{b} cb{b} USING (vec_id)" for b in range(2, m + 1)
+    )
+    adc_sum = " + ".join(f"l{b}.d" for b in range(1, m + 1))
+    lut_joins = " ".join(
+        f"JOIN lut{b} l{b} ON l{b}.qid = q.vec_id AND l{b}.cl = x.k{b}"
+        for b in range(1, m + 1)
+    )
+    parts.append(f""",
+codes AS (
+  SELECT cb1.vec_id, {code_cols}
+  FROM code_1 cb1 {code_joins}
+),
+s AS (
+  SELECT q.vec_id AS qid, x.vec_id AS cid, {adc_sum} AS adc
+  FROM q JOIN codes x ON q.vec_id <> x.vec_id
+  {lut_joins}
+),
+r AS (
+  SELECT qid, cid, adc,
+         row_number() OVER (PARTITION BY qid ORDER BY adc, cid) AS rk
+  FROM s
+)
+SELECT CAST(qid AS BIGINT) AS query_id, CAST(cid AS BIGINT) AS neighbor_id,
+       CAST(rk AS BIGINT) AS rank, adc AS adc_dist
+FROM r WHERE rk <= {topk}
+""")
+    return "\n".join(parts)
+
+
+@q(
+    "ann_pq_adc_topk",
+    _pq_oracle_sql(),
+    "product-quantization ANN (Jegou et al. TPAMI'11): m=4 sub-space "
+    "codebooks of k=8 centroids each (2 unrolled Lloyd iterations on "
+    "quantized sub-vectors — the kmeans_assignments determinism "
+    "contract per block), corpus compressed to 4 small codes per "
+    "vector, queries score the compressed table via asymmetric "
+    "distance computation (per-query m x k LUT as ONE array literal "
+    "expression, ADC = 4 array lookups added in block order) and rank "
+    "top-10 with ties toward the lower neighbor id — the "
+    "memory-compression arm of the ANN family (the codes table is "
+    "~64x smaller than the raw corpus; IVF-PQ composes it with the "
+    "coarse inverted lists, see operators/pq.ivf_pq_topk)",
+)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pq import pq_assign, pq_topk, pq_train
+
+    e = load(spark, sf_dir, "embeddings")
+    corpus = spread(spark, e)
+    queries = e.filter(F.col("vec_id") % 25 == 0)
+    books = pq_train(corpus, dim=64, m=4, k=8, max_iterations=2, quantize=6)
+    codes = pq_assign(corpus, books, dim=64, quantize=6)
+    return pq_topk(queries, codes, books, dim=64, topk=10, quantize=6)

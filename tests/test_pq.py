@@ -1,0 +1,182 @@
+"""Product quantization: exactness when the corpus lies ON the
+codewords, measured recall floors on the synthetic embeddings, the
+bits-vs-recall dial, and IVF-PQ == plain PQ when probing every list."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_entity_resolution_spark.operators.pq import (
+    ivf_pq_topk,
+    pq_assign,
+    pq_topk,
+    pq_train,
+)
+
+SF_DIR = "/root/testdata/sf0.1"
+DIM = 64
+TOPK = 10
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").repartition(8).cache()
+    e.count()
+    yield e
+    e.unpersist()
+
+
+@pytest.fixture(scope="module")
+def queries(corpus):
+    return corpus.filter(F.col("vec_id") < 20)
+
+
+@pytest.fixture(scope="module")
+def exact_euclidean(corpus):
+    """Exact euclidean top-10 (ties toward lower id) — PQ's ADC
+    approximates SQUARED EUCLIDEAN distance, so the baseline must be
+    euclidean, not the cosine the LSH/IVF recall tests use."""
+    pd = corpus.select("vec_id", "embedding").toPandas()
+    ids = pd["vec_id"].to_numpy()
+    X = np.stack(pd["embedding"].to_numpy()).astype(np.float64)
+    out = {}
+    for qi in np.where(ids < 20)[0]:
+        d = ((X - X[qi]) ** 2).sum(1)
+        d[qi] = np.inf
+        out[int(ids[qi])] = set(ids[np.lexsort((ids, d))[:TOPK]])
+    return out
+
+
+def _topk_sets(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    return out
+
+
+def _recall(approx, exact):
+    recs = [len(approx.get(q, set()) & s) / len(s) for q, s in exact.items()]
+    return sum(recs) / len(recs)
+
+
+def _run_pq(queries, corpus, m, k):
+    books = pq_train(corpus, dim=DIM, m=m, k=k, max_iterations=3, quantize=6)
+    codes = pq_assign(corpus, books, dim=DIM, quantize=6)
+    return pq_topk(queries, codes, books, dim=DIM, topk=TOPK, quantize=6)
+
+
+def test_recall_floor_and_bits_dial(spark, queries, corpus, exact_euclidean):
+    r_small = _recall(_topk_sets(_run_pq(queries, corpus, 4, 8)), exact_euclidean)
+    r_big = _recall(_topk_sets(_run_pq(queries, corpus, 8, 16)), exact_euclidean)
+    # measured on this fixed corpus: 12-bit codes 0.16, 32-bit 0.24 —
+    # modest absolute recall is the EXPECTED regime for tiny codebooks
+    # on weakly-clustered vectors (PQ is a candidate generator /
+    # re-rank front at these sizes); the dial is what must hold
+    assert r_small >= 0.12
+    assert r_big >= 0.20
+    assert r_big > r_small  # more bits must buy recall
+
+
+def test_adc_exact_when_corpus_on_codewords(spark):
+    """If every sub-vector is one of k codewords AND the k smallest ids
+    enumerate them, training recovers the codewords exactly (means of
+    identical integer-quantized members) and ADC == the TRUE squared
+    distance — so PQ top-k must equal the exact euclidean ranking."""
+    rng = np.random.RandomState(5)
+    m, k, dim = 4, 8, 16
+    sub = dim // m
+    base = rng.randint(-50, 50, size=(m, k, sub)).astype(float)
+    # ids 0..7 enumerate codeword j in every block (the init set);
+    # remaining rows pick random codewords per block
+    rows = []
+    for i in range(60):
+        codes = [i % k] * m if i < k else rng.randint(0, k, m)
+        rows.append(
+            (i, [float(x) for b in range(m) for x in base[b][codes[b]]])
+        )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = pq_train(df, dim=dim, m=m, k=k, max_iterations=3, quantize=0)
+    codes_df = pq_assign(df, books, dim=dim, quantize=0)
+    got = pq_topk(
+        df.filter(F.col("vec_id") < 5), codes_df, books, dim=dim,
+        topk=5, quantize=0,
+    ).collect()
+
+    X = np.array([r[1] for r in rows])
+    for r in got:
+        q, n = r["query_id"], r["neighbor_id"]
+        true_d = ((X[q] - X[n]) ** 2).sum()
+        assert r["adc_dist"] == pytest.approx(true_d, abs=1e-9), (q, n)
+    # full ranking identical to exact euclidean (ties toward lower id)
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+    for q, ranked in by_q.items():
+        d = ((X - X[q]) ** 2).sum(1).astype(float)
+        d[q] = np.inf
+        expect = list(np.lexsort((np.arange(60), d))[:5])
+        assert [n for _, n in sorted(ranked)] == expect, q
+
+
+def test_codes_compact_and_in_range(spark, corpus):
+    books = pq_train(corpus, dim=DIM, m=4, k=8, max_iterations=2, quantize=6)
+    codes = pq_assign(corpus, books, dim=DIM, quantize=6)
+    assert codes.columns == ["vec_id", "code_1", "code_2", "code_3", "code_4"]
+    bad = codes.filter(
+        sum(
+            ((F.col(f"code_{b}") < 1) | (F.col(f"code_{b}") > 8)).cast("int")
+            for b in range(1, 5)
+        )
+        > 0
+    )
+    assert bad.isEmpty()
+
+
+def test_ivf_pq_probe_all_lists_equals_plain_pq(spark, queries, corpus):
+    """With nprobe == number of lists and shared codebooks, IVF-PQ's
+    candidate set is the whole corpus minus self — its output must be
+    row-identical to plain PQ ADC."""
+    centroids = corpus.filter(
+        (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 500)
+    ).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    books = pq_train(corpus, dim=DIM, m=4, k=8, max_iterations=2, quantize=6)
+    codes = pq_assign(corpus, books, dim=DIM, quantize=6)
+    plain = pq_topk(queries, codes, books, dim=DIM, topk=TOPK, quantize=6)
+    ivf = ivf_pq_topk(
+        queries, corpus, centroids, dim=DIM, m=4, k=8, nprobe=10,
+        topk=TOPK, quantize=6, codebooks=books,
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, ivf.collect()))
+
+
+def test_ivf_pq_neighbors_come_from_probed_lists(spark, queries, corpus):
+    from pyspark_entity_resolution_spark.operators.ann import ivf_assign
+
+    centroids = corpus.filter(
+        (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 500)
+    ).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    books = pq_train(corpus, dim=DIM, m=4, k=8, max_iterations=2, quantize=6)
+    got = ivf_pq_topk(
+        queries, corpus, centroids, dim=DIM, m=4, k=8, nprobe=2,
+        topk=TOPK, quantize=6, codebooks=books,
+    )
+    probed = {
+        (r["vec_id"], r["ivf_bucket"])
+        for r in ivf_assign(queries, centroids, nprobe=2)
+        .select("vec_id", "ivf_bucket")
+        .collect()
+    }
+    lists = {
+        r["vec_id"]: r["ivf_bucket"]
+        for r in ivf_assign(corpus, centroids)
+        .select("vec_id", "ivf_bucket")
+        .collect()
+    }
+    for r in got.collect():
+        assert (r["query_id"], lists[r["neighbor_id"]]) in probed
