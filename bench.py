@@ -46,7 +46,30 @@ PACK_PROVENANCE: dict[str, dict[str, list[str]]] = {
         "renamed_from": [],
     },
     "orders_topk_pack": {
-        "constituents": ["global_topn", "per_group_topk"],
+        # r6 absorbed the standalone array_agg_order_years entry as
+        # scope 'order_years' (slot freed for doc_fingerprint_winnow /
+        # ann_pq_adc_topk inside the driver's 50-query window)
+        "constituents": ["global_topn", "per_group_topk",
+                         "order_years_collect_set (r6)"],
+        "renamed_from": ["array_agg_order_years (standalone, r1-r5)"],
+    },
+    "join_kinds_pack": {
+        # r6 absorbed semi_anti_join_customers as two more join_kind
+        # arms (same slot-freeing consolidation)
+        "constituents": ["cross_postfilter", "left_broadcast_dim",
+                         "left_semi_exists (r6)", "left_anti_not_exists (r6)"],
+        "renamed_from": ["semi_anti_join_customers (standalone, r1-r5)"],
+    },
+    "text_analysis_pack": {
+        # r6 widened in place: n_bpe_tokens column (GPT-2-family
+        # pre-tokenizer count) joins the per-doc stats row set
+        "constituents": ["token_char_stats", "bpe_pretoken_count (r6)",
+                         "lang_id", "fingerprints", "remove_stopwords"],
+        "renamed_from": [],
+    },
+    "doc_fingerprint_winnow": {
+        "constituents": ["winnow_fingerprints (r6)",
+                         "fingerprint_overlap_pairs (r6)"],
         "renamed_from": [],
     },
     "dedup_substring_spans": {

@@ -34,6 +34,36 @@ def unique_token_count(c: Column | str) -> Column:
     return F.size(F.array_distinct(tokens(c))).cast("bigint")
 
 
+# GPT-2-family pre-tokenizer, LOOKAHEAD-FREE variant: English
+# contraction suffixes, space-attached letter runs, space-attached
+# digit runs, space-attached symbol runs. The upstream GPT-2 pattern
+# ends with ``\s+(?!\S)|\s+`` to tokenize residual whitespace; RE2
+# (DuckDB's engine) has no lookahead, and for COUNTING, whitespace
+# runs need no token at all — ``regexp_extract_all`` skips unmatched
+# gaps — so dropping those branches keeps the count identical to the
+# lookahead form on any text (whitespace never contributes a token;
+# a single leading space still attaches to the following run). Both
+# Java regex and RE2 use leftmost-first alternation and support the
+# Unicode classes used here, so the Spark expression and the DuckDB
+# oracle evaluate the SAME token boundaries.
+BPE_PRETOKEN_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+)
+
+
+def bpe_like_token_count(c: Column | str) -> Column:
+    """LLM-tokenizer-shaped token count (BIGINT): matches of the GPT-2
+    pre-tokenizer regex (contractions / letter runs / digit runs /
+    symbol runs). A whitespace ``token_count`` undercounts exactly the
+    pieces a subword tokenizer bills for — punctuation and digit runs —
+    so budget estimation over a training corpus wants this signal; the
+    true BPE merge step only SPLITS these pieces further, so this is a
+    lower bound on (and in practice tracks) real tokenizer counts."""
+    return F.size(
+        F.regexp_extract_all(_col(c), F.lit(BPE_PRETOKEN_PATTERN), 0)
+    ).cast("bigint")
+
+
 def avg_token_length(c: Column | str) -> Column:
     """Mean token length: int-sum / int-count division — bit-deterministic."""
     toks = tokens(c)

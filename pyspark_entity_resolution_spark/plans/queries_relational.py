@@ -94,10 +94,24 @@ def filter_year_date_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'left', s.s_suppkey, s.s_name, n.n_name
     FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+    UNION ALL
+    SELECT 'semi', c_custkey, c_name, CAST(NULL AS VARCHAR) FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+    UNION ALL
+    SELECT 'anti', c_custkey, c_name, CAST(NULL AS VARCHAR) FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'P')
     """,
-    "J1 cross join + post-filter (reference src/match.py:94) and J2 left "
-    "equi-join against a broadcast dimension (reference "
-    "src/create_graph.py:69-74), tagged by join_kind",
+    "join-kind pack, tagged by join_kind: J1 cross join + post-filter "
+    "(reference src/match.py:94), J2 left equi-join against a broadcast "
+    "dimension (reference src/create_graph.py:69-74), left-semi join "
+    "(EXISTS: customers with an urgent order) and left-anti join (NOT "
+    "EXISTS: customers with no pending order) — the semi/anti arms were "
+    "standalone `semi_anti_join_customers` through r5; merged in r6 to "
+    "free a registry slot inside the driver's 50-query verified window",
 )
 def join_kinds_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load(spark, sf_dir, "region")
@@ -122,7 +136,27 @@ def join_kinds_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_name").alias("left_name"),
         F.col("n_name").alias("nation_name"),
     )
-    return crossed.unionByName(lefted)
+    c = load(spark, sf_dir, "customer")
+    urgent = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    pending = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+
+    def _existence(df, kind):
+        return df.select(
+            F.lit(kind).alias("join_kind"),
+            F.col("c_custkey").cast("bigint").alias("left_key"),
+            F.col("c_name").alias("left_name"),
+            F.lit(None).cast("string").alias("nation_name"),
+        )
+
+    semi = _existence(
+        c.join(urgent, c.c_custkey == urgent.o_custkey, "left_semi"), "semi"
+    )
+    anti = _existence(
+        c.join(pending, c.c_custkey == pending.o_custkey, "left_anti"), "anti"
+    )
+    return crossed.unionByName(lefted).unionByName(semi).unionByName(anti)
 
 
 # --------------------------------------------------------- aggregations --
@@ -512,40 +546,6 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @q(
-    "semi_anti_join_customers",
-    """
-    SELECT 'semi' AS join_kind, c_custkey, c_name FROM customer c
-    WHERE EXISTS (SELECT 1 FROM orders o
-                  WHERE o.o_custkey = c.c_custkey
-                    AND o.o_orderpriority = '1-URGENT')
-    UNION ALL
-    SELECT 'anti', c_custkey, c_name FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o
-                      WHERE o.o_custkey = c.c_custkey
-                        AND o.o_orderstatus = 'P')
-    """,
-    "left-semi join (EXISTS: customers with an urgent order) + left-anti "
-    "join (NOT EXISTS: customers with no pending order), tagged by "
-    "join_kind",
-)
-def semi_anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load(spark, sf_dir, "customer")
-    urgent = load(spark, sf_dir, "orders").filter(
-        F.col("o_orderpriority") == "1-URGENT"
-    )
-    pending = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
-    semi = (
-        c.join(urgent, c.c_custkey == urgent.o_custkey, "left_semi")
-        .select(F.lit("semi").alias("join_kind"), "c_custkey", "c_name")
-    )
-    anti = (
-        c.join(pending, c.c_custkey == pending.o_custkey, "left_anti")
-        .select(F.lit("anti").alias("join_kind"), "c_custkey", "c_name")
-    )
-    return semi.unionByName(anti)
-
-
-@q(
     "parts_above_brand_average",
     """
     SELECT p_partkey, p_brand, p_retailprice,
@@ -624,17 +624,28 @@ def count_distinct_suppliers_per_nation(spark: SparkSession, sf_dir: str) -> Dat
       FROM orders
     )
     SELECT 'global' AS scope, CAST(NULL AS BIGINT) AS o_custkey,
-           o_orderkey, o_totalprice, CAST(rank AS BIGINT) AS rank
+           o_orderkey, o_totalprice, CAST(rank AS BIGINT) AS rank,
+           CAST(NULL AS VARCHAR) AS order_years
     FROM g WHERE rank <= 100
     UNION ALL
     SELECT 'per_customer', o_custkey, o_orderkey, o_totalprice,
-           CAST(rank AS BIGINT)
+           CAST(rank AS BIGINT), CAST(NULL AS VARCHAR)
     FROM p WHERE rank <= 3
+    UNION ALL
+    SELECT 'order_years', o_custkey, CAST(NULL AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT),
+           array_to_string(list_sort(list(DISTINCT EXTRACT(year FROM o_orderdate)::VARCHAR)), ',')
+    FROM orders GROUP BY o_custkey
     """,
-    "global deterministic top-N (TakeOrderedAndProject — per-partition "
-    "heaps + driver merge, no full sort shuffle; rank attached after the "
-    "100-row limit) + per-group top-k via rank window tie-broken on the "
-    "unique key, tagged by scope",
+    "orders-table shaping pack, tagged by scope: global deterministic "
+    "top-N (TakeOrderedAndProject — per-partition heaps + driver merge, "
+    "no full sort shuffle; rank attached after the 100-row limit), "
+    "per-group top-k via rank window tie-broken on the unique key, and "
+    "the collection aggregate (per-customer sorted distinct year list: "
+    "collect_set -> sort_array -> join — deterministic despite unordered "
+    "aggregation input; standalone `array_agg_order_years` through r5, "
+    "merged in r6 to free a registry slot inside the driver's 50-query "
+    "verified window)",
 )
 def orders_topk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
@@ -666,9 +677,24 @@ def orders_topk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             "o_totalprice",
             F.col("rank").cast("bigint").alias("rank"),
+            F.lit(None).cast("string").alias("order_years"),
         )
     )
-    return global_part.unionByName(per_cust)
+    global_part = global_part.withColumn(
+        "order_years", F.lit(None).cast("string")
+    )
+    years = F.collect_set(F.year("o_orderdate").cast("string"))
+    order_years = o.groupBy("o_custkey").agg(
+        F.array_join(F.sort_array(years), ",").alias("order_years")
+    ).select(
+        F.lit("order_years").alias("scope"),
+        F.col("o_custkey").cast("bigint").alias("o_custkey"),
+        F.lit(None).cast("bigint").alias("o_orderkey"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+        F.lit(None).cast("bigint").alias("rank"),
+        "order_years",
+    )
+    return global_part.unionByName(per_cust).unionByName(order_years)
 
 
 _SAMPLE_BUCKET_SQL = (
@@ -708,26 +734,6 @@ def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         default_rate=0.05,
     ).select(F.lit("stratified").alias("rule"), "o_orderkey", "o_custkey")
     return flat.unionByName(strat)
-
-
-@q(
-    "array_agg_order_years",
-    """
-    SELECT o_custkey,
-           array_to_string(list_sort(list(DISTINCT EXTRACT(year FROM o_orderdate)::VARCHAR)), ',')
-             AS order_years
-    FROM orders GROUP BY o_custkey
-    """,
-    "collection aggregate: per-customer sorted distinct year list "
-    "(collect_set -> sort_array -> join; deterministic despite unordered "
-    "aggregation input)",
-)
-def array_agg_order_years(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load(spark, sf_dir, "orders")
-    years = F.collect_set(F.year("o_orderdate").cast("string"))
-    return o.groupBy("o_custkey").agg(
-        F.array_join(F.sort_array(years), ",").alias("order_years")
-    )
 
 
 @q(

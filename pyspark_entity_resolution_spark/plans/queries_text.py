@@ -66,6 +66,9 @@ def _text_analysis_sql() -> str:
     )
     SELECT doc_id,
            CAST(len(tk) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text,
+             '{T.BPE_PRETOKEN_PATTERN.replace("'", "''")}')) AS BIGINT)
+             AS n_bpe_tokens,
            CAST(len(list_distinct(tk)) AS BIGINT) AS n_unique_tokens,
            CAST(list_aggregate(list_transform(tk, x -> len(x)), 'sum') AS DOUBLE)
              / len(tk) AS avg_token_len,
@@ -110,6 +113,7 @@ def text_analysis_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         T.token_count(c).alias("n_tokens"),
+        T.bpe_like_token_count(c).alias("n_bpe_tokens"),
         T.unique_token_count(c).alias("n_unique_tokens"),
         T.avg_token_length(c).alias("avg_token_len"),
         T.stopword_ratio(c).alias("stop_ratio"),
