@@ -564,6 +564,40 @@ def probe_ann(spark) -> None:
         flush=True,
     )
 
+    # --- product quantization: the compressed-scan decade. ADC is a
+    # brute-force-shaped scan like brute_force_topk above, but over the
+    # m-codes table instead of raw 64-float vectors — the probe
+    # separates the TRAIN+ASSIGN cost (linear, done once per corpus
+    # vintage, like building the LSH index) from the per-query-batch
+    # SERVING scan on the persisted codes.
+    from pyspark_entity_resolution_spark.operators.pq import (
+        pq_assign,
+        pq_topk,
+        pq_train,
+    )
+
+    def _pq_codes(corpus):
+        books = pq_train(corpus, dim=64, m=4, k=8, max_iterations=2, quantize=6)
+        codes = pq_assign(corpus, books, dim=64, quantize=6).localCheckpoint()
+        codes.count()
+        return books, codes
+
+    b_base, c_base = _pq_codes(base)
+    b_big, c_big = _pq_codes(big)
+    t7 = _timed(
+        "pq_adc_topk, 2k codes",
+        lambda: pq_topk(queries, c_base, b_base, dim=64, topk=5).count(),
+    )
+    t8 = _timed(
+        "pq_adc_topk, 20k codes (x10)",
+        lambda: pq_topk(queries, c_big, b_big, dim=64, topk=5).count(),
+    )
+    print(
+        f"[ann] pq_adc x10 corpus -> x{t8 / t7:.2f} time "
+        f"(compressed scan vs brute_force's x{t4 / t3:.2f} raw scan)",
+        flush=True,
+    )
+
 
 def _emb_xn(spark, factor: int, base_dir: str = "/root/testdata/sf0.1") -> str:
     """factor-x embeddings corpus at /tmp (cached): each copy gets
