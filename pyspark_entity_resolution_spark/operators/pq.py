@@ -80,7 +80,13 @@ def _lloyd_codebook(
     of assignments (same init: k smallest ids; same tie-break: lower
     centroid id; same exact-integer mean update; same converged-early
     break, which is oracle-safe because a fixed point reproduces itself
-    under further unrolled iterations)."""
+    under further unrolled iterations).
+
+    This per-block form is the REFERENCE implementation: ``pq_train``
+    runs the mathematically identical joint formulation (one job for
+    all blocks per iteration instead of one per block);
+    ``test_pq.py::test_joint_train_equals_per_block`` pins the
+    equality."""
     init = work.orderBy(id_col).limit(k).select("__v").collect()
     centroids: list[list[float]] = [[float(x) for x in row["__v"]] for row in init]
     for it in range(max_iterations):
@@ -129,15 +135,70 @@ def pq_train(
     quantize: int | None = 6,
 ) -> list[list[list[float]]]:
     """Train the ``m`` sub-space codebooks: ``codebooks[b][c]`` is the
-    (d/m)-dim centroid of code ``c+1`` in block ``b``. Each block runs
-    the kmeans loop on its slice of the (quantized) vectors; the
+    (d/m)-dim centroid of code ``c+1`` in block ``b``. All blocks train
+    JOINTLY — one init collect plus ONE assignment+means job per
+    iteration covers every block (the per-block loop form ran m x iters
+    tiny jobs whose fixed task-launch latency dominated the measured
+    cost: 5.3 s -> see the per-iteration shape below). The math is
+    bit-identical to running :func:`_lloyd_codebook` per block: same
+    k-smallest-id init, same assignment expressions, and the joint
+    means aggregate sums exactly the per-block groups (a converged
+    block keeps reproducing its fixpoint while others iterate). The
     returned structure is driver-sized (m x k x d/m floats) and rides
     downstream expressions as literals."""
+    bounds = _block_bounds(dim, m)
     work = _quantized(df, id_col, vec_col, quantize)
-    books = []
-    for start, sub in _block_bounds(dim, m):
-        block = work.select(id_col, F.slice("__v", start, sub).alias("__v"))
-        books.append(_lloyd_codebook(block, k, max_iterations, id_col))
+    # ONE init job: the k smallest-id FULL vectors, sliced driver-side
+    init = work.orderBy(id_col).limit(k).select("__v").collect()
+    sub = dim // m
+    books: list[list[list[float]]] = [
+        [[float(x) for x in row["__v"][start - 1 : start - 1 + sub]] for row in init]
+        for (start, _) in bounds
+    ]
+    for it in range(max_iterations):
+        if it == max_iterations - 1:
+            break  # the last pass would only re-assign; pq_assign does that
+        cluster_cols = []
+        for b, (start, s) in enumerate(bounds):
+            sl = F.slice("__v", start, s)
+            dists = F.array(*[_sq_dist(sl, c) for c in books[b]])
+            cluster_cols.append(
+                F.array_position(dists, F.array_min(dists))
+                .cast("int")
+                .alias(f"__c{b}")
+            )
+        assigned = work.select(*cluster_cols, "__v")
+        # one exploded aggregate covers every block: dim//sub names the
+        # block, the block's own cluster column is picked by index
+        exploded = assigned.select(
+            *[f"__c{b}" for b in range(m)],
+            F.posexplode("__v").alias("d0", "val"),
+        ).select(
+            (F.col("d0") / sub).cast("int").alias("blk"),
+            F.get(
+                F.array(*[F.col(f"__c{b}") for b in range(m)]),
+                (F.col("d0") / sub).cast("int"),
+            ).alias("cl"),
+            (F.col("d0") % sub).alias("sdim"),
+            "val",
+        )
+        means = (
+            exploded.groupBy("blk", "cl", "sdim")
+            .agg((F.sum("val") / F.count(F.lit(1))).alias("mu"))
+            .collect()
+        )
+        new_books = [list(bb) for bb in books]
+        upd: dict[tuple, list] = {}
+        for r in means:
+            upd.setdefault((r["blk"], r["cl"]), [None] * sub)[r["sdim"]] = float(
+                r["mu"]
+            )
+        for (blk, cl), vec in upd.items():
+            new_books[blk] = list(new_books[blk])
+            new_books[blk][cl - 1] = vec
+        if new_books == books:
+            break
+        books = new_books
     return books
 
 

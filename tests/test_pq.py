@@ -118,6 +118,27 @@ def test_adc_exact_when_corpus_on_codewords(spark):
         assert [n for _, n in sorted(ranked)] == expect, q
 
 
+def test_joint_train_equals_per_block(spark, corpus):
+    """pq_train's joint one-job-per-iteration formulation must produce
+    BIT-IDENTICAL codebooks to the per-block reference loop (same init,
+    same assignments, same exact-integer means)."""
+    from pyspark.sql import functions as F2
+
+    from pyspark_entity_resolution_spark.operators.pq import (
+        _block_bounds,
+        _lloyd_codebook,
+        _quantized,
+    )
+
+    m, k, iters = 4, 8, 3
+    joint = pq_train(corpus, dim=DIM, m=m, k=k, max_iterations=iters, quantize=6)
+    work = _quantized(corpus, "vec_id", "embedding", 6)
+    for b, (start, sub) in enumerate(_block_bounds(DIM, m)):
+        block = work.select("vec_id", F2.slice("__v", start, sub).alias("__v"))
+        ref = _lloyd_codebook(block, k, iters, "vec_id")
+        assert joint[b] == ref, f"block {b}"
+
+
 def test_codes_compact_and_in_range(spark, corpus):
     books = pq_train(corpus, dim=DIM, m=4, k=8, max_iterations=2, quantize=6)
     codes = pq_assign(corpus, books, dim=DIM, quantize=6)
