@@ -22,7 +22,7 @@ Probe D (``century``): TWO measured decades (x100) for MinHash-LSH,
          families: ``century-minhash`` ``century-substring``
          ``century-cc`` ``century-er`` ``century-ingest`` (the
          ingest-time serving paths: fixed arriving batch vs a x100
-         persisted index).
+         persisted index) ``century-labelstore`` ``century-winnow``.
 
 Usage: python tools/scale_probe.py [trio|ann|winnow|century|century-<family>]
 """
@@ -285,7 +285,7 @@ def _with_scaled_partitions(spark, fn, factor=8):
 
 CENTURY_FAMILIES = (
     "century-minhash", "century-substring", "century-cc", "century-er",
-    "century-ingest", "century-labelstore",
+    "century-ingest", "century-labelstore", "century-winnow",
 )
 
 
@@ -890,6 +890,76 @@ def _docs_x10_rotated(spark) -> str:
     return dest
 
 
+def _docs_xn_affine(spark, factor: int) -> str:
+    """``factor``x documents corpus for CHARACTER-gram operators: copy
+    i maps letters through the affine bijection j -> (a*j + b) mod 26
+    (a coprime to 26) — the rotation corpus generalized past 26 copies.
+    Same honesty argument as :func:`_docs_x10_rotated`: a bijective
+    character map preserves within-copy gram structure exactly, so
+    fingerprint/pair output scales exactly ``factor``x and hashes stay
+    copy-local. Built as one cross-join plan like :func:`_docs_xn`."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    dest = f"/tmp/scale_docs_x{factor}_aff.parquet"
+    if os.path.exists(dest + "/_SUCCESS"):
+        return dest
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    maps = []
+    for a in (1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25):
+        for b in range(26):
+            maps.append("".join(alpha[(a * j + b) % 26] for j in range(26)))
+            if len(maps) == factor:
+                break
+        if len(maps) == factor:
+            break
+    docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    copies = spark.range(factor).select(F.col("id").alias("__copy"))
+    # per-copy translate via an array literal indexed by copy id (keeps
+    # the plan O(1) in factor, unlike a when-chain). F.translate demands
+    # LITERAL from/to strings, but the SQL form takes any expression.
+    out = (
+        docs.crossJoin(F.broadcast(copies))
+        .withColumn("__tr", F.element_at(F.lit(maps), (F.col("__copy") + 1).cast("int")))
+        .select(
+            (F.col("doc_id") + F.col("__copy") * 10_000_000).alias("doc_id"),
+            F.expr(f"translate(text, '{alpha}', __tr)").alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+    )
+    out.repartition(64).write.mode("overwrite").parquet(dest)
+    return dest
+
+
+def probe_century_winnow(spark) -> None:
+    """Winnowing fingerprints + overlap pairs TWO decades up: sf0.1
+    (5k docs) vs the x100 affine-mapped corpus (500k docs) — output
+    exactly x100 by construction. Standalone: ``century-winnow``."""
+    from pyspark_entity_resolution_spark.operators.winnowing import (
+        fingerprint_overlap_pairs,
+        winnow_fingerprints,
+    )
+    from pyspark_entity_resolution_spark.plans.common import spread
+
+    base = spread(spark, spark.read.parquet("/root/testdata/sf0.1/documents.parquet"))
+    big = spread(spark, spark.read.parquet(_docs_xn_affine(spark, 100)), factor=2)
+
+    def _run(df):
+        fps = winnow_fingerprints(df).localCheckpoint(eager=False)
+        return fps.count() + fingerprint_overlap_pairs(fps, max_df=10).count()
+
+    t1 = _timed_century("winnow fp+pairs 5k docs", lambda: _run(base), runs=3)
+    t2 = _timed_century(
+        "winnow fp+pairs 500k docs (x100)",
+        lambda: _with_scaled_partitions(spark, lambda: _run(big)),
+        runs=1,
+    )
+    print(f"[century] winnow x100 data -> x{t2 / t1:.1f} time", flush=True)
+
+
 def probe_winnow(spark) -> None:
     """One measured decade for winnowing fingerprints + overlap pairs
     (sf0.1 5k docs vs a x10 alphabet-rotated corpus — see
@@ -959,6 +1029,8 @@ def main() -> None:
         probe_century_ingest(spark)
     elif "century-labelstore" in sys.argv[1:]:
         probe_century_labelstore(spark)
+    elif "century-winnow" in sys.argv[1:]:
+        probe_century_winnow(spark)
     else:
         probe_er(spark)
         probe_cc(spark)
