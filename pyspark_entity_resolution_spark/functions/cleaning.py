@@ -113,7 +113,7 @@ def clean_record(c: Column | str) -> Column:
     runs of whitespace, strip (reference src/cleaning.py:66-73)."""
     c = _col(c)
     spaced = F.regexp_replace(c, _CLEAN_RECORD_RE, " ")
-    collapsed = F.regexp_replace(spaced, r"\s{2,}", " ")
+    collapsed = F.regexp_replace(spaced, r"[ \t\n\x0B\f\r]{2,}", " ")
     return _strip(collapsed)
 
 
@@ -159,7 +159,7 @@ def remove_stopwords(c: Column | str) -> Column:
         lambda w: F.regexp_replace(F.regexp_replace(w, '"', ""), _EDGE_STRIP_RE, ""),
     )
     joined = F.array_join(stripped, " ")
-    return F.regexp_replace(joined, r"\s{2,}", " ")
+    return F.regexp_replace(joined, r"[ \t\n\x0B\f\r]{2,}", " ")
 
 
 def get_num_authors(c: Column | str) -> Column:

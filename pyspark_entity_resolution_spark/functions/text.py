@@ -19,7 +19,17 @@ def _col(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
-def tokens(c: Column | str, pattern: str = r"\s+") -> Column:
+# Whitespace class spelled out for CROSS-ENGINE parity: Java regex
+# (Spark) defines \s as [ \t\n\x0B\f\r] while RE2 (the DuckDB oracles)
+# defines it as [\t\n\f\r ] — they disagree on U+000B (vertical tab),
+# so a document containing VT would tokenize/normalize differently on
+# the two sides and hash-mismatch the correctness gate. Every
+# parity-critical pattern here and in the oracle SQL uses this
+# explicit class (the Java set; both engines parse \x0B identically).
+WS_CLASS = r"[ \t\n\x0B\f\r]"
+
+
+def tokens(c: Column | str, pattern: str = WS_CLASS + "+") -> Column:
     """Whitespace tokenization (empty tokens removed)."""
     return F.filter(F.split(_col(c), pattern), lambda t: t != F.lit(""))
 
@@ -36,29 +46,36 @@ def unique_token_count(c: Column | str) -> Column:
 
 # GPT-2-family pre-tokenizer, LOOKAHEAD-FREE variant: English
 # contraction suffixes, space-attached letter runs, space-attached
-# digit runs, space-attached symbol runs. The upstream GPT-2 pattern
-# ends with ``\s+(?!\S)|\s+`` to tokenize residual whitespace; RE2
-# (DuckDB's engine) has no lookahead, and for COUNTING, whitespace
-# runs need no token at all — ``regexp_extract_all`` skips unmatched
-# gaps — so dropping those branches keeps the count identical to the
-# lookahead form on any text (whitespace never contributes a token;
-# a single leading space still attaches to the following run). Both
-# Java regex and RE2 use leftmost-first alternation and support the
-# Unicode classes used here, so the Spark expression and the DuckDB
-# oracle evaluate the SAME token boundaries.
+# digit runs, space-attached symbol runs. Two DELIBERATE divergences
+# from the upstream GPT-2 pattern, both forced by RE2 (DuckDB's
+# engine, which has no lookahead) and both documented rather than
+# hidden: (1) the ``\s+(?!\S)|\s+`` whitespace branches are DROPPED —
+# ``regexp_extract_all`` skips unmatched gaps, so whitespace runs
+# simply contribute no token here, whereas real GPT-2 emits (and a
+# real tokenizer bills) one token per residual whitespace run; on
+# newline/tab-heavy text (code, markdown) this count therefore
+# undercounts GPT-2's by the number of such runs — it is a LOWER
+# BOUND, not an identity. (2) character classes are spelled out with
+# the explicit whitespace set (see ``WS_CLASS``): Java and RE2
+# disagree on whether \s contains U+000B, and this pattern is
+# evaluated by BOTH engines in the correctness gate. Both engines use
+# leftmost-first alternation and agree on \p{L}/\p{N}, so the
+# non-whitespace token boundaries are identical.
 BPE_PRETOKEN_PATTERN = (
-    r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+    r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^ \t\n\x0B\f\r\p{L}\p{N}]+"
 )
 
 
 def bpe_like_token_count(c: Column | str) -> Column:
     """LLM-tokenizer-shaped token count (BIGINT): matches of the GPT-2
     pre-tokenizer regex (contractions / letter runs / digit runs /
-    symbol runs). A whitespace ``token_count`` undercounts exactly the
-    pieces a subword tokenizer bills for — punctuation and digit runs —
-    so budget estimation over a training corpus wants this signal; the
-    true BPE merge step only SPLITS these pieces further, so this is a
-    lower bound on (and in practice tracks) real tokenizer counts."""
+    symbol runs; whitespace runs deliberately unbilled — see the
+    pattern comment). A whitespace ``token_count`` undercounts exactly
+    the pieces a subword tokenizer bills for — punctuation and digit
+    runs — so budget estimation over a training corpus wants this
+    signal; the true BPE merge step only SPLITS these pieces further,
+    so this is a lower bound on (and in practice tracks) real
+    tokenizer counts."""
     return F.size(
         F.regexp_extract_all(_col(c), F.lit(BPE_PRETOKEN_PATTERN), 0)
     ).cast("bigint")
@@ -93,7 +110,9 @@ def digit_ratio(c: Column | str) -> Column:
 def punct_ratio(c: Column | str) -> Column:
     """Fraction of characters that are punctuation (non-word, non-space)."""
     c = _col(c)
-    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    n_punct = F.length(c) - F.length(
+        F.regexp_replace(c, r"[^\w \t\n\x0B\f\r]", "")
+    )
     return F.try_divide(n_punct.cast("double"), F.length(c))
 
 
@@ -178,8 +197,9 @@ def word_shingles(c: Column | str, w: int = 3) -> Column:
 def fingerprint_md5(c: Column | str) -> Column:
     """Full-document fingerprint: md5 of the whitespace-normalized text.
     (md5 is available and bit-identical in both Spark and DuckDB, which
-    makes fingerprints oracle-checkable.)"""
-    normalized = F.trim(F.regexp_replace(_col(c), r"\s+", " "))
+    makes fingerprints oracle-checkable; normalization uses the
+    explicit ``WS_CLASS`` for the same cross-engine reason.)"""
+    normalized = F.trim(F.regexp_replace(_col(c), WS_CLASS + "+", " "))
     return F.md5(normalized)
 
 

@@ -47,7 +47,9 @@ def exact_duplicates(
     Returns ``(fingerprint, n_copies, representative)`` with the MIN id as
     deterministic representative. One hash-shuffle on the fingerprint.
     """
-    normalized = F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    from ..functions.text import WS_CLASS
+
+    normalized = F.trim(F.regexp_replace(F.col(text_col), WS_CLASS + "+", " "))
     return (
         df.select(F.md5(normalized).alias("fingerprint"), F.col(id_col))
         .groupBy("fingerprint")

@@ -251,8 +251,31 @@ def pq_topk(
     neighbor id. ``adc_dist`` is emitted unrounded: with ``quantize``
     every term is a deterministic ordered fold, bit-equal across
     engines (the kmeans precedent)."""
+    return _adc_rank_topk(
+        codes.crossJoin(
+            F.broadcast(_query_luts(queries, codebooks, dim, id_col, vec_col, quantize))
+        ),
+        codebooks,
+        id_col,
+        topk,
+    )
+
+
+def _query_luts(
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    dim: int,
+    id_col: str,
+    vec_col: str,
+    quantize: int | None,
+) -> DataFrame:
+    """Per-query ADC lookup tables: ``(query_id, __lut_1 .. __lut_m)``,
+    block b's array holding the exact sub-distance to each of its k
+    centroids — one array-literal expression per block, no data scan.
+    Shared by :func:`pq_topk` and :func:`ivf_pq_topk` so the LUT
+    construction, fold order, and naming can never drift apart."""
     m = len(codebooks)
-    qwork = _quantized(queries, id_col, vec_col, quantize).select(
+    return _quantized(queries, id_col, vec_col, quantize).select(
         F.col(id_col).alias("query_id"),
         *[
             F.array(
@@ -261,22 +284,30 @@ def pq_topk(
             for b, (start, sub) in enumerate(_block_bounds(dim, m))
         ],
     )
-    adc = None
-    for b in range(m):
-        term = F.get(F.col(f"__lut_{b + 1}"), F.col(f"code_{b + 1}").cast("int") - 1)
-        adc = term if adc is None else adc + term
+
+
+def _adc_rank_topk(
+    joined: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str,
+    topk: int,
+) -> DataFrame:
+    """Score + rank a (codes x query-LUT) join: ADC = the m block
+    lookups added IN BLOCK ORDER (the oracle mirrors this exact
+    addition order), self-matches excluded (family convention:
+    ivf_topk, lsh_topk), ties toward the lower neighbor id. Shared by
+    both ADC callers for the same no-drift reason as
+    :func:`_query_luts`."""
     from pyspark.sql.window import Window
 
-    scored = (
-        codes.crossJoin(F.broadcast(qwork))
-        # queries typically come FROM the corpus; family convention
-        # (ivf_topk, lsh_topk) excludes the self-match
-        .filter(F.col("query_id") != F.col(id_col))
-        .select(
-            "query_id",
-            F.col(id_col).alias("neighbor_id"),
-            adc.alias("adc_dist"),
-        )
+    adc = None
+    for b in range(len(codebooks)):
+        term = F.get(F.col(f"__lut_{b + 1}"), F.col(f"code_{b + 1}").cast("int") - 1)
+        adc = term if adc is None else adc + term
+    scored = joined.filter(F.col("query_id") != F.col(id_col)).select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        adc.alias("adc_dist"),
     )
     w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
     return (
@@ -318,7 +349,7 @@ def ivf_pq_topk(
     from a sample) instead of training on the full corpus here."""
     from .ann import ivf_assign
 
-    books = codebooks or pq_train(
+    books = codebooks if codebooks is not None else pq_train(
         corpus, dim=dim, m=m, k=k, id_col=id_col, vec_col=vec_col, quantize=quantize
     )
     lists = ivf_assign(corpus, centroids, id_col, vec_col)
@@ -334,28 +365,6 @@ def ivf_pq_topk(
     qprobe = ivf_assign(queries, centroids, id_col, vec_col, nprobe=nprobe).select(
         F.col(id_col).alias("query_id"), "ivf_bucket"
     )
-    qwork = _quantized(queries, id_col, vec_col, quantize).select(
-        F.col(id_col).alias("query_id"),
-        *[
-            F.array(
-                *[_sq_dist(F.slice("__v", start, sub), c) for c in books[b]]
-            ).alias(f"__lut_{b + 1}")
-            for b, (start, sub) in enumerate(_block_bounds(dim, m))
-        ],
-    )
-    adc = None
-    for b in range(m):
-        term = F.get(F.col(f"__lut_{b + 1}"), F.col(f"code_{b + 1}").cast("int") - 1)
-        adc = term if adc is None else adc + term
-    from pyspark.sql.window import Window
-
+    qwork = _query_luts(queries, books, dim, id_col, vec_col, quantize)
     probed = qprobe.join(F.broadcast(qwork), "query_id").join(codes, "ivf_bucket")
-    scored = probed.filter(F.col("query_id") != F.col(id_col)).select(
-        "query_id", F.col(id_col).alias("neighbor_id"), adc.alias("adc_dist")
-    )
-    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= topk)
-        .select("query_id", "neighbor_id", "rank", "adc_dist")
-    )
+    return _adc_rank_topk(probed, books, id_col, topk)

@@ -72,12 +72,19 @@ def winnow_fingerprints(
     whitespace-normalized text) of the selected k-gram, ``fp_hash`` its
     md5. Text is normalized exactly like :func:`..functions.text.
     fingerprint_md5` (trim + collapse whitespace) so fingerprints are
-    layout-invariant; NULL text is treated as empty. Documents shorter
+    layout-invariant. Documents shorter
     than ``k`` contribute their single truncated gram (the
     :func:`char_shingles` convention); documents with fewer than ``w``
     k-gram positions yield the minimum over all their positions (one
     shrunk window), so every non-degenerate document has >= 1
     fingerprint.
+
+    Documents whose normalized text is EMPTY (all-whitespace or NULL)
+    emit NO fingerprints: every empty document would otherwise carry
+    the same md5('') fingerprint, and any 2..max_df of them would then
+    surface as verbatim-overlap "pairs" sharing zero content — real
+    corpora routinely contain empty documents after cleaning, so the
+    operator excludes them rather than asking every caller to.
 
     Plan shape: explode to one row per k-gram position (~len(text) rows
     per document, the same expansion class as substring dedup), ONE
@@ -85,11 +92,15 @@ def winnow_fingerprints(
     window expressions over the same spec (min-select + lag-dedup, no
     re-shuffle, no re-sort), then a projection. No UDFs, no distinct.
     """
+    from ..functions.text import WS_CLASS
+
     txt = F.trim(
-        F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")), r"\s+", " ")
+        F.regexp_replace(
+            F.coalesce(F.col(text_col), F.lit("")), WS_CLASS + "+", " "
+        )
     )
     n_pos = F.greatest(F.lit(1), F.length(txt) - F.lit(k - 1))
-    grams = df.select(
+    grams = df.filter(F.length(txt) > 0).select(
         F.col(id_col),
         F.posexplode(F.sequence(F.lit(1), n_pos)).alias("__i", "pos"),
         n_pos.alias("__np"),

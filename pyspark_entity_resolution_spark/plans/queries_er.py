@@ -98,7 +98,7 @@ def clean_customer_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
            trim(regexp_replace(
                   regexp_replace(concat(p_brand, '/', p_type, '-', p_name),
                                  '{_CLEAN_CLASS_SQL}', ' ', 'g'),
-                  '\\s{{2,}}', ' ', 'g')) AS cleaned,
+                  '[ \\t\\n\\x0B\\f\\r]{{2,}}', ' ', 'g')) AS cleaned,
            CAST(CASE WHEN p_name IS NULL THEN 0
                      ELSE len(string_split(p_name, ',')) END AS BIGINT)
              AS num_authors
@@ -130,7 +130,7 @@ REMOVE_STOPWORDS_SQL = f"""
                                      '^{_STRIP_CLASS_SQL}+|{_STRIP_CLASS_SQL}+$',
                                      '', 'g')),
                ' '),
-             '\\s{{2,}}', ' ', 'g')
+             '[ \\t\\n\\x0B\\f\\r]{{2,}}', ' ', 'g')
 """
 
 

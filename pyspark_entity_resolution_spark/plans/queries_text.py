@@ -24,7 +24,11 @@ def q(name: str, sql: str | None, doc: str = ""):
     return deco
 
 
-_TOKS_SQL = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
+# explicit whitespace class, NOT \s: Java (Spark) and RE2 (DuckDB)
+# disagree on U+000B — see functions/text.py WS_CLASS, the Spark twin
+_WS_SQL = "[ \\t\\n\\x0B\\f\\r]"
+
+_TOKS_SQL = f"list_filter(string_split_regex(text, '{_WS_SQL}+'), t -> t <> '')"
 
 _STOPWORDS_LIST_SQL = ", ".join(
     "'" + w.replace("'", "''") + "'"
@@ -79,7 +83,7 @@ def _text_analysis_sql() -> str:
                 WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
                 WHEN s_es >= s_fr THEN 'es'
                 ELSE 'fr' END AS detected_lang,
-           md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp_md5,
+           md5(trim(regexp_replace(text, '{_WS_SQL}+', ' ', 'g'))) AS fp_md5,
            list_aggregate(list_transform(list_distinct({_GRAMS_SQL}), g -> md5(g)),
                           'min') AS fp_minhash,
            {REMOVE_STOPWORDS_SQL} AS no_stopwords
@@ -132,7 +136,7 @@ QUERIES["text_analysis_pack"].sql = _text_analysis_sql()
     """
     WITH fp AS (
       SELECT doc_id, lang, source,
-             md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
+             md5(trim(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS fingerprint
       FROM documents
     ),
     g AS (
@@ -371,7 +375,7 @@ _WGRAMS2_SQL = (
                   AS DOUBLE) / len(tk) AS stop_r,
              CAST(len(text) - len(regexp_replace(text, '\\d', '', 'g')) AS DOUBLE)
                / len(text) AS digit_r,
-             CAST(len(text) - len(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+             CAST(len(text) - len(regexp_replace(text, '[^\\w \\t\\n\\x0B\\f\\r]', '', 'g')) AS DOUBLE)
                / len(text) AS punct_r
       FROM t
     ),
@@ -856,13 +860,14 @@ _WINNOW_MAX_DF = 10
     "doc_fingerprint_winnow",
     f"""
     WITH t AS (SELECT doc_id,
-                      trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')) AS txt
+                      trim(regexp_replace(coalesce(text, ''), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS txt
                FROM documents),
     p AS (
       SELECT doc_id, CAST(i AS BIGINT) AS pos,
              md5(txt[i : i + {_WINNOW_K - 1}]) AS h,
              greatest(1, len(txt) - {_WINNOW_K - 1}) AS np
       FROM t, UNNEST(range(1, greatest(1, len(txt) - {_WINNOW_K - 1}) + 1)) AS u(i)
+      WHERE len(txt) > 0
     ),
     sel AS (
       SELECT doc_id, pos, np,

@@ -25,6 +25,10 @@ CASES = [
     "trailing space ",
     "'s at start",
     "12abc34def",
+    # U+000B: Java \s and RE2 \s disagree on it — the pattern spells
+    # the whitespace class out so both engines bill VT identically
+    "a\x0bb",
+    "vt\x0b\x0bruns\x0bhere",
 ]
 
 

@@ -22,8 +22,12 @@ def _norm(text):
 
 def _brute_winnow(text, k=K, w=W):
     """Reference winnowing: every window of w k-gram positions selects
-    its minimal (md5, pos) key; the union of selections is the set."""
+    its minimal (md5, pos) key; the union of selections is the set.
+    Empty (after normalization) documents yield NO fingerprints — the
+    md5('') fingerprint would pair unrelated empty docs."""
     txt = _norm(text)
+    if not txt:
+        return set()
     n_pos = max(1, len(txt) - k + 1)
     keys = [
         (hashlib.md5(txt[i - 1 : i - 1 + k].encode()).hexdigest(), i)
@@ -54,8 +58,10 @@ def test_matches_bruteforce_on_random_texts(spark):
         "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 60)))
         for _ in range(40)
     ]
-    # adversarial extremes: empty, shorter than k, exactly k, repeated char
-    texts += ["", "ab", "abcde", "aaaaaaaaaaaaaaaaaaaa", "  spaced   out  "]
+    # adversarial extremes: empty, all-whitespace, NULL-ish, shorter
+    # than k, exactly k, repeated char, vertical tab (Java/RE2 \s gap)
+    texts += ["", "   ", "\t\n", "ab", "abcde", "aaaaaaaaaaaaaaaaaaaa",
+              "  spaced   out  ", "a\x0bb cdefgh"]
     got = _spark_winnow(spark, texts)
     for i, t in enumerate(texts):
         assert got.get(i, set()) == _brute_winnow(t), f"doc {i}: {t!r}"
@@ -125,6 +131,20 @@ def test_common_hash_suppression_bounds_fanout(spark):
     assert fingerprint_overlap_pairs(fps, max_df=10).isEmpty()
     full = fingerprint_overlap_pairs(fps, max_df=20)
     assert full.count() == 20 * 19 // 2
+
+
+def test_empty_docs_never_pair(spark):
+    """Empty/whitespace/NULL documents emit no fingerprints at all —
+    without the exclusion every empty doc carries md5('') and any
+    2..max_df of them would report verbatim-overlap pairs over zero
+    shared content."""
+    df = spark.createDataFrame(
+        [(1, ""), (2, ""), (3, "   "), (4, None), (5, "real content here")],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(df, k=K, w=W)
+    assert {r["doc_id"] for r in fps.collect()} == {5}
+    assert fingerprint_overlap_pairs(fps, max_df=10).isEmpty()
 
 
 def test_lag_dedup_equals_distinct(spark):
