@@ -150,6 +150,10 @@ def pq_train(
     work = _quantized(df, id_col, vec_col, quantize)
     # ONE init job: the k smallest-id FULL vectors, sliced driver-side
     init = work.orderBy(id_col).limit(k).select("__v").collect()
+    if not init:
+        # empty codebooks would surface much later as an opaque
+        # array_position-on-empty-array AnalysisException in pq_assign
+        raise ValueError("pq_train: cannot train codebooks on an empty corpus")
     sub = dim // m
     books: list[list[list[float]]] = [
         [[float(x) for x in row["__v"][start - 1 : start - 1 + sub]] for row in init]
@@ -218,6 +222,11 @@ def pq_assign(
     downstream scans codes, never raw vectors. ``extra_cols`` pass
     through untouched (e.g. the IVF list id)."""
     m = len(codebooks)
+    if m == 0 or any(not book for book in codebooks):
+        raise ValueError(
+            "pq_assign: empty codebook(s) — pass the output of pq_train "
+            "on a non-empty corpus"
+        )
     work = _quantized(df, id_col, vec_col, quantize, extra_cols=extra_cols)
     cols = [F.col(id_col)] + [F.col(c) for c in extra_cols]
     for b, (start, sub) in enumerate(_block_bounds(dim, m)):

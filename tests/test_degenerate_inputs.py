@@ -159,3 +159,45 @@ def test_header_probes_on_empty_media(spark):
     assert len(img) == len(aud) == len(vid) == 1
     assert img[0]["format"] is None and img[0]["n_bytes"] == 0
     assert aud[0]["format"] is None and vid[0]["format"] is None
+
+
+def test_winnow_on_empty_frame_and_degenerate_text(spark):
+    from pyspark_entity_resolution_spark.operators.winnowing import (
+        fingerprint_overlap_pairs,
+        winnow_fingerprints,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert winnow_fingerprints(empty).isEmpty()
+    assert fingerprint_overlap_pairs(winnow_fingerprints(empty)).isEmpty()
+    # whitespace-only and NULL docs emit nothing; a 1-char doc emits
+    # its single truncated-gram fingerprint
+    d = spark.createDataFrame(
+        [(1, None), (2, "  \t "), (3, "x")], "doc_id long, text string"
+    )
+    rows = winnow_fingerprints(d).collect()
+    assert {r["doc_id"] for r in rows} == {3}
+
+
+def test_pq_empty_corpus_raises_cleanly(spark):
+    import pytest as _pytest
+
+    from pyspark_entity_resolution_spark.operators.pq import pq_assign, pq_train
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with _pytest.raises(ValueError, match="empty corpus"):
+        pq_train(empty, dim=8, m=2, k=4, quantize=0)
+    with _pytest.raises(ValueError, match="empty codebook"):
+        pq_assign(empty, [[], []], dim=8, quantize=0)
+
+
+def test_pq_corpus_smaller_than_k(spark):
+    from pyspark_entity_resolution_spark.operators.pq import pq_assign, pq_train
+
+    one = spark.createDataFrame(
+        [(1, [float(i) for i in range(8)])], "vec_id long, embedding array<double>"
+    )
+    books = pq_train(one, dim=8, m=2, k=4, quantize=0)
+    assert [len(b) for b in books] == [1, 1]  # fewer rows than k: that many codes
+    rows = pq_assign(one, books, dim=8, quantize=0).collect()
+    assert rows[0]["code_1"] == 1 and rows[0]["code_2"] == 1
