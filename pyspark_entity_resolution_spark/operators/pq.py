@@ -61,15 +61,19 @@ def _quantized(
     quantize: int | None,
     extra_cols: tuple = (),
 ):
+    return df.select(
+        id_col, _quantize_expr(vec_col, quantize).alias("__v"), *extra_cols
+    )
+
+
+def _quantize_expr(vec: "Column | str", quantize: int | None) -> Column:
     if quantize is None:
-        qv = as_double(vec_col)
-    else:
-        scale = float(10**quantize)
-        qv = F.transform(
-            as_double(vec_col),
-            lambda x: F.floor(x * scale + F.lit(0.5)).cast("double"),
-        )
-    return df.select(id_col, qv.alias("__v"), *extra_cols)
+        return as_double(vec)
+    scale = float(10**quantize)
+    return F.transform(
+        as_double(vec),
+        lambda x: F.floor(x * scale + F.lit(0.5)).cast("double"),
+    )
 
 
 def _lloyd_codebook(
@@ -339,6 +343,7 @@ def ivf_pq_topk(
     topk: int = 10,
     quantize: int | None = 6,
     codebooks: list[list[list[float]]] | None = None,
+    residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ composition — the 100 TB serving recipe: coarse-quantize
     the corpus into inverted lists (``operators/ann.py`` IVF machinery
@@ -349,19 +354,42 @@ def ivf_pq_topk(
     nprobe / n_lists rows of m codes. Returns the :func:`pq_topk`
     schema (ranks within the probed lists).
 
-    Composition notes: residual-free PQ on raw sub-vectors (the
-    simpler of the paper's two variants; residual encoding would
-    subtract the coarse centroid first — noted, not implemented); the
-    corpus side keeps ONE list per vector (``ivf_assign`` nprobe=1)
-    so a (query, neighbor) pair meets through at most one probe and
-    needs no dedup; pass ``codebooks`` to reuse a trained set (e.g.
-    from a sample) instead of training on the full corpus here."""
+    ``residual=True`` selects the paper's higher-recall encoding: each
+    vector is PQ-coded as its RESIDUAL from the coarse centroid of its
+    list (codebooks then model the within-list displacement, which has
+    much lower variance than raw positions), and each query builds a
+    SEPARATE LUT per probed list from its residual against THAT list's
+    centroid. Costs: the per-query LUT work multiplies by nprobe (still
+    expression-only, computed on the nq x nprobe probe rows before the
+    codes join), and the codebooks are list-relative so they cannot be
+    reused by plain :func:`pq_topk`.
+
+    Other composition notes: the corpus side keeps ONE list per vector
+    (``ivf_assign`` nprobe=1) so a (query, neighbor) pair meets through
+    at most one probe and needs no dedup; pass ``codebooks`` to reuse a
+    trained set (e.g. from a sample) instead of training on the full
+    corpus here."""
     from .ann import ivf_assign
 
-    books = codebooks if codebooks is not None else pq_train(
-        corpus, dim=dim, m=m, k=k, id_col=id_col, vec_col=vec_col, quantize=quantize
-    )
     lists = ivf_assign(corpus, centroids, id_col, vec_col)
+    if residual:
+        cvt = F.broadcast(
+            centroids.select(
+                F.col("centroid_id").alias("ivf_bucket"),
+                F.col("centroid_vec").alias("__cvec"),
+            )
+        )
+        res = F.zip_with(
+            as_double(vec_col), as_double("__cvec"), lambda x, c: x - c
+        )
+        lists = (
+            lists.join(cvt, "ivf_bucket")
+            .withColumn(vec_col, res)
+            .drop("__cvec")
+        )
+    books = codebooks if codebooks is not None else pq_train(
+        lists, dim=dim, m=m, k=k, id_col=id_col, vec_col=vec_col, quantize=quantize
+    )
     codes = pq_assign(
         lists,
         books,
@@ -371,9 +399,32 @@ def ivf_pq_topk(
         quantize=quantize,
         extra_cols=("ivf_bucket",),
     )
-    qprobe = ivf_assign(queries, centroids, id_col, vec_col, nprobe=nprobe).select(
-        F.col(id_col).alias("query_id"), "ivf_bucket"
-    )
+    qprobe = ivf_assign(queries, centroids, id_col, vec_col, nprobe=nprobe)
+    if residual:
+        # per-(query, probed-list) LUTs from the query's residual
+        # against that list's centroid — nq x nprobe rows of m x k
+        # fold expressions, no broadcasted literal query table
+        qres = _quantize_expr(
+            F.zip_with(as_double(vec_col), as_double("__cvec"), lambda x, c: x - c),
+            quantize,
+        )
+        qwork = (
+            qprobe.join(cvt, "ivf_bucket")
+            .withColumn("__v", qres)
+            .select(
+                F.col(id_col).alias("query_id"),
+                "ivf_bucket",
+                *[
+                    F.array(
+                        *[_sq_dist(F.slice("__v", start, sub), c) for c in books[b]]
+                    ).alias(f"__lut_{b + 1}")
+                    for b, (start, sub) in enumerate(_block_bounds(dim, m))
+                ],
+            )
+        )
+        probed = qwork.join(codes, "ivf_bucket")
+        return _adc_rank_topk(probed, books, id_col, topk)
+    qprobe = qprobe.select(F.col(id_col).alias("query_id"), "ivf_bucket")
     qwork = _query_luts(queries, books, dim, id_col, vec_col, quantize)
     probed = qprobe.join(F.broadcast(qwork), "query_id").join(codes, "ivf_bucket")
     return _adc_rank_topk(probed, books, id_col, topk)
