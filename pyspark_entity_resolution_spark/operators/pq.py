@@ -202,7 +202,6 @@ def pq_train(
                 r["mu"]
             )
         for (blk, cl), vec in upd.items():
-            new_books[blk] = list(new_books[blk])
             new_books[blk][cl - 1] = vec
         if new_books == books:
             break
@@ -274,6 +273,18 @@ def pq_topk(
     )
 
 
+def _lut_cols(codebooks: list[list[list[float]]], dim: int) -> list[Column]:
+    """The ``__lut_1 .. __lut_m`` array expressions over a quantized
+    ``__v`` column — the single source for ADC LUT construction (fold
+    order, naming) used by every caller, plain or residual."""
+    return [
+        F.array(
+            *[_sq_dist(F.slice("__v", start, sub), c) for c in codebooks[b]]
+        ).alias(f"__lut_{b + 1}")
+        for b, (start, sub) in enumerate(_block_bounds(dim, len(codebooks)))
+    ]
+
+
 def _query_luts(
     queries: DataFrame,
     codebooks: list[list[list[float]]],
@@ -287,15 +298,9 @@ def _query_luts(
     centroids — one array-literal expression per block, no data scan.
     Shared by :func:`pq_topk` and :func:`ivf_pq_topk` so the LUT
     construction, fold order, and naming can never drift apart."""
-    m = len(codebooks)
     return _quantized(queries, id_col, vec_col, quantize).select(
         F.col(id_col).alias("query_id"),
-        *[
-            F.array(
-                *[_sq_dist(F.slice("__v", start, sub), c) for c in codebooks[b]]
-            ).alias(f"__lut_{b + 1}")
-            for b, (start, sub) in enumerate(_block_bounds(dim, m))
-        ],
+        *_lut_cols(codebooks, dim),
     )
 
 
@@ -414,12 +419,7 @@ def ivf_pq_topk(
             .select(
                 F.col(id_col).alias("query_id"),
                 "ivf_bucket",
-                *[
-                    F.array(
-                        *[_sq_dist(F.slice("__v", start, sub), c) for c in books[b]]
-                    ).alias(f"__lut_{b + 1}")
-                    for b, (start, sub) in enumerate(_block_bounds(dim, m))
-                ],
+                *_lut_cols(books, dim),
             )
         )
         probed = qwork.join(codes, "ivf_bucket")

@@ -102,7 +102,7 @@ def winnow_fingerprints(
     n_pos = F.greatest(F.lit(1), F.length(txt) - F.lit(k - 1))
     grams = df.filter(F.length(txt) > 0).select(
         F.col(id_col),
-        F.posexplode(F.sequence(F.lit(1), n_pos)).alias("__i", "pos"),
+        F.explode(F.sequence(F.lit(1), n_pos)).alias("pos"),
         n_pos.alias("__np"),
         txt.alias("__txt"),
     ).select(

@@ -133,10 +133,10 @@ QUERIES["text_analysis_pack"].sql = _text_analysis_sql()
 
 @q(
     "dedup_exact_pack",
-    """
+    f"""
     WITH fp AS (
       SELECT doc_id, lang, source,
-             md5(trim(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS fingerprint
+             md5(trim(regexp_replace(text, '{_WS_SQL}+', ' ', 'g'))) AS fingerprint
       FROM documents
     ),
     g AS (
@@ -860,7 +860,7 @@ _WINNOW_MAX_DF = 10
     "doc_fingerprint_winnow",
     f"""
     WITH t AS (SELECT doc_id,
-                      trim(regexp_replace(coalesce(text, ''), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS txt
+                      trim(regexp_replace(coalesce(text, ''), '{_WS_SQL}+', ' ', 'g')) AS txt
                FROM documents),
     p AS (
       SELECT doc_id, CAST(i AS BIGINT) AS pos,

@@ -846,58 +846,20 @@ def probe_century_labelstore(spark) -> None:
     )
 
 
-def _docs_x10_rotated(spark) -> str:
-    """10x documents corpus for CHARACTER-gram operators: copy i maps
-    every letter through a Caesar rotation of i (copy 0 original). A
-    bijective character map preserves the within-copy gram-equality
-    structure EXACTLY — positions, repetition pattern, and document
-    frequencies are those of the original — while making every gram
-    hash copy-local (no cross-copy collision is possible for i != 0).
-
-    The token-salt corpus (``_docs_x10``) is the wrong construction
-    here, measured x32 OUTPUT growth at x10 data on the winnowing
-    pair probe: appending ``~i`` to every token rewrites the char-gram
-    frequency distribution (salt-straddling 8-grams shift mass into
-    the df in [2,10] pairing band), so that probe would measure corpus
-    statistics, not engine scaling. Token-level operators (minhash on
-    word shingles, substring spans on token windows) are unaffected by
-    this distinction and keep the salt construction."""
-    import os
-
-    from pyspark.sql import functions as F
-
-    dest = "/tmp/scale_docs_x10_rot.parquet"
-    if os.path.exists(dest + "/_SUCCESS"):
-        return dest
-    docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
-    alpha = "abcdefghijklmnopqrstuvwxyz"
-    copies = [docs]
-    for i in range(1, 10):
-        rot = alpha[i:] + alpha[:i]
-        copies.append(
-            docs.select(
-                (F.col("doc_id") + i * 10_000_000).alias("doc_id"),
-                F.translate(F.col("text"), alpha, rot).alias("text"),
-                "lang",
-                "source",
-                "n_chars",
-            )
-        )
-    out = copies[0]
-    for c in copies[1:]:
-        out = out.unionByName(c)
-    out.repartition(32).write.mode("overwrite").parquet(dest)
-    return dest
-
-
 def _docs_xn_affine(spark, factor: int) -> str:
     """``factor``x documents corpus for CHARACTER-gram operators: copy
     i maps letters through the affine bijection j -> (a*j + b) mod 26
-    (a coprime to 26) — the rotation corpus generalized past 26 copies.
-    Same honesty argument as :func:`_docs_x10_rotated`: a bijective
-    character map preserves within-copy gram structure exactly, so
-    fingerprint/pair output scales exactly ``factor``x and hashes stay
-    copy-local. Built as one cross-join plan like :func:`_docs_xn`."""
+    (a coprime to 26) — the first 26 maps are the plain rotations, so
+    the decade probe's x10 corpus is this generator at factor 10. The
+    honesty argument: a bijective character map preserves within-copy
+    gram structure exactly (positions, repetition pattern, document
+    frequencies), so fingerprint/pair output scales exactly ``factor``x
+    and hashes stay copy-local — unlike the token-salt corpus
+    (``_docs_x10``), which rewrites the char-gram frequency
+    distribution (measured x32 output inflation at x10 data on the
+    winnowing pair probe; token-level operators are unaffected and keep
+    the salt construction). Built as one cross-join plan like
+    :func:`_docs_xn`."""
     import os
 
     from pyspark.sql import functions as F
@@ -963,8 +925,9 @@ def probe_century_winnow(spark) -> None:
 def probe_winnow(spark) -> None:
     """One measured decade for winnowing fingerprints + overlap pairs
     (sf0.1 5k docs vs a x10 alphabet-rotated corpus — see
-    :func:`_docs_x10_rotated` for why char-gram probes must not reuse
-    the token-salt corpus). Output scales exactly x10 by construction,
+    :func:`_docs_xn_affine` (whose first 10 maps are exactly the plain
+    rotations) for why char-gram probes must not reuse the token-salt
+    corpus). Output scales exactly x10 by construction,
     so the time ratio is the engine-scaling signal."""
     from pyspark_entity_resolution_spark.operators.winnowing import (
         fingerprint_overlap_pairs,
@@ -983,7 +946,7 @@ def probe_winnow(spark) -> None:
         return best
 
     base = spread(spark, spark.read.parquet("/root/testdata/sf0.1/documents.parquet"))
-    big = spread(spark, spark.read.parquet(_docs_x10_rotated(spark)))
+    big = spread(spark, spark.read.parquet(_docs_xn_affine(spark, 10)))
 
     def _run(df):
         fps = winnow_fingerprints(df).localCheckpoint(eager=False)
