@@ -284,7 +284,70 @@ def _bench_er_pipeline_e2e(spark) -> float:
         shutil.rmtree(dest, ignore_errors=True)
 
 
-def main(full: bool = False) -> None:
+def _auto_baseline_ref() -> str | None:
+    """The latest round-boundary commit reachable from HEAD ("round N:
+    verdict/..." — the driver stamps one per round), i.e. the prior
+    round's final state. None outside a git checkout or before round 1."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["git", "log", "--grep", "^round [0-9]*:", "--format=%H", "-n", "1",
+             "HEAD"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True, text=True, timeout=30, check=True,
+        ).stdout.strip()
+        return out or None
+    except Exception:
+        return None
+
+
+def _baseline_same_host(ref: str) -> dict:
+    """Run the PRIOR round's own bench.py (checked out into a cached
+    detached worktree) as a subprocess in this same session window, and
+    return its headline totals — the same-host comparison point that
+    round 6 lacked: its artifacts were measured weeks apart and a 40%
+    'regression' took a judge-hours A/B to attribute to host drift.
+    The subprocess inherits this run's $SPARK_GRAFT_SF_DIR /
+    $SPARK_GRAFT_CPUS and gets SPARK_GRAFT_NO_BASELINE=1 so a
+    baseline-aware bench.py never recurses. Failures are embedded, not
+    fatal — the HEAD artifact must not die because an old ref can't
+    run on today's testdata."""
+    import subprocess
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    tree = f"/tmp/bench_baseline_{ref[:12]}"
+    try:
+        if not os.path.isdir(tree):
+            subprocess.run(
+                ["git", "worktree", "add", "--detach", tree, ref],
+                cwd=repo, check=True, capture_output=True, timeout=120,
+            )
+        env = dict(os.environ)
+        env["SPARK_GRAFT_NO_BASELINE"] = "1"
+        env["PYTHONPATH"] = tree
+        proc = subprocess.run(
+            [sys.executable, os.path.join(tree, "bench.py")],
+            cwd=tree, env=env, capture_output=True, text=True, timeout=3600,
+        )
+        tail = [ln for ln in proc.stdout.splitlines() if ln.strip()]
+        parsed = json.loads(tail[-1]) if tail else {}
+        if proc.returncode != 0 or "queries" not in parsed:
+            return {"ref": ref, "error":
+                    f"rc={proc.returncode} stderr_tail={proc.stderr[-500:]}"}
+        return {
+            "ref": ref,
+            "total": parsed.get("value"),
+            "queries": parsed.get("queries"),
+            "protocol": "prior-round bench.py run in a detached worktree, "
+                        "same host/session window/env as the HEAD numbers "
+                        "above (see README: host-neutral comparisons)",
+        }
+    except Exception as exc:  # noqa: BLE001 — diagnostic sink by design
+        return {"ref": ref, "error": repr(exc)}
+
+
+def main(full: bool = False, baseline_ref: str | None = None) -> None:
     """Default: the HEADLINE set, min-of-3, plus the two ER pipeline
     rows — the driver's ``BENCH_r{N}.json`` artifact. ``--full``: every
     registry query (all 50 of the correctness gate), min-of-2 — the
@@ -371,6 +434,20 @@ def main(full: bool = False) -> None:
         except Exception:  # table absent in this testdata vintage
             tables[t] = None
 
+    # same-host prior-round comparison (headline mode only; suppressed
+    # in the baseline subprocess itself and by SPARK_GRAFT_NO_BASELINE)
+    baseline = None
+    if not full and not os.environ.get("SPARK_GRAFT_NO_BASELINE"):
+        ref = (baseline_ref
+               or os.environ.get("SPARK_GRAFT_BASELINE_REF")
+               or _auto_baseline_ref())
+        if ref:
+            print(f"[bench] baseline ref {ref[:12]} (same-host rerun) ...",
+                  file=sys.stderr, flush=True)
+            baseline = _baseline_same_host(ref)
+
+    workload_extra = {"baseline_same_host": baseline} if baseline else {}
+
     emit_bench_artifact(
         total,
         per_query,
@@ -384,6 +461,7 @@ def main(full: bool = False) -> None:
             "query_result_rows": query_rows,
             "er_corpus": er_corpus_meta(),
             "pack_provenance": PACK_PROVENANCE,
+            **workload_extra,
         },
         metric="full_total_runtime" if full else "headline_total_runtime",
     )
@@ -421,4 +499,8 @@ def emit_bench_artifact(
 
 
 if __name__ == "__main__":
-    main(full="--full" in sys.argv[1:])
+    _argv = sys.argv[1:]
+    _ref = None
+    if "--baseline-ref" in _argv:
+        _ref = _argv[_argv.index("--baseline-ref") + 1]
+    main(full="--full" in _argv, baseline_ref=_ref)

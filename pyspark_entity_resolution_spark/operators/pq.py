@@ -38,10 +38,46 @@ the same unrolled-Lloyd's oracle family as kmeans_assignments).
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.vectors import as_double
+
+
+@dataclass(frozen=True)
+class PQCodebooks:
+    """Codebooks tagged with the vector domain they were trained in.
+
+    ADC distances are only meaningful when query LUTs and corpus codes
+    use codebooks from the SAME domain: ``"raw"`` (absolute vectors —
+    :func:`pq_train`, plain :func:`pq_topk`) or ``"residual"``
+    (displacement from the vector's own IVF-list centroid —
+    :func:`ivf_pq_train` with ``residual=True``, consumed by
+    :func:`ivf_pq_topk(residual=True)``). A raw-trained book fed to the
+    residual path computes distances in the wrong domain and silently
+    degrades recall with no error — so the tagged form is validated at
+    every consumer, while plain ``list`` codebooks remain accepted for
+    backward compatibility (caller-trusted, per each docstring)."""
+
+    books: list[list[list[float]]]
+    encoding: str  # "raw" | "residual"
+
+
+def _unwrap_books(codebooks, expected: str, caller: str):
+    """Accept tagged or plain codebooks; validate the tag when present."""
+    if isinstance(codebooks, PQCodebooks):
+        if codebooks.encoding != expected:
+            raise ValueError(
+                f"{caller} needs {expected!r}-encoded codebooks, got "
+                f"{codebooks.encoding!r} — train with "
+                + ("ivf_pq_train(..., residual=True)"
+                   if expected == "residual" else
+                   "pq_train / ivf_pq_train(..., residual=False)")
+            )
+        return codebooks.books
+    return codebooks
 
 
 def _sq_dist(vec: Column, centroid: list[float]) -> Column:
@@ -143,11 +179,17 @@ def pq_train(
     JOINTLY — one init collect plus ONE assignment+means job per
     iteration covers every block (the per-block loop form ran m x iters
     tiny jobs whose fixed task-launch latency dominated the measured
-    cost: 5.3 s -> see the per-iteration shape below). The math is
+    cost: 5.3 s -> see the per-iteration shape below). With
+    ``quantize`` set (components floored to integers first, the
+    oracle-parity mode every registered query uses) the result is
     bit-identical to running :func:`_lloyd_codebook` per block: same
     k-smallest-id init, same assignment expressions, and the joint
     means aggregate sums exactly the per-block groups (a converged
-    block keeps reproducing its fixpoint while others iterate). The
+    block keeps reproducing its fixpoint while others iterate) —
+    integer-exact sums make the joint aggregate's different summation
+    order irrelevant. With ``quantize=None`` the mean of each group is
+    a float sum in a different (and run-nondeterministic) order than
+    the per-block form, so means can diverge in the last bits. The
     returned structure is driver-sized (m x k x d/m floats) and rides
     downstream expressions as literals."""
     bounds = _block_bounds(dim, m)
@@ -223,7 +265,12 @@ def pq_assign(
     ``b`` (ties to the lower code). One narrow projection over the
     corpus — this is the table a PQ deployment PERSISTS; everything
     downstream scans codes, never raw vectors. ``extra_cols`` pass
-    through untouched (e.g. the IVF list id)."""
+    through untouched (e.g. the IVF list id). ``codebooks`` may be a
+    tagged :class:`PQCodebooks`; the tag is not validated here because
+    the required domain is whatever ``df``'s vectors are already in —
+    the search entry points validate at their boundary."""
+    if isinstance(codebooks, PQCodebooks):
+        codebooks = codebooks.books
     m = len(codebooks)
     if m == 0 or any(not book for book in codebooks):
         raise ValueError(
@@ -262,7 +309,13 @@ def pq_topk(
     lookups added in block order. Ranking ties break toward the lower
     neighbor id. ``adc_dist`` is emitted unrounded: with ``quantize``
     every term is a deterministic ordered fold, bit-equal across
-    engines (the kmeans precedent)."""
+    engines (the kmeans precedent).
+
+    ``codebooks`` must be RAW-encoded (trained on absolute vectors,
+    the :func:`pq_train` output; a residual-trained book scores in the
+    wrong domain) — a tagged :class:`PQCodebooks` is validated, a
+    plain list is trusted."""
+    codebooks = _unwrap_books(codebooks, "raw", "pq_topk")
     return _adc_rank_topk(
         codes.crossJoin(
             F.broadcast(_query_luts(queries, codebooks, dim, id_col, vec_col, quantize))
@@ -335,6 +388,56 @@ def _adc_rank_topk(
     )
 
 
+def _centroid_vec_table(centroids: DataFrame) -> DataFrame:
+    """Broadcast-ready ``(ivf_bucket, __cvec)`` view of the IVF
+    centroid table (``operators/ann.py`` contract: ``centroid_id`` +
+    ``centroid_vec``)."""
+    return F.broadcast(
+        centroids.select(
+            F.col("centroid_id").alias("ivf_bucket"),
+            F.col("centroid_vec").alias("__cvec"),
+        )
+    )
+
+
+def _to_residuals(lists: DataFrame, cvt: DataFrame, vec_col: str) -> DataFrame:
+    """Replace each listed vector with its displacement from its own
+    list's coarse centroid — the domain the residual codebooks model."""
+    res = F.zip_with(as_double(vec_col), as_double("__cvec"), lambda x, c: x - c)
+    return lists.join(cvt, "ivf_bucket").withColumn(vec_col, res).drop("__cvec")
+
+
+def ivf_pq_train(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    dim: int,
+    m: int = 4,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iterations: int = 2,
+    quantize: int | None = 6,
+    residual: bool = False,
+) -> PQCodebooks:
+    """Train IVF-PQ codebooks externally (e.g. on a sample) and get
+    them back TAGGED with their encoding, so a later
+    ``ivf_pq_topk(codebooks=...)`` call can validate the domain instead
+    of silently scoring in the wrong one. ``residual=True`` trains on
+    each vector's displacement from its own coarse-list centroid (the
+    paper's higher-recall encoding); ``residual=False`` is equivalent
+    to :func:`pq_train` on the raw corpus, tagged ``"raw"``."""
+    from .ann import ivf_assign
+
+    lists = ivf_assign(corpus, centroids, id_col, vec_col)
+    if residual:
+        lists = _to_residuals(lists, _centroid_vec_table(centroids), vec_col)
+    books = pq_train(
+        lists, dim=dim, m=m, k=k, id_col=id_col, vec_col=vec_col,
+        max_iterations=max_iterations, quantize=quantize,
+    )
+    return PQCodebooks(books, "residual" if residual else "raw")
+
+
 def ivf_pq_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -373,27 +476,25 @@ def ivf_pq_topk(
     (``ivf_assign`` nprobe=1) so a (query, neighbor) pair meets through
     at most one probe and needs no dedup; pass ``codebooks`` to reuse a
     trained set (e.g. from a sample) instead of training on the full
-    corpus here."""
+    corpus here. Supplied codebooks must match the encoding this call
+    scores in — residual-trained for ``residual=True``
+    (:func:`ivf_pq_train` with the same ``centroids``), raw-trained
+    otherwise; a tagged :class:`PQCodebooks` is validated, a plain
+    list is trusted."""
     from .ann import ivf_assign
 
+    expected = "residual" if residual else "raw"
     lists = ivf_assign(corpus, centroids, id_col, vec_col)
     if residual:
-        cvt = F.broadcast(
-            centroids.select(
-                F.col("centroid_id").alias("ivf_bucket"),
-                F.col("centroid_vec").alias("__cvec"),
-            )
+        cvt = _centroid_vec_table(centroids)
+        lists = _to_residuals(lists, cvt, vec_col)
+    books = (
+        _unwrap_books(codebooks, expected, "ivf_pq_topk")
+        if codebooks is not None
+        else pq_train(
+            lists, dim=dim, m=m, k=k, id_col=id_col, vec_col=vec_col,
+            quantize=quantize,
         )
-        res = F.zip_with(
-            as_double(vec_col), as_double("__cvec"), lambda x, c: x - c
-        )
-        lists = (
-            lists.join(cvt, "ivf_bucket")
-            .withColumn(vec_col, res)
-            .drop("__cvec")
-        )
-    books = codebooks if codebooks is not None else pq_train(
-        lists, dim=dim, m=m, k=k, id_col=id_col, vec_col=vec_col, quantize=quantize
     )
     codes = pq_assign(
         lists,

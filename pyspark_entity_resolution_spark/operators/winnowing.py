@@ -53,10 +53,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-# md5 hex digest length: the composite selection key is HASH || POS,
-# split back apart at this boundary after selection
-_MD5_LEN = 32
+# hex digest length per hash function: the composite selection key is
+# HASH || POS, split back apart at this boundary after selection
+_HASH_LEN = {"md5": 32, "xx64": 16}
+# zero-padded decimal position width. F.lpad TRUNCATES (not errors) past
+# the pad width, which would corrupt the composite-key ordering — but a
+# position needs > 10 digits only for a single document longer than
+# 10 GB of normalized text, far past any per-row document this engine
+# (or parquet row groups) would carry; pinned by the guard below.
 _POS_PAD = 10
+_MAX_DOC_LEN = 10**_POS_PAD - 1
 
 
 def winnow_fingerprints(
@@ -65,13 +71,23 @@ def winnow_fingerprints(
     text_col: str = "text",
     k: int = 8,
     w: int = 8,
+    hash: str = "md5",
 ) -> DataFrame:
     """Winnowed fingerprints per document: ``(id_col, fp_pos, fp_hash)``.
 
     ``fp_pos`` is the 1-based character position (in the
     whitespace-normalized text) of the selected k-gram, ``fp_hash`` its
-    md5. Text is normalized exactly like :func:`..functions.text.
-    fingerprint_md5` (trim + collapse whitespace) so fingerprints are
+    hex digest. ``hash`` picks the k-gram hash function: ``"md5"``
+    (default — bit-identical in DuckDB, so the operator stays
+    oracle-checkable) or ``"xx64"`` (xxhash64, the production fast
+    path: ~half the per-gram hash cost, Spark-side only). Both paths
+    run the IDENTICAL plan — only the hash expression differs — and
+    both satisfy the winnowing invariants, which hold under ANY fixed
+    total order on hashes; the selected POSITION SETS differ between
+    hash functions (different hashes, different in-window minima),
+    which is inherent to the algorithm, not a defect. Text is
+    normalized exactly like :func:`..functions.text.fingerprint_md5`
+    (trim + collapse whitespace) so fingerprints are
     layout-invariant. Documents shorter
     than ``k`` contribute their single truncated gram (the
     :func:`char_shingles` convention); documents with fewer than ``w``
@@ -94,13 +110,25 @@ def winnow_fingerprints(
     """
     from ..functions.text import WS_CLASS
 
+    if hash not in _HASH_LEN:
+        raise ValueError(f"hash must be one of {sorted(_HASH_LEN)}, got {hash!r}")
     txt = F.trim(
         F.regexp_replace(
             F.coalesce(F.col(text_col), F.lit("")), WS_CLASS + "+", " "
         )
     )
     n_pos = F.greatest(F.lit(1), F.length(txt) - F.lit(k - 1))
-    grams = df.filter(F.length(txt) > 0).select(
+    gram = F.col("__txt").substr(F.col("pos"), F.lit(k))
+    if hash == "md5":
+        gram_hash = F.md5(gram)
+    else:
+        # hex of the two's-complement long, lpad-normalized to 16 chars:
+        # a fixed-width string whose lexicographic order is a fixed
+        # total order on hash values — all winnowing needs
+        gram_hash = F.lpad(F.hex(F.xxhash64(gram)), _HASH_LEN["xx64"], "0")
+    grams = df.filter(
+        (F.length(txt) > 0) & (F.length(txt) <= _MAX_DOC_LEN)
+    ).select(
         F.col(id_col),
         F.explode(F.sequence(F.lit(1), n_pos)).alias("pos"),
         n_pos.alias("__np"),
@@ -110,7 +138,7 @@ def winnow_fingerprints(
         "pos",
         "__np",
         F.concat(
-            F.md5(F.col("__txt").substr(F.col("pos"), F.lit(k))),
+            gram_hash,
             F.lpad(F.col("pos").cast("string"), _POS_PAD, "0"),
         ).alias("__key"),
     )
@@ -127,10 +155,11 @@ def winnow_fingerprints(
         .withColumn("__prev", F.lag("__sel").over(win))
         .filter(F.col("__prev").isNull() | (F.col("__sel") != F.col("__prev")))
     )
+    hlen = _HASH_LEN[hash]
     return sel.select(
         id_col,
-        F.substring("__sel", _MD5_LEN + 1, _POS_PAD).cast("bigint").alias("fp_pos"),
-        F.substring("__sel", 1, _MD5_LEN).alias("fp_hash"),
+        F.substring("__sel", hlen + 1, _POS_PAD).cast("bigint").alias("fp_pos"),
+        F.substring("__sel", 1, hlen).alias("fp_hash"),
     )
 
 

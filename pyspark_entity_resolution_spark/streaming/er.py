@@ -200,16 +200,6 @@ class FoldReport:
     written_buckets: list[int] | None = None
 
 
-# DEPRECATED observability back-channel, kept one round for callers
-# that still read it: mirrors the FoldReport fields of the latest fold
-# in this process ("expansion_buckets", "expansion_plan") — METADATA
-# ONLY, no live DataFrame (a retained pre-overwrite scan plan could
-# read deleted files if executed after the fold, and a process-global
-# is clobbered by concurrent folds over different stores). Prefer the
-# returned FoldReport.
-LAST_FOLD_INFO: dict = {}
-
-
 def _lease_path(spark, labels_path: str):
     """Sibling writer-lease marker of a label store (outside the store
     directory so a cold-start full overwrite cannot delete it
@@ -260,6 +250,33 @@ def _acquire_store_lease(spark, labels_path: str, owner: str):
     finally:
         out.close()
     return fs
+
+
+def _acquire_store_lease_retry(
+    spark, labels_path: str, owner: str, lease_wait: float
+):
+    """Bounded wait-and-backoff around the create-exclusive lease, for
+    the BENIGN contention case: a fold arriving while a compaction (or
+    another fold) briefly holds the store. Retries acquisition with
+    exponential backoff until ``lease_wait`` seconds have elapsed, then
+    re-raises the final RuntimeError — a stale lease from a crashed
+    writer still surfaces (after the bounded wait) and still requires
+    the deliberate :func:`break_store_lease`. Each attempt is the same
+    atomic create-exclusive as the direct path; waiting never peeks or
+    pre-deletes, so there is no acquire race."""
+    import time as _time
+
+    deadline = _time.monotonic() + lease_wait
+    backoff = 0.05
+    while True:
+        try:
+            return _acquire_store_lease(spark, labels_path, owner)
+        except RuntimeError:
+            remaining = deadline - _time.monotonic()
+            if remaining <= 0:
+                raise
+            _time.sleep(min(backoff, remaining))
+            backoff = min(backoff * 2, 1.0)
 
 
 def _release_store_lease(spark, labels_path: str, fs) -> None:
@@ -344,12 +361,47 @@ def _check_store_meta(spark, labels_path: str, n_buckets: int) -> None:
     except Exception:
         # an unreadable sidecar — truncated JSON or a failing read
         # (e.g. a checksum mismatch after a torn write on a store
-        # predating the atomic rename, or a non-atomic object store) —
-        # must not brick the store: treat it as absent and rewrite it
-        # with the caller's layout, the same trust the pre-sidecar
-        # upgrade path extends
-        _write_store_meta(spark, labels_path, n_buckets)
-        return
+        # predating the atomic rename, or a non-atomic object store).
+        # The evidence file is gone, so the STORE ITSELF is the layout
+        # authority now, not the caller: the ``bucket=`` partition
+        # directories bound n_buckets from below, and each stored row
+        # must satisfy ``bucket == pmod(xxhash64(node), n_buckets)``.
+        # Only after the store corroborates the caller's value do we
+        # re-stamp the sidecar; a contradicted value raises instead of
+        # silently mis-bucketing every later fold/lookup.
+        observed = sorted(_bucket_file_counts(spark, labels_path))
+        if not observed:
+            # empty/absent store: nothing to contradict the caller
+            _write_store_meta(spark, labels_path, n_buckets)
+            return
+        if max(observed) >= n_buckets:
+            raise ValueError(
+                f"label store at {labels_path} has an unreadable "
+                f"layout sidecar AND a bucket={max(observed)} partition "
+                f"that cannot exist under the caller's "
+                f"n_buckets={n_buckets} — the caller's layout is wrong; "
+                "rebuild the sidecar with the store's true n_buckets"
+            )
+        # dir names bound only from below (true=64 / caller=32 passes
+        # when no row landed past bucket 31), so re-derive each row's
+        # bucket under the caller's layout and compare with the stored
+        # partition value. One projection-only scan, on this rare
+        # recovery path only; limit(1) lets Spark stop at the first
+        # contradiction.
+        store = spark.read.parquet(labels_path)
+        contradiction = store.filter(
+            _node_bucket(n_buckets) != F.col("bucket").cast("int")
+        ).limit(1)
+        if contradiction.isEmpty():
+            _write_store_meta(spark, labels_path, n_buckets)  # healed
+            return
+        raise ValueError(
+            f"label store at {labels_path} has an unreadable layout "
+            f"sidecar and its rows do not hash to their buckets under "
+            f"the caller's n_buckets={n_buckets} — the caller's layout "
+            "is wrong; rebuild the sidecar with the store's true "
+            "n_buckets"
+        )
     if recorded != n_buckets:
         raise ValueError(
             f"label store at {labels_path} is laid out with "
@@ -382,6 +434,7 @@ def incremental_entity_labels(
     left_name: str = "a",
     right_name: str = "b",
     n_buckets: int = 64,
+    lease_wait: float = 0.0,
 ) -> DataFrame:
     """Fold one batch of matched pairs into the persistent entity labels.
 
@@ -453,7 +506,9 @@ def incremental_entity_labels(
     from ..operators.clustering import connected_components
 
     _check_store_meta(spark, labels_path, n_buckets)
-    fs = _acquire_store_lease(spark, labels_path, "incremental_entity_labels")
+    fs = _acquire_store_lease_retry(
+        spark, labels_path, "incremental_entity_labels", lease_wait
+    )
     try:
         return _fold_locked(
             spark, labels_path, new_matches, left_id, right_id,
@@ -462,15 +517,6 @@ def incremental_entity_labels(
         )
     finally:
         _release_store_lease(spark, labels_path, fs)
-
-
-def _record_fold_info(report: FoldReport) -> FoldReport:
-    LAST_FOLD_INFO.clear()
-    LAST_FOLD_INFO.update(
-        expansion_buckets=report.expansion_buckets,
-        expansion_plan=report.expansion_plan,
-    )
-    return report
 
 
 def _fold_locked(
@@ -503,7 +549,7 @@ def _fold_locked(
         )
         _write_store_meta(spark, labels_path, n_buckets)
         _write_component_index(bucketed, _cidx_path(labels_path), dynamic=False)
-        return _record_fold_info(FoldReport(labels=labels, cold_start=True))
+        return FoldReport(labels=labels, cold_start=True)
 
     # --- incremental fold against the bucketed store -----------------
     batch_nodes = (
@@ -672,14 +718,12 @@ def _fold_locked(
     # `prev` plan captured a file listing whose touched-bucket files the
     # dynamic overwrite just replaced, so re-using it would read deleted
     # files; a new read lists the store as it now is
-    return _record_fold_info(
-        FoldReport(
-            labels=spark.read.parquet(labels_path).select("node", "component"),
-            expansion_buckets=expansion_buckets,
-            expansion_plan=expansion_plan,
-            n_hit_components=n_hit,
-            written_buckets=written_buckets,
-        )
+    return FoldReport(
+        labels=spark.read.parquet(labels_path).select("node", "component"),
+        expansion_buckets=expansion_buckets,
+        expansion_plan=expansion_plan,
+        n_hit_components=n_hit,
+        written_buckets=written_buckets,
     )
 
 
@@ -710,6 +754,7 @@ def compact_label_store(
     labels_path: str,
     max_files_per_bucket: int = 8,
     include_index: bool = True,
+    lease_wait: float = 0.0,
 ) -> list[int]:
     """Rewrite-coalesce label-store buckets whose data-file count exceeds
     ``max_files_per_bucket``, down to ~one file per bucket. Returns the
@@ -730,7 +775,9 @@ def compact_label_store(
     another process is mid-flight would replace bucket files the fold
     is reading and double-write the ones it is writing.
     """
-    fs = _acquire_store_lease(spark, labels_path, "compact_label_store")
+    fs = _acquire_store_lease_retry(
+        spark, labels_path, "compact_label_store", lease_wait
+    )
     try:
         return _compact_locked(
             spark, labels_path, max_files_per_bucket, include_index

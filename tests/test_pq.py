@@ -247,3 +247,59 @@ def test_ivf_pq_neighbors_come_from_probed_lists(spark, queries, corpus):
     }
     for r in got.collect():
         assert (r["query_id"], lists[r["neighbor_id"]]) in probed
+
+
+def test_codebook_encoding_tags_are_validated(spark):
+    """A raw-trained codebook fed to the residual path (or vice versa)
+    computes ADC in the wrong domain and silently degrades recall —
+    the tagged PQCodebooks form turns that into a loud ValueError at
+    the call boundary, and ivf_pq_train produces correctly-tagged books
+    that round-trip through their matching consumer."""
+    from pyspark_entity_resolution_spark.operators.pq import (
+        PQCodebooks,
+        ivf_pq_train,
+    )
+
+    rng = np.random.RandomState(3)
+    rows = [(i, [float(x) for x in rng.uniform(-10, 10, 8)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    centroids = df.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    queries = df.filter(F.col("vec_id") < 3)
+
+    raw = ivf_pq_train(df, centroids, dim=8, m=2, k=4)
+    res = ivf_pq_train(df, centroids, dim=8, m=2, k=4, residual=True)
+    assert raw.encoding == "raw" and res.encoding == "residual"
+
+    # matching tags flow through
+    assert ivf_pq_topk(
+        queries, df, centroids, dim=8, m=2, k=4, nprobe=2, topk=3,
+        codebooks=raw,
+    ).count() > 0
+    assert ivf_pq_topk(
+        queries, df, centroids, dim=8, m=2, k=4, nprobe=2, topk=3,
+        codebooks=res, residual=True,
+    ).count() > 0
+    # the tagged raw books match a plain pq_train on the same corpus
+    assert raw.books == pq_train(df, dim=8, m=2, k=4)
+
+    # crossed tags raise at the boundary
+    with pytest.raises(ValueError, match="residual"):
+        ivf_pq_topk(
+            queries, df, centroids, dim=8, m=2, k=4, nprobe=2, topk=3,
+            codebooks=raw, residual=True,
+        )
+    with pytest.raises(ValueError, match="'raw'"):
+        ivf_pq_topk(
+            queries, df, centroids, dim=8, m=2, k=4, nprobe=2, topk=3,
+            codebooks=res,
+        )
+    with pytest.raises(ValueError, match="'raw'"):
+        codes = pq_assign(df, raw, dim=8)
+        pq_topk(queries, codes, res, dim=8, topk=3)
+
+    # untagged plain lists stay accepted (documented caller-trusted)
+    codes = pq_assign(df, raw.books, dim=8)
+    assert pq_topk(queries, codes, raw.books, dim=8, topk=3).count() > 0

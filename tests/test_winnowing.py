@@ -147,6 +147,63 @@ def test_empty_docs_never_pair(spark):
     assert fingerprint_overlap_pairs(fps, max_df=10).isEmpty()
 
 
+def test_xx64_fast_path_matches_bruteforce_and_invariants(spark):
+    """The production hash="xx64" path winnows EXACTLY like the md5
+    path under its own hash order: parity is checked against a brute
+    Python winnow fed Spark's own xxhash64 values (collected from a
+    plain per-gram projection — no window machinery), and the coverage
+    invariant (every full window contains a selection) holds as it must
+    under ANY fixed total order on hashes."""
+    rng = random.Random(29)
+    texts = [
+        "".join(rng.choice("abcdef ") for _ in range(rng.randint(0, 80)))
+        for _ in range(20)
+    ] + ["", "  ", None, "ab", "aaaaaaaaaaaaaaaa"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+    # Spark's own per-gram xx64 hex keys, no windowing involved
+    norm = F.trim(F.regexp_replace(F.coalesce(F.col("text"), F.lit("")),
+                                   r"\s+", " "))
+    n_pos = F.greatest(F.lit(1), F.length(norm) - F.lit(K - 1))
+    grams = df.filter(F.length(norm) > 0).select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), n_pos)).alias("pos"),
+        F.lpad(
+            F.hex(F.xxhash64(norm.substr(F.col("pos"), F.lit(K)))), 16, "0"
+        ).alias("h"),
+    )
+    keys = {}
+    for r in grams.collect():
+        keys.setdefault(r["doc_id"], {})[r["pos"]] = r["h"]
+
+    expected = {}
+    for i, per_pos in keys.items():
+        ordered = [(per_pos[p], p) for p in sorted(per_pos)]
+        sel = set()
+        last_full = max(1, len(ordered) - W + 1)
+        for p in range(1, last_full + 1):
+            sel.add(min(ordered[p - 1 : p - 1 + W]))
+        expected[i] = {(pos, h) for h, pos in sel}
+
+    rows = winnow_fingerprints(df, k=K, w=W, hash="xx64").collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["doc_id"], set()).add((r["fp_pos"], r["fp_hash"]))
+    assert got == {i: s for i, s in expected.items() if s}
+
+    # coverage invariant on the fast path
+    for i, fp in got.items():
+        n = max(1, len(_norm(texts[i])) - K + 1)
+        sel = sorted(p for p, _ in fp)
+        for p in range(1, max(1, n - W + 1) + 1):
+            assert any(p <= s <= p + W - 1 for s in sel), (i, p, sel)
+
+    with pytest.raises(ValueError, match="hash must be"):
+        winnow_fingerprints(df, hash="sha1")
+
+
 def test_lag_dedup_equals_distinct(spark):
     """The no-shuffle consecutive-run dedup must equal a plain distinct
     over per-window selections (the DuckDB oracle's formulation)."""

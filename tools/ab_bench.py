@@ -1,0 +1,179 @@
+"""Interleaved same-host A/B of bench rows across git refs.
+
+Round 6's judge burned hours proving a 40% "regression" was host drift:
+the only evidence was artifacts measured weeks apart. This tool removes
+that failure mode — it checks each ref into a cached worktree and runs
+the SAME probe script in a fresh JVM per (ref, pass), interleaving the
+refs within each pass (A B A B ...) so machine drift lands on both
+sides equally.
+
+Usage:
+    python tools/ab_bench.py REF1 REF2 [...] [--passes 3] \
+        [--rows er_pipeline_blocked_n3,er_pipeline_e2e_n3] \
+        [--queries name1,name2]
+
+``--rows`` selects the corpus-generated ER pipeline rows (measured
+exactly as bench.py measures them: min-of-3 inside one JVM, noop sink);
+``--queries`` selects registry queries by name (same min-of-3, noop
+sink, sf dir from $SPARK_GRAFT_SF_DIR). The probe script is embedded
+here and injected into every worktree unchanged, so old refs that
+predate any bench.py flag still measure identically — the only API it
+uses (pipeline.ERConfig / prepare_publications / match_publications /
+run_er_pipeline, plans.registry.all_queries, session.get_spark) has
+been stable since round 4.
+
+Output: one JSON line per (pass, ref, row) to stdout, then a summary
+with per-ref min/median across passes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Runs inside each worktree with PYTHONPATH pointed at it. Keep this
+# dependent only on the long-stable package API (see module docstring).
+PROBE = r'''
+import json, os, sys, time
+
+rows = os.environ.get("AB_ROWS", "").split(",") if os.environ.get("AB_ROWS") else []
+queries = (os.environ.get("AB_QUERIES", "").split(",")
+           if os.environ.get("AB_QUERIES") else [])
+
+from pyspark_entity_resolution_spark.session import get_spark
+
+spark = get_spark(app_name="ab-bench")
+spark.sparkContext.setLogLevel("ERROR")
+sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# same warmup bench.py does: parquet footer read + one pandas-UDF row
+spark.read.parquet(f"{sf_dir}/region.parquet").count()
+from pyspark.sql import functions as F
+from pyspark_entity_resolution_spark.functions.cleaning import remove_accents
+spark.range(1).select(remove_accents(F.lit("café"))).count()
+
+out = {}
+
+def _noop(df):
+    df.write.format("noop").mode("overwrite").save()
+
+def _min3(fn):
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        fn()
+        times.append(time.perf_counter() - t0)
+    return round(min(times), 3)
+
+if queries:
+    from pyspark_entity_resolution_spark.plans.registry import all_queries
+    specs = all_queries()
+    for name in queries:
+        fn = specs[name].fn
+        out[name] = _min3(lambda: _noop(fn(spark, sf_dir)))
+
+if rows:
+    # the ER corpus generator moved between rounds; bench.py has had
+    # _gen_er_corpus with these exact params since r3 — import from the
+    # worktree's own bench so the corpus matches what that ref benched
+    sys.path.insert(0, os.environ["AB_WORKTREE"])
+    from bench import _gen_er_corpus
+    from pyspark_entity_resolution_spark.pipeline import (
+        ERConfig, match_publications, prepare_publications, run_er_pipeline,
+    )
+    pa, pb = _gen_er_corpus("/tmp/er_bench_corpus_v1")
+
+    if "er_pipeline_blocked_n3" in rows:
+        cfg = ERConfig(window=3)
+        def _blocked():
+            left = prepare_publications(spark, pa, cfg)
+            right = prepare_publications(spark, pb, cfg)
+            _noop(match_publications(left, right, cfg))
+        out["er_pipeline_blocked_n3"] = _min3(_blocked)
+
+    if "er_pipeline_e2e_n3" in rows:
+        import shutil, tempfile
+        from pyspark_entity_resolution_spark.sources.io import write_csv
+        dest = tempfile.mkdtemp(prefix="ab_er_out_")
+        try:
+            def _e2e():
+                res = run_er_pipeline(spark, pa, pb, ERConfig(window=3))
+                write_csv(res["entities"], f"{dest}/entities", sep="\t")
+                shutil.rmtree(f"{dest}/entities", ignore_errors=True)
+            out["er_pipeline_e2e_n3"] = _min3(_e2e)
+        finally:
+            shutil.rmtree(dest, ignore_errors=True)
+
+print("AB_RESULT " + json.dumps(out), flush=True)
+spark.stop()
+'''
+
+
+def ensure_worktree(ref: str) -> str:
+    """Detached worktree for ref under /tmp, created once and reused."""
+    safe = ref.replace("/", "_")
+    path = f"/tmp/ab_worktree_{safe}"
+    if not os.path.isdir(path):
+        subprocess.run(
+            ["git", "worktree", "add", "--detach", path, ref],
+            cwd=REPO, check=True, capture_output=True,
+        )
+    return path
+
+
+def run_probe(worktree: str, rows: list[str], queries: list[str]) -> dict:
+    env = dict(os.environ)
+    env["PYTHONPATH"] = worktree
+    env["AB_WORKTREE"] = worktree
+    env["AB_ROWS"] = ",".join(rows)
+    env["AB_QUERIES"] = ",".join(queries)
+    proc = subprocess.run(
+        [sys.executable, "-c", PROBE], env=env, cwd=worktree,
+        capture_output=True, text=True, timeout=1800,
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith("AB_RESULT "):
+            return json.loads(line[len("AB_RESULT "):])
+    raise RuntimeError(
+        f"probe produced no AB_RESULT in {worktree}:\n"
+        f"stdout tail: {proc.stdout[-2000:]}\nstderr tail: {proc.stderr[-2000:]}"
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("refs", nargs="+")
+    ap.add_argument("--passes", type=int, default=3)
+    ap.add_argument("--rows", default="er_pipeline_blocked_n3,er_pipeline_e2e_n3")
+    ap.add_argument("--queries", default="")
+    args = ap.parse_args()
+    rows = [r for r in args.rows.split(",") if r]
+    queries = [q for q in args.queries.split(",") if q]
+
+    trees = {ref: ensure_worktree(ref) for ref in args.refs}
+    results: dict[str, dict[str, list[float]]] = {r: {} for r in args.refs}
+    for p in range(args.passes):
+        for ref in args.refs:
+            res = run_probe(trees[ref], rows, queries)
+            print(json.dumps({"pass": p, "ref": ref, **res}), flush=True)
+            for k, v in res.items():
+                results[ref].setdefault(k, []).append(v)
+
+    summary = {
+        ref: {
+            k: {"min": min(v), "median": round(statistics.median(v), 3), "all": v}
+            for k, v in per.items()
+        }
+        for ref, per in results.items()
+    }
+    print(json.dumps({"summary": summary}, indent=2), flush=True)
+
+
+if __name__ == "__main__":
+    main()

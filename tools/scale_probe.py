@@ -598,6 +598,90 @@ def probe_ann(spark) -> None:
         flush=True,
     )
 
+    # --- IVF-PQ residual (TPAMI'11 §IV): the higher-recall encoding.
+    # Same decade shape as plain ADC, at fixed nprobe; plus the
+    # recall-vs-plain check at identical bits (m=4, k=8, nprobe=4) —
+    # residual coding models within-list displacements, so its recall
+    # must not fall below the raw encoding's on the same corpus.
+    from pyspark_entity_resolution_spark.operators.pq import (
+        ivf_pq_topk,
+        ivf_pq_train,
+    )
+
+    def _ivf_centroids(corpus, every=64):
+        return corpus.filter(F.col("vec_id") % every == 0).select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("centroid_vec"),
+        ).localCheckpoint()
+
+    cent_base = _ivf_centroids(base)
+    cent_big = _ivf_centroids(big)
+    NPROBE = 4
+
+    def _ivf_run(corpus, cent, residual, books):
+        return ivf_pq_topk(
+            queries, corpus, cent, dim=64, m=4, k=8, nprobe=NPROBE,
+            topk=5, quantize=6, residual=residual, codebooks=books,
+        )
+
+    books_res_base = ivf_pq_train(base, cent_base, dim=64, m=4, k=8,
+                                  quantize=6, residual=True)
+    books_res_big = ivf_pq_train(big, cent_big, dim=64, m=4, k=8,
+                                 quantize=6, residual=True)
+    t9 = _timed(
+        f"ivf_pq residual nprobe={NPROBE}, 2k corpus",
+        lambda: _ivf_run(base, cent_base, True, books_res_base).count(),
+    )
+    t10 = _timed(
+        f"ivf_pq residual nprobe={NPROBE}, 20k corpus (x10)",
+        lambda: _ivf_run(big, cent_big, True, books_res_big).count(),
+    )
+    print(
+        f"[ann] ivf_pq_residual x10 corpus -> x{t10 / t9:.2f} time "
+        f"(pruned compressed scan; plain adc read x{t8 / t7:.2f})",
+        flush=True,
+    )
+
+    # recall vs exact euclidean top-5 on the base corpus, both
+    # encodings at the same nprobe/bits (driver-side numpy exact set:
+    # 2k x 64 floats, trivially collectable)
+    import numpy as np
+
+    pd_c = base.select("vec_id", "embedding").toPandas()
+    ids = pd_c["vec_id"].to_numpy()
+    X = np.array(pd_c["embedding"].tolist())
+    order = np.argsort(ids)
+    ids, X = ids[order], X[order]
+    qids = [r["vec_id"] for r in queries.select("vec_id").collect()]
+    pos = {int(v): i for i, v in enumerate(ids)}
+    exact = {}
+    for q in qids:
+        d = ((X - X[pos[q]]) ** 2).sum(1)
+        d[pos[q]] = np.inf
+        exact[q] = set(ids[np.lexsort((ids, d))[:5]])
+
+    def _recall(residual, books):
+        got = {}
+        for r in _ivf_run(base, cent_base, residual, books).collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return sum(
+            len(got.get(q, set()) & exact[q]) / 5 for q in qids
+        ) / len(qids)
+
+    books_raw_base = ivf_pq_train(base, cent_base, dim=64, m=4, k=8,
+                                  quantize=6, residual=False)
+    r_plain = _recall(False, books_raw_base)
+    r_res = _recall(True, books_res_base)
+    print(
+        f"[ann] ivf_pq recall@5 vs exact euclidean, nprobe={NPROBE}: "
+        f"plain={r_plain:.3f} residual={r_res:.3f}",
+        flush=True,
+    )
+    assert r_res >= r_plain - 0.02, (
+        f"residual encoding recall ({r_res:.3f}) fell below plain ADC "
+        f"({r_plain:.3f}) at identical bits/nprobe — wrong-domain LUTs?"
+    )
+
 
 def _emb_xn(spark, factor: int, base_dir: str = "/root/testdata/sf0.1") -> str:
     """factor-x embeddings corpus at /tmp (cached): each copy gets
@@ -877,6 +961,23 @@ def _docs_xn_affine(spark, factor: int) -> str:
         if len(maps) == factor:
             break
     docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    # the exactly-factor-x / copy-local-hashes invariant requires every
+    # NON-SPACE character to be mapped: an unmapped char (uppercase,
+    # digit, punctuation) passes through identically in all copies, so
+    # grams made only of such chars would collide ACROSS copies and
+    # break the probe's honesty argument. Space itself is safe: the
+    # consumers normalize whitespace runs to single spaces, so every
+    # k>=2 gram contains a mapped letter. The fixture is
+    # lowercase+space by construction — verify rather than assume
+    # (one cheap scan).
+    n_unmapped = docs.filter(F.col("text").rlike("[^a-z ]")).count()
+    if n_unmapped:
+        raise AssertionError(
+            f"_docs_xn_affine: {n_unmapped} documents contain characters "
+            "outside [a-z ] — the affine map would leave them identical "
+            "across copies and the probe's exact-factor invariant breaks; "
+            "extend the map before scaling this corpus"
+        )
     copies = spark.range(factor).select(F.col("id").alias("__copy"))
     # per-copy translate via an array literal indexed by copy id (keeps
     # the plan O(1) in factor, unlike a when-chain). F.translate demands
