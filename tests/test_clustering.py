@@ -107,7 +107,9 @@ def test_pinned_exchange_path_matches_default(spark):
     force the gate to zero and assert the pinned path labels a random
     graph identically to the default path. Guards the pin's rewiring
     algebra (the repartition must not change which rows meet which
-    minima), not its performance."""
+    minima), not its performance. The pin exists only in the JOIN star
+    implementation (r7 default is window), so both arms run under
+    SPARK_GRAFT_CC_STAR=join."""
     import random
 
     from pyspark_entity_resolution_spark.operators import clustering as C
@@ -121,11 +123,61 @@ def test_pinned_exchange_path_matches_default(spark):
         ],
         ["src", "dst"],
     )
-    baseline = _components_as_partitions(connected_components(edges).collect())
-    old = C.PIN_EXCHANGE_ABOVE_EDGES
-    C.PIN_EXCHANGE_ABOVE_EDGES = 0
+    import os
+
+    os.environ["SPARK_GRAFT_CC_STAR"] = "join"
     try:
-        pinned = _components_as_partitions(connected_components(edges).collect())
+        baseline = _components_as_partitions(
+            connected_components(edges).collect()
+        )
+        old = C.PIN_EXCHANGE_ABOVE_EDGES
+        C.PIN_EXCHANGE_ABOVE_EDGES = 0
+        try:
+            pinned = _components_as_partitions(
+                connected_components(edges).collect()
+            )
+        finally:
+            C.PIN_EXCHANGE_ABOVE_EDGES = old
     finally:
-        C.PIN_EXCHANGE_ABOVE_EDGES = old
+        os.environ.pop("SPARK_GRAFT_CC_STAR", None)
     assert pinned == baseline
+
+
+def test_window_star_impl_matches_join_impl(spark, monkeypatch):
+    """SPARK_GRAFT_CC_STAR=window selects the join-free window-function
+    stars; each star's rewiring must equal the join form's row set, and
+    end-to-end labeling must be identical on a random multigraph (with
+    self-loops and duplicate edges, the inputs that stress the
+    filter/distinct placement)."""
+    import random
+
+    from pyspark_entity_resolution_spark.operators.clustering import (
+        _large_star,
+        _large_star_window,
+        _small_star,
+        _small_star_window,
+    )
+
+    rng = random.Random(99)
+    n_nodes, n_edges = 300, 700
+    raw = [
+        (rng.randrange(n_nodes), rng.randrange(n_nodes)) for _ in range(n_edges)
+    ] + [(5, 5), (7, 7), (10, 20), (10, 20)]  # self-loops + dup edges
+    edges = spark.createDataFrame(raw, ["src", "dst"])
+    e = edges.select(
+        edges.src.alias("u"), edges.dst.alias("v")
+    ).filter("u <> v")
+
+    j_large = {(r["u"], r["v"]) for r in _large_star(e, pin=False).collect()}
+    w_large = {(r["u"], r["v"]) for r in _large_star_window(e).collect()}
+    assert w_large == j_large
+
+    j_small = {(r["u"], r["v"]) for r in _small_star(e, pin=False).collect()}
+    w_small = {(r["u"], r["v"]) for r in _small_star_window(e).collect()}
+    assert w_small == j_small
+
+    monkeypatch.setenv("SPARK_GRAFT_CC_STAR", "join")
+    baseline = _components_as_partitions(connected_components(edges).collect())
+    monkeypatch.setenv("SPARK_GRAFT_CC_STAR", "window")
+    windowed = _components_as_partitions(connected_components(edges).collect())
+    assert windowed == baseline

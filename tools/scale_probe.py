@@ -642,44 +642,68 @@ def probe_ann(spark) -> None:
         flush=True,
     )
 
-    # recall vs exact euclidean top-5 on the base corpus, both
-    # encodings at the same nprobe/bits (driver-side numpy exact set:
-    # 2k x 64 floats, trivially collectable)
+    # recall vs exact euclidean top-5 at the same nprobe/bits, on a
+    # CLUSTERED corpus (the regime the paper's residual claim is
+    # about): the sf0.1 embeddings are near-uniform, where coarse
+    # residuals carry no structure and both encodings bottom out at
+    # ~4% recall with these tiny m=4/k=8 codebooks — a comparison
+    # there measures noise, not the encoding. 2k vectors in 32
+    # gaussian clusters (sigma 2 around centers spanning +-100), true
+    # centers as the IVF centroids; exact set computed driver-side
+    # (2k x 64 floats).
     import numpy as np
 
-    pd_c = base.select("vec_id", "embedding").toPandas()
-    ids = pd_c["vec_id"].to_numpy()
-    X = np.array(pd_c["embedding"].tolist())
-    order = np.argsort(ids)
-    ids, X = ids[order], X[order]
-    qids = [r["vec_id"] for r in queries.select("vec_id").collect()]
-    pos = {int(v): i for i, v in enumerate(ids)}
+    rng = np.random.RandomState(7)
+    n_clusters, per, dim = 32, 64, 64
+    centers = rng.uniform(-100, 100, size=(n_clusters, dim))
+    vecs = np.repeat(centers, per, axis=0) + rng.normal(
+        0, 2.0, (n_clusters * per, dim)
+    )
+    clus = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<double>",
+    ).localCheckpoint()
+    clus_cent = spark.createDataFrame(
+        [(c, [float(x) for x in centers[c]]) for c in range(n_clusters)],
+        "centroid_id long, centroid_vec array<double>",
+    ).localCheckpoint()
+    clus_q = clus.filter(F.col("vec_id") % per == 0).localCheckpoint()
+    qids = [int(r["vec_id"]) for r in clus_q.select("vec_id").collect()]
     exact = {}
     for q in qids:
-        d = ((X - X[pos[q]]) ** 2).sum(1)
-        d[pos[q]] = np.inf
-        exact[q] = set(ids[np.lexsort((ids, d))[:5]])
+        d = ((vecs - vecs[q]) ** 2).sum(1)
+        d[q] = np.inf
+        exact[q] = set(np.lexsort((np.arange(len(vecs)), d))[:5].tolist())
 
     def _recall(residual, books):
         got = {}
-        for r in _ivf_run(base, cent_base, residual, books).collect():
+        rows = ivf_pq_topk(
+            clus_q, clus, clus_cent, dim=dim, m=4, k=8, nprobe=NPROBE,
+            topk=5, quantize=6, residual=residual, codebooks=books,
+        ).collect()
+        for r in rows:
             got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
         return sum(
             len(got.get(q, set()) & exact[q]) / 5 for q in qids
         ) / len(qids)
 
-    books_raw_base = ivf_pq_train(base, cent_base, dim=64, m=4, k=8,
-                                  quantize=6, residual=False)
-    r_plain = _recall(False, books_raw_base)
-    r_res = _recall(True, books_res_base)
+    r_plain = _recall(
+        False, ivf_pq_train(clus, clus_cent, dim=dim, m=4, k=8, quantize=6)
+    )
+    r_res = _recall(
+        True,
+        ivf_pq_train(clus, clus_cent, dim=dim, m=4, k=8, quantize=6,
+                     residual=True),
+    )
     print(
-        f"[ann] ivf_pq recall@5 vs exact euclidean, nprobe={NPROBE}: "
-        f"plain={r_plain:.3f} residual={r_res:.3f}",
+        f"[ann] ivf_pq recall@5 vs exact euclidean, clustered corpus, "
+        f"nprobe={NPROBE}: plain={r_plain:.3f} residual={r_res:.3f}",
         flush=True,
     )
-    assert r_res >= r_plain - 0.02, (
-        f"residual encoding recall ({r_res:.3f}) fell below plain ADC "
-        f"({r_plain:.3f}) at identical bits/nprobe — wrong-domain LUTs?"
+    assert r_res > r_plain, (
+        f"residual encoding recall ({r_res:.3f}) did not beat plain ADC "
+        f"({r_plain:.3f}) on clustered data at identical bits/nprobe — "
+        "wrong-domain LUTs?"
     )
 
 
@@ -1049,13 +1073,26 @@ def probe_winnow(spark) -> None:
     base = spread(spark, spark.read.parquet("/root/testdata/sf0.1/documents.parquet"))
     big = spread(spark, spark.read.parquet(_docs_xn_affine(spark, 10)))
 
-    def _run(df):
-        fps = winnow_fingerprints(df).localCheckpoint(eager=False)
+    def _run(df, hash="md5"):
+        fps = winnow_fingerprints(df, hash=hash).localCheckpoint(eager=False)
         return fps.count() + fingerprint_overlap_pairs(fps, max_df=10).count()
 
     t1 = _timed("winnow fp+pairs 5k docs", lambda: _run(base))
     t2 = _timed("winnow fp+pairs 50k docs (x10)", lambda: _run(big))
     print(f"[winnow] x10 data -> x{t2 / t1:.1f} time", flush=True)
+
+    # the production hash="xx64" fast path (the registered query keeps
+    # md5 so the correctness gate stays hash-checked); same plan,
+    # cheaper per-gram kernel — the module's own estimate is ~2x on
+    # the hash itself, this measures the end-to-end effect
+    t3 = _timed("winnow fp+pairs 5k docs [xx64]", lambda: _run(base, "xx64"))
+    t4 = _timed("winnow fp+pairs 50k docs (x10) [xx64]",
+                lambda: _run(big, "xx64"))
+    print(
+        f"[winnow] xx64 fast path: x{t3 / t1:.2f} of md5 at 5k, "
+        f"x{t4 / t2:.2f} at 50k; xx64 decade x{t4 / t3:.1f}",
+        flush=True,
+    )
 
 
 def main() -> None:
