@@ -379,23 +379,37 @@ def er_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("lev", F.levenshtein("a_type", "b_type", 9).cast("bigint"))
         .withColumn("jac", token_jaccard("a_name", "b_name"))
     )
-    jac03 = pairs.filter(F.col("jac") >= 0.3).select(
-        F.lit("jaccard03").alias("rule"),
-        "a_id",
-        "b_id",
-        F.lit(None).cast("bigint").alias("scores"),
-        F.col("jac").alias("title_jaccard_sim"),
+    # ONE pass over the blocked pairs: a plain union of the two rule
+    # branches re-evaluates the brand join + levenshtein + jaccard per
+    # branch (Spark unions don't share subplans); emitting both rules
+    # from a conditional-array explode keeps one join, one kernel
+    # evaluation, and the same output rows (r7: 3.65 -> 1.71 s min-of-4
+    # at sf0.1, oracle-identical).
+    jac03_row = F.when(
+        F.col("jac") >= 0.3,
+        F.struct(
+            F.lit("jaccard03").alias("rule"),
+            F.lit(None).cast("bigint").alias("scores"),
+        ),
     )
-    banded = (
-        pairs.filter((F.col("lev") >= 0) & (F.col("lev") < 10))
-        .filter(match_rule("lev", "a_n", "b_n"))
-        .filter(F.col("jac") >= 0.6)
+    banded_row = F.when(
+        (F.col("lev") >= 0)
+        & (F.col("lev") < 10)
+        & match_rule("lev", "a_n", "b_n")
+        & (F.col("jac") >= 0.6),
+        F.struct(F.lit("banded").alias("rule"), F.col("lev").alias("scores")),
+    )
+    return (
+        pairs.select(
+            "a_id", "b_id", "jac",
+            F.explode(F.array(jac03_row, banded_row)).alias("__r"),
+        )
+        .filter(F.col("__r").isNotNull())
         .select(
-            F.lit("banded").alias("rule"),
+            F.col("__r.rule").alias("rule"),
             "a_id",
             "b_id",
-            F.col("lev").alias("scores"),
+            F.col("__r.scores").alias("scores"),
             F.col("jac").alias("title_jaccard_sim"),
         )
     )
-    return jac03.unionByName(banded)

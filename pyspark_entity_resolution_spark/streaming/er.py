@@ -499,7 +499,10 @@ def incremental_entity_labels(
     SINGLE-WRITER: the whole fold runs under the store's writer lease
     (see :func:`_acquire_store_lease`) — a concurrent fold or
     compaction from another process raises instead of corrupting
-    buckets.
+    buckets. ``lease_wait`` (seconds, default 0 = fail fast) bounds a
+    wait-and-backoff retry for the BENIGN case — e.g. a compaction
+    finishing as this fold arrives — so callers need no hand-rolled
+    retry loop; a lease still held past the wait raises as before.
     """
     from pyspark.errors import AnalysisException
 
@@ -768,7 +771,10 @@ def compact_label_store(
     dynamically overwritten in place — untouched buckets keep their
     files byte-identical. Safe to run between folds (same writer path,
     same layout); schedule it via ``streaming_resolve_entities``'s
-    ``compact_every`` or call it directly.
+    ``compact_every`` or call it directly. ``lease_wait`` bounds a
+    wait-and-backoff retry on the writer lease for benign contention
+    (a fold finishing as the compaction arrives); default 0 fails
+    fast, as before.
 
     SINGLE-WRITER: compaction runs under the same writer lease as the
     fold (:func:`_acquire_store_lease`) — compacting while a fold from
