@@ -873,6 +873,7 @@ def incremental_minhash_dedup(
     bands: int = 3,
     threshold: float = 0.5,
     within_batch: bool = True,
+    matches: DataFrame | None = None,
 ) -> DataFrame:
     """Ingest-time near-dup dedup: keep arriving documents with no
     verified near-duplicate in the accepted corpus, and (by default)
@@ -885,15 +886,25 @@ def incremental_minhash_dedup(
     a true stream, call ``incremental_minhash_matches`` inside
     ``foreachBatch`` and anti-join there (the same concession
     ``incremental_exact_dedup`` documents for its keep-first window).
+
+    ``matches``: pass the already-computed
+    :func:`incremental_minhash_matches` result (same arriving/index/
+    profile/params) to reuse it — a caller consuming BOTH the match
+    rows and the kept set otherwise pays the band join + verification
+    twice, since the two outputs live in separate plans
+    (checkpoint the matches first or the reuse is nominal).
     """
     if arriving.isStreaming:
         raise ValueError(
             "incremental_minhash_dedup is batch-only; over a stream use "
             "incremental_minhash_matches inside foreachBatch"
         )
-    matched = incremental_minhash_matches(
-        arriving, index, profile, id_col, text_col, num_hashes, bands, threshold
-    ).select(id_col).distinct()
+    if matches is None:
+        matches = incremental_minhash_matches(
+            arriving, index, profile, id_col, text_col, num_hashes, bands,
+            threshold,
+        )
+    matched = matches.select(id_col).distinct()
     fresh = arriving.join(matched, on=id_col, how="left_anti")
     if not within_batch:
         return fresh

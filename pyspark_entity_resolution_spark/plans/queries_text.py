@@ -258,9 +258,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         accepted, num_hashes=_NUM_HASHES, bands=_BANDS
     )
     prof = D.token_profile(accepted)
-    matches = D.incremental_minhash_matches(
-        arriving, idx, prof, num_hashes=_NUM_HASHES, bands=_BANDS, threshold=0.5
-    ).select(
+    # the match rows feed BOTH the 'ingest_match' section and the
+    # 'ingest_kept' anti-join; checkpoint them once so the band join +
+    # verification run once (r7: the kept section previously recomputed
+    # the full matches plan inside incremental_minhash_dedup)
+    raw_matches = D.incremental_minhash_matches(
+        arriving, idx, prof, num_hashes=_NUM_HASHES, bands=_BANDS,
+        threshold=0.5,
+    ).localCheckpoint(eager=False)
+    matches = raw_matches.select(
         F.lit("ingest_match").alias("section"),
         F.col("doc_id").cast("bigint").alias("a_id"),
         F.col("accepted_id").cast("bigint").alias("b_id"),
@@ -268,7 +274,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kept = D.incremental_minhash_dedup(
         arriving, idx, prof, num_hashes=_NUM_HASHES, bands=_BANDS,
-        threshold=0.5, within_batch=False,
+        threshold=0.5, within_batch=False, matches=raw_matches,
     ).select(
         F.lit("ingest_kept").alias("section"),
         F.col("doc_id").cast("bigint").alias("a_id"),
