@@ -434,9 +434,26 @@ def main(full: bool = False, baseline_ref: str | None = None) -> None:
         except Exception:  # table absent in this testdata vintage
             tables[t] = None
 
+    workload = {
+        "sf_dir": sf_dir,
+        "mode": "full" if full else "headline",
+        "runs_per_query": runs,
+        "query_spread_sec": query_spread,
+        "table_rows": tables,
+        "query_result_rows": query_rows,
+        "er_corpus": er_corpus_meta(),
+        "pack_provenance": PACK_PROVENANCE,
+    }
+    metric = "full_total_runtime" if full else "headline_total_runtime"
+    # emit the HEAD artifact BEFORE the baseline subprocess: if a
+    # harness timeout kills the run mid-baseline, the measured numbers
+    # above must already be on stdout (the driver parses the final JSON
+    # line of a bounded tail, so the post-baseline re-emission below
+    # simply supersedes this one when it completes)
+    emit_bench_artifact(total, per_query, sf, workload, metric=metric)
+
     # same-host prior-round comparison (headline mode only; suppressed
     # in the baseline subprocess itself and by SPARK_GRAFT_NO_BASELINE)
-    baseline = None
     if not full and not os.environ.get("SPARK_GRAFT_NO_BASELINE"):
         ref = (baseline_ref
                or os.environ.get("SPARK_GRAFT_BASELINE_REF")
@@ -445,26 +462,11 @@ def main(full: bool = False, baseline_ref: str | None = None) -> None:
             print(f"[bench] baseline ref {ref[:12]} (same-host rerun) ...",
                   file=sys.stderr, flush=True)
             baseline = _baseline_same_host(ref)
-
-    workload_extra = {"baseline_same_host": baseline} if baseline else {}
-
-    emit_bench_artifact(
-        total,
-        per_query,
-        sf,
-        {
-            "sf_dir": sf_dir,
-            "mode": "full" if full else "headline",
-            "runs_per_query": runs,
-            "query_spread_sec": query_spread,
-            "table_rows": tables,
-            "query_result_rows": query_rows,
-            "er_corpus": er_corpus_meta(),
-            "pack_provenance": PACK_PROVENANCE,
-            **workload_extra,
-        },
-        metric="full_total_runtime" if full else "headline_total_runtime",
-    )
+            if baseline:
+                workload["baseline_same_host"] = baseline
+                emit_bench_artifact(
+                    total, per_query, sf, workload, metric=metric
+                )
     spark.stop()
 
 
