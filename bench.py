@@ -285,19 +285,29 @@ def _bench_er_pipeline_e2e(spark) -> float:
 
 
 def _auto_baseline_ref() -> str | None:
-    """The latest round-boundary commit reachable from HEAD ("round N:
+    """The latest round-boundary commit STRICTLY BEFORE HEAD ("round N:
     verdict/..." — the driver stamps one per round), i.e. the prior
-    round's final state. None outside a git checkout or before round 1."""
+    round's final state. Searching from HEAD itself would, on the
+    boundary commit, baseline the run against identical code and bury
+    any real round-over-round delta under a tautological ~0. None
+    outside a git checkout or before round 1."""
     import subprocess
 
+    repo = os.path.dirname(os.path.abspath(__file__))
     try:
-        out = subprocess.run(
-            ["git", "log", "--grep", "^round [0-9]*:", "--format=%H", "-n", "1",
-             "HEAD"],
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-            capture_output=True, text=True, timeout=30, check=True,
+        head = subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            cwd=repo, capture_output=True, text=True, timeout=30, check=True,
         ).stdout.strip()
-        return out or None
+        out = subprocess.run(
+            ["git", "log", "--grep", "^round [0-9]*:", "--format=%H", "-n", "2",
+             "HEAD"],
+            cwd=repo, capture_output=True, text=True, timeout=30, check=True,
+        ).stdout.split()
+        for sha in out:
+            if sha != head:
+                return sha
+        return None
     except Exception:
         return None
 
@@ -316,16 +326,22 @@ def _baseline_same_host(ref: str) -> dict:
     import subprocess
 
     repo = os.path.dirname(os.path.abspath(__file__))
-    tree = f"/tmp/bench_baseline_{ref[:12]}"
+    sys.path.insert(0, repo)
     try:
-        if not os.path.isdir(tree):
-            subprocess.run(
-                ["git", "worktree", "add", "--detach", tree, ref],
-                cwd=repo, check=True, capture_output=True, timeout=120,
-            )
+        # one shared worktree helper (sha-keyed cache — a branch name
+        # cached by NAME would silently measure a stale checkout)
+        from tools.ab_bench import ensure_worktree, resolve_ref
+
+        ref = resolve_ref(ref)
+        tree = ensure_worktree(ref)
+    except Exception as exc:  # noqa: BLE001
+        return {"ref": ref, "error": f"worktree setup failed: {exc!r}"}
+    try:
         env = dict(os.environ)
         env["SPARK_GRAFT_NO_BASELINE"] = "1"
-        env["PYTHONPATH"] = tree
+        # PREPEND — clobbering breaks hosts whose pyspark itself rides
+        # PYTHONPATH (SPARK_HOME-style installs)
+        env["PYTHONPATH"] = tree + os.pathsep + env.get("PYTHONPATH", "")
         proc = subprocess.run(
             [sys.executable, os.path.join(tree, "bench.py")],
             cwd=tree, env=env, capture_output=True, text=True, timeout=3600,
@@ -504,5 +520,8 @@ if __name__ == "__main__":
     _argv = sys.argv[1:]
     _ref = None
     if "--baseline-ref" in _argv:
-        _ref = _argv[_argv.index("--baseline-ref") + 1]
+        _i = _argv.index("--baseline-ref")
+        if _i + 1 >= len(_argv) or _argv[_i + 1].startswith("--"):
+            sys.exit("usage: bench.py [--full] [--baseline-ref <git-ref>]")
+        _ref = _argv[_i + 1]
     main(full="--full" in _argv, baseline_ref=_ref)

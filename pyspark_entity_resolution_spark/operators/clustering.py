@@ -190,7 +190,15 @@ def _round_step(e: DataFrame, pin: bool) -> DataFrame:
     measured."""
     import os
 
-    if os.environ.get("SPARK_GRAFT_CC_STAR", "window") == "join":
+    impl = os.environ.get("SPARK_GRAFT_CC_STAR", "window")
+    if impl not in ("window", "join"):
+        # a typo ('JOIN', 'join ') silently selecting window on BOTH
+        # arms of an A/B is exactly the measurement-honesty failure
+        # this knob exists to prevent — fail loudly
+        raise ValueError(
+            f"SPARK_GRAFT_CC_STAR must be 'window' or 'join', got {impl!r}"
+        )
+    if impl == "join":
         return _small_star(_large_star(e, pin), pin)
     return _small_star_window(_large_star_window(e))
 

@@ -369,7 +369,11 @@ def _check_store_meta(spark, labels_path: str, n_buckets: int) -> None:
         # Only after the store corroborates the caller's value do we
         # re-stamp the sidecar; a contradicted value raises instead of
         # silently mis-bucketing every later fold/lookup.
-        observed = sorted(_bucket_file_counts(spark, labels_path))
+        counts = _bucket_file_counts(spark, labels_path)
+        # buckets with zero data files (e.g. a compaction crashed
+        # mid-replace) carry no evidence — drop them or the row-hash
+        # scan below dies in schema inference on an all-empty store
+        observed = sorted(b for b, c in counts.items() if c > 0)
         if not observed:
             # empty/absent store: nothing to contradict the caller
             _write_store_meta(spark, labels_path, n_buckets)

@@ -934,6 +934,11 @@ def test_unreadable_store_meta_with_wrong_n_buckets_raises(spark, tmp_path):
             n_buckets=8,
         )
 
+    # a bucket directory holding NO parquet files (compaction crashed
+    # mid-replace) carries no evidence: it must neither trip the
+    # dir-bound check nor crash the row-hash scan's schema inference
+    os.makedirs(os.path.join(labels_path, "bucket=3999"), exist_ok=True)
+
     # the store was never touched by either rejected fold: the TRUE
     # layout still heals the sidecar and folds normally
     with open(meta, "w") as f:

@@ -79,9 +79,13 @@ if queries:
         out[name] = _min3(lambda: _noop(fn(spark, sf_dir)))
 
 if rows:
-    # the ER corpus generator moved between rounds; bench.py has had
-    # _gen_er_corpus with these exact params since r3 — import from the
-    # worktree's own bench so the corpus matches what that ref benched
+    # bench.py has carried _gen_er_corpus with these exact params since
+    # r3. NOTE: the on-disk corpus cache is SHARED across refs (the
+    # generator returns early when the dumps exist), so whichever arm
+    # runs first writes it and every arm measures the SAME corpus —
+    # deliberate: identical input is what makes the A/B comparable. If
+    # a future ref changes the generator, delete the cache dir and know
+    # that the arms still share ONE corpus (the first ref's).
     sys.path.insert(0, os.environ["AB_WORKTREE"])
     from bench import _gen_er_corpus
     from pyspark_entity_resolution_spark.pipeline import (
@@ -115,13 +119,24 @@ spark.stop()
 '''
 
 
+def resolve_ref(ref: str) -> str:
+    """Resolve a ref NAME to its commit sha — worktrees must cache by
+    sha, not name: a movable ref (branch, HEAD) cached by name would
+    silently measure last week's checkout on the next run."""
+    return subprocess.run(
+        ["git", "rev-parse", "--verify", f"{ref}^{{commit}}"],
+        cwd=REPO, check=True, capture_output=True, text=True,
+    ).stdout.strip()
+
+
 def ensure_worktree(ref: str) -> str:
-    """Detached worktree for ref under /tmp, created once and reused."""
-    safe = ref.replace("/", "_")
-    path = f"/tmp/ab_worktree_{safe}"
+    """Detached worktree for ref under /tmp, cached by COMMIT SHA,
+    created once and reused."""
+    sha = resolve_ref(ref)
+    path = f"/tmp/ab_worktree_{sha[:16]}"
     if not os.path.isdir(path):
         subprocess.run(
-            ["git", "worktree", "add", "--detach", path, ref],
+            ["git", "worktree", "add", "--detach", path, sha],
             cwd=REPO, check=True, capture_output=True,
         )
     return path
@@ -129,7 +144,9 @@ def ensure_worktree(ref: str) -> str:
 
 def run_probe(worktree: str, rows: list[str], queries: list[str]) -> dict:
     env = dict(os.environ)
-    env["PYTHONPATH"] = worktree
+    # PREPEND the worktree — clobbering would break hosts whose pyspark
+    # reaches Python via PYTHONPATH (SPARK_HOME-style installs)
+    env["PYTHONPATH"] = worktree + os.pathsep + env.get("PYTHONPATH", "")
     env["AB_WORKTREE"] = worktree
     env["AB_ROWS"] = ",".join(rows)
     env["AB_QUERIES"] = ",".join(queries)
@@ -160,7 +177,14 @@ def main() -> None:
     results: dict[str, dict[str, list[float]]] = {r: {} for r in args.refs}
     for p in range(args.passes):
         for ref in args.refs:
-            res = run_probe(trees[ref], rows, queries)
+            # a single hung/failed probe must not eat the summary — the
+            # interleaved data already collected is the tool's output
+            try:
+                res = run_probe(trees[ref], rows, queries)
+            except (subprocess.TimeoutExpired, RuntimeError) as exc:
+                print(json.dumps({"pass": p, "ref": ref,
+                                  "error": str(exc)[:500]}), flush=True)
+                continue
             print(json.dumps({"pass": p, "ref": ref, **res}), flush=True)
             for k, v in res.items():
                 results[ref].setdefault(k, []).append(v)
