@@ -170,7 +170,15 @@ def levenshtein_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # bounded levenshtein (threshold arg): early-exits the DP once the
         # distance provably exceeds 2 (returns -1), ~30% cheaper than the
-        # unbounded form on this blocked self-join
+        # unbounded form on this blocked self-join.
+        # Measured-and-rejected (r7): a SymSpell deletion-neighborhood-2
+        # candidate join (exact for lev<=2) read 97.9 s vs 40.1 s for
+        # this plan at sf1 — the corpus's 9-digit name suffixes make
+        # ~17M pairs REALLY match, so candidates cannot undercut the
+        # output and the variant explode + dedup only add cost. The
+        # blocked quadratic scan is the right plan for dense matches;
+        # SymSpell stays the win for SPARSE ed-1 matching
+        # (operators/matching.py deletion_neighborhood_pairs).
         .withColumn("scores", F.levenshtein("a_name", "b_name", 2).cast("bigint"))
         .filter(F.col("scores") >= 0)
         .select("a_id", "b_id", "scores")
