@@ -89,3 +89,35 @@ def test_bench_full_artifact_contract(capsys):
     head = json.loads(lines[-1])
     assert head["metric"] == "full_total_runtime"
     assert "workload" not in head
+
+
+def test_auto_baseline_ref_is_prior_round_not_head():
+    """The auto-detected bench baseline must be a round-boundary commit
+    STRICTLY before HEAD — baselining HEAD against itself would bury
+    any real round-over-round delta under a tautological ~0."""
+    import subprocess
+
+    import bench
+
+    ref = bench._auto_baseline_ref()
+    assert ref is not None and len(ref) == 40
+    head = subprocess.run(
+        ["git", "rev-parse", "HEAD"], cwd="/root/repo",
+        capture_output=True, text=True, check=True,
+    ).stdout.strip()
+    assert ref != head
+    subject = subprocess.run(
+        ["git", "log", "-1", "--format=%s", ref], cwd="/root/repo",
+        capture_output=True, text=True, check=True,
+    ).stdout
+    assert subject.startswith("round ")
+
+
+def test_ab_bench_worktree_cache_is_sha_keyed():
+    """ensure_worktree resolves movable refs to commit shas before
+    caching — a name-keyed cache would silently measure a stale
+    checkout after the ref moves."""
+    from tools.ab_bench import resolve_ref
+
+    sha = resolve_ref("HEAD")
+    assert len(sha) == 40 and resolve_ref(sha) == sha
