@@ -174,3 +174,37 @@ def test_batch_ingest_join_carries_no_payload_arrays(spark):
     eexplode = [ln for ln in eplan.splitlines() if "posexplode" in ln]
     assert eexplode, eplan
     assert all("__arr_vec" not in ln for ln in eexplode), eexplode
+
+
+def test_window_star_rounds_are_join_free(spark):
+    """The r7 connected-components default computes each star's
+    per-node minimum with a window function — the plan of one
+    alternating round must contain NO join operator (the join form's
+    exchange + aggregation + probe is exactly what the rewrite
+    removed), while the join form's round must contain joins. Guards
+    against a future edit quietly reintroducing a join on the
+    iterated path, where it costs per round."""
+    from pyspark.sql import functions as F
+
+    from pyspark_entity_resolution_spark.operators.clustering import (
+        _round_step,
+    )
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], ["u", "v"]
+    ).select(F.col("u").cast("long"), F.col("v").cast("long"))
+
+    import os
+
+    os.environ["SPARK_GRAFT_CC_STAR"] = "window"
+    try:
+        wplan = _round_step(e, pin=False)._jdf.queryExecution() \
+            .executedPlan().toString()
+        os.environ["SPARK_GRAFT_CC_STAR"] = "join"
+        jplan = _round_step(e, pin=False)._jdf.queryExecution() \
+            .executedPlan().toString()
+    finally:
+        os.environ.pop("SPARK_GRAFT_CC_STAR", None)
+    assert "Join" not in wplan, wplan
+    assert "Window" in wplan
+    assert "Join" in jplan  # the reference form keeps its joins
