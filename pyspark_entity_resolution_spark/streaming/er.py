@@ -837,6 +837,7 @@ def streaming_resolve_entities(
     n_buckets: int = 64,
     compact_every: int | None = None,
     max_files_per_bucket: int = 8,
+    lease_wait: float = 0.0,
 ):
     """Drive a match-pair stream all the way to an entity table — the
     last batch capability the streaming twin lacked. Each micro-batch
@@ -851,16 +852,24 @@ def streaming_resolve_entities(
     ``compact_every=N`` runs :func:`compact_label_store` after every Nth
     micro-batch so hot buckets don't accumulate small files across
     folds (threshold ``max_files_per_bucket``).
+
+    ``lease_wait`` forwards to both writers: within one streaming query
+    folds and compactions already serialize, but an EXTERNAL writer
+    (an operator-run compaction in another process) would otherwise
+    fail the micro-batch on its brief lease; a bounded wait rides it
+    out. Default 0 keeps the fail-fast foreachBatch behavior.
     """
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         incremental_entity_labels(
             batch_df.sparkSession, labels_path, batch_df,
             left_id, right_id, left_name, right_name, n_buckets,
+            lease_wait=lease_wait,
         )
         if compact_every and (batch_id + 1) % compact_every == 0:
             compact_label_store(
-                batch_df.sparkSession, labels_path, max_files_per_bucket
+                batch_df.sparkSession, labels_path, max_files_per_bucket,
+                lease_wait=lease_wait,
             )
 
     writer = matches.writeStream.foreachBatch(_fold).queryName(query_name)
