@@ -101,6 +101,13 @@ def winnow_fingerprints(
     surface as verbatim-overlap "pairs" sharing zero content — real
     corpora routinely contain empty documents after cleaning, so the
     operator excludes them rather than asking every caller to.
+    Documents whose normalized text exceeds ``_MAX_DOC_LEN`` (1e10-1
+    chars) are likewise excluded — they emit NO fingerprints rather
+    than corrupted composite keys. This bound is unreachable in
+    practice: a Spark string column caps at ~2.1e9 bytes
+    (Integer.MAX_VALUE), roughly 5x below the guard, so
+    no representable row can trip it; the filter exists to pin the
+    lpad-truncation assumption rather than to handle a live case.
 
     Plan shape: explode to one row per k-gram position (~len(text) rows
     per document, the same expansion class as substring dedup), ONE

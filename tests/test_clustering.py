@@ -101,7 +101,7 @@ def test_explicit_checkpoint_storage_and_probes(spark):
     assert (_jvm_max_heap(spark) or 0) > 0
 
 
-def test_pinned_exchange_path_matches_default(spark):
+def test_pinned_exchange_path_matches_default(spark, monkeypatch):
     """The per-star exchange pin is volume-gated (PIN_EXCHANGE_ABOVE_EDGES,
     2M), so ordinary test graphs never execute the pinned star plans —
     force the gate to zero and assert the pinned path labels a random
@@ -123,23 +123,14 @@ def test_pinned_exchange_path_matches_default(spark):
         ],
         ["src", "dst"],
     )
-    import os
-
-    os.environ["SPARK_GRAFT_CC_STAR"] = "join"
-    try:
-        baseline = _components_as_partitions(
-            connected_components(edges).collect()
-        )
-        old = C.PIN_EXCHANGE_ABOVE_EDGES
-        C.PIN_EXCHANGE_ABOVE_EDGES = 0
-        try:
-            pinned = _components_as_partitions(
-                connected_components(edges).collect()
-            )
-        finally:
-            C.PIN_EXCHANGE_ABOVE_EDGES = old
-    finally:
-        os.environ.pop("SPARK_GRAFT_CC_STAR", None)
+    monkeypatch.setenv("SPARK_GRAFT_CC_STAR", "join")
+    baseline = _components_as_partitions(
+        connected_components(edges).collect()
+    )
+    monkeypatch.setattr(C, "PIN_EXCHANGE_ABOVE_EDGES", 0)
+    pinned = _components_as_partitions(
+        connected_components(edges).collect()
+    )
     assert pinned == baseline
 
 

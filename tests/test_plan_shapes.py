@@ -176,7 +176,7 @@ def test_batch_ingest_join_carries_no_payload_arrays(spark):
     assert all("__arr_vec" not in ln for ln in eexplode), eexplode
 
 
-def test_window_star_rounds_are_join_free(spark):
+def test_window_star_rounds_are_join_free(spark, monkeypatch):
     """The r7 connected-components default computes each star's
     per-node minimum with a window function — the plan of one
     alternating round must contain NO join operator (the join form's
@@ -194,17 +194,12 @@ def test_window_star_rounds_are_join_free(spark):
         [(1, 2), (2, 3), (5, 6)], ["u", "v"]
     ).select(F.col("u").cast("long"), F.col("v").cast("long"))
 
-    import os
-
-    os.environ["SPARK_GRAFT_CC_STAR"] = "window"
-    try:
-        wplan = _round_step(e, pin=False)._jdf.queryExecution() \
-            .executedPlan().toString()
-        os.environ["SPARK_GRAFT_CC_STAR"] = "join"
-        jplan = _round_step(e, pin=False)._jdf.queryExecution() \
-            .executedPlan().toString()
-    finally:
-        os.environ.pop("SPARK_GRAFT_CC_STAR", None)
+    monkeypatch.setenv("SPARK_GRAFT_CC_STAR", "window")
+    wplan = _round_step(e, pin=False)._jdf.queryExecution() \
+        .executedPlan().toString()
+    monkeypatch.setenv("SPARK_GRAFT_CC_STAR", "join")
+    jplan = _round_step(e, pin=False)._jdf.queryExecution() \
+        .executedPlan().toString()
     assert "Join" not in wplan, wplan
     assert "Window" in wplan
     assert "Join" in jplan  # the reference form keeps its joins
