@@ -312,55 +312,64 @@ def _auto_baseline_ref() -> str | None:
         return None
 
 
-def _baseline_same_host(ref: str) -> dict:
-    """Run the PRIOR round's own bench.py (checked out into a cached
-    detached worktree) as a subprocess in this same session window, and
-    return its headline totals — the same-host comparison point that
-    round 6 lacked: its artifacts were measured weeks apart and a 40%
-    'regression' took a judge-hours A/B to attribute to host drift.
-    The subprocess inherits this run's $SPARK_GRAFT_SF_DIR /
-    $SPARK_GRAFT_CPUS and gets SPARK_GRAFT_NO_BASELINE=1 so a
-    baseline-aware bench.py never recurses. Failures are embedded, not
-    fatal — the HEAD artifact must not die because an old ref can't
-    run on today's testdata."""
-    import subprocess
+def _baseline_same_host_interleaved(ref: str) -> dict:
+    """Interleaved same-host A/B of committed HEAD vs the prior round's
+    boundary commit, embedded in the artifact. Round 7's sequential
+    A-then-B version of this (HEAD in-process first, then one baseline
+    subprocess) read HEAD +10% at sf0.1 while a true interleaved A/B
+    showed HEAD flat-to-faster — the baseline arm ran second, into a
+    warm page cache and a different drift window, and the artifact
+    carried no way to see that. This version reuses ``ab_bench``'s pass
+    loop: fresh JVM per (ref, pass), refs alternated within each pass
+    (order reversed on odd passes), per-pass pairs embedded verbatim so
+    a judge can check straddle instead of trusting one delta.
 
-    repo = os.path.dirname(os.path.abspath(__file__))
-    sys.path.insert(0, repo)
+    Both arms measure COMMITTED state (cached detached worktrees keyed
+    by sha) — uncommitted edits are not in the HEAD arm; the official
+    in-process numbers above remain the working tree's. Knobs:
+    $SPARK_GRAFT_BASELINE_PASSES (default 2) / _RUNS (min-of-N inside
+    each JVM, default 2). Failures are embedded, not fatal — the HEAD
+    artifact must not die because an old ref can't run on today's
+    testdata."""
     try:
-        # one shared worktree helper (sha-keyed cache — a branch name
-        # cached by NAME would silently measure a stale checkout)
-        from tools.ab_bench import ensure_worktree, resolve_ref
+        from tools.ab_bench import interleaved_ab, resolve_ref
 
-        ref = resolve_ref(ref)
-        tree = ensure_worktree(ref)
+        head = resolve_ref("HEAD")
+        base = resolve_ref(ref)
     except Exception as exc:  # noqa: BLE001
-        return {"ref": ref, "error": f"worktree setup failed: {exc!r}"}
+        return {"ref": ref, "error": f"ref resolution failed: {exc!r}"}
+    if head == base:
+        return {"ref": base,
+                "error": "baseline ref equals HEAD; nothing to compare"}
+    passes = max(1, int(os.environ.get("SPARK_GRAFT_BASELINE_PASSES", "2")))
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BASELINE_RUNS", "2")))
     try:
-        env = dict(os.environ)
-        env["SPARK_GRAFT_NO_BASELINE"] = "1"
-        # PREPEND — clobbering breaks hosts whose pyspark itself rides
-        # PYTHONPATH (SPARK_HOME-style installs)
-        env["PYTHONPATH"] = tree + os.pathsep + env.get("PYTHONPATH", "")
-        proc = subprocess.run(
-            [sys.executable, os.path.join(tree, "bench.py")],
-            cwd=tree, env=env, capture_output=True, text=True, timeout=3600,
+        records, summary = interleaved_ab(
+            [head, base],
+            rows=["er_pipeline_blocked_n3", "er_pipeline_e2e_n3"],
+            queries=HEADLINE,
+            passes=passes,
+            runs=runs,
+            on_record=lambda rec: print(
+                f"[bench] baseline pass {rec.get('pass')} "
+                f"{rec.get('ref', '')[:12]} done", file=sys.stderr, flush=True
+            ),
         )
-        tail = [ln for ln in proc.stdout.splitlines() if ln.strip()]
-        parsed = json.loads(tail[-1]) if tail else {}
-        if proc.returncode != 0 or "queries" not in parsed:
-            return {"ref": ref, "error":
-                    f"rc={proc.returncode} stderr_tail={proc.stderr[-500:]}"}
-        return {
-            "ref": ref,
-            "total": parsed.get("value"),
-            "queries": parsed.get("queries"),
-            "protocol": "prior-round bench.py run in a detached worktree, "
-                        "same host/session window/env as the HEAD numbers "
-                        "above (see README: host-neutral comparisons)",
-        }
     except Exception as exc:  # noqa: BLE001 — diagnostic sink by design
-        return {"ref": ref, "error": repr(exc)}
+        return {"ref": base, "error": repr(exc)}
+    return {
+        "ref": base,
+        "head_ref": head,
+        "passes": passes,
+        "runs_per_query_per_pass": runs,
+        "pairs": records,
+        "summary": summary,
+        "protocol": "interleaved same-host A/B (tools/ab_bench.py pass "
+                    "loop): fresh JVM per (ref, pass), ref order reversed "
+                    "on odd passes, min-of-%d per query inside each JVM; "
+                    "both arms are COMMITTED shas in cached worktrees"
+                    % runs,
+    }
 
 
 def main(full: bool = False, baseline_ref: str | None = None) -> None:
@@ -475,11 +484,11 @@ def main(full: bool = False, baseline_ref: str | None = None) -> None:
                or os.environ.get("SPARK_GRAFT_BASELINE_REF")
                or _auto_baseline_ref())
         if ref:
-            print(f"[bench] baseline ref {ref[:12]} (same-host rerun) ...",
-                  file=sys.stderr, flush=True)
-            baseline = _baseline_same_host(ref)
+            print(f"[bench] baseline ref {ref[:12]} (interleaved same-host "
+                  "A/B) ...", file=sys.stderr, flush=True)
+            baseline = _baseline_same_host_interleaved(ref)
             if baseline:
-                workload["baseline_same_host"] = baseline
+                workload["baseline_same_host_interleaved"] = baseline
                 emit_bench_artifact(
                     total, per_query, sf, workload, metric=metric
                 )

@@ -121,3 +121,51 @@ def test_ab_bench_worktree_cache_is_sha_keyed():
 
     sha = resolve_ref("HEAD")
     assert len(sha) == 40 and resolve_ref(sha) == sha
+
+
+def test_interleaved_baseline_embeds_pairs_and_summary(monkeypatch):
+    """The embedded same-host baseline is interleaved-grade since r8:
+    the artifact block must carry the per-pass pair records verbatim
+    (so a judge can check straddle, not trust one delta), the per-ref
+    min/median summary, both resolved shas, and a protocol string that
+    says the ordering was interleaved. Pass loop stubbed — the live
+    loop is ab_bench's, exercised by the per-round bench run."""
+    import bench
+    from tools import ab_bench
+
+    fake_records = [
+        {"pass": 0, "ref": "a" * 40, "tpch_q1_pricing_summary": 1.0},
+        {"pass": 0, "ref": "b" * 40, "tpch_q1_pricing_summary": 1.2},
+        {"pass": 1, "ref": "b" * 40, "tpch_q1_pricing_summary": 1.1},
+        {"pass": 1, "ref": "a" * 40, "tpch_q1_pricing_summary": 0.9},
+    ]
+    fake_summary = {
+        "a" * 40: {"tpch_q1_pricing_summary":
+                   {"min": 0.9, "median": 0.95, "all": [1.0, 0.9]}},
+        "b" * 40: {"tpch_q1_pricing_summary":
+                   {"min": 1.1, "median": 1.15, "all": [1.2, 1.1]}},
+    }
+    calls = {}
+
+    def fake_interleaved_ab(refs, rows, queries, passes, runs, on_record=None):
+        calls["refs"], calls["passes"], calls["runs"] = refs, passes, runs
+        return fake_records, fake_summary
+
+    monkeypatch.setattr(ab_bench, "interleaved_ab", fake_interleaved_ab)
+    monkeypatch.setattr(ab_bench, "resolve_ref",
+                        lambda ref: "a" * 40 if ref == "HEAD" else "b" * 40)
+    monkeypatch.setenv("SPARK_GRAFT_BASELINE_PASSES", "2")
+    monkeypatch.setenv("SPARK_GRAFT_BASELINE_RUNS", "2")
+
+    out = bench._baseline_same_host_interleaved("some-ref")
+    assert out["head_ref"] == "a" * 40 and out["ref"] == "b" * 40
+    assert calls["refs"] == ["a" * 40, "b" * 40]
+    assert calls["passes"] == 2 and calls["runs"] == 2
+    assert out["pairs"] == fake_records
+    assert out["summary"] == fake_summary
+    assert "interleaved" in out["protocol"]
+
+    # HEAD == baseline must short-circuit (tautological comparison)
+    monkeypatch.setattr(ab_bench, "resolve_ref", lambda ref: "a" * 40)
+    same = bench._baseline_same_host_interleaved("HEAD")
+    assert "error" in same and "pairs" not in same

@@ -4,18 +4,20 @@ Round 6's judge burned hours proving a 40% "regression" was host drift:
 the only evidence was artifacts measured weeks apart. This tool removes
 that failure mode — it checks each ref into a cached worktree and runs
 the SAME probe script in a fresh JVM per (ref, pass), interleaving the
-refs within each pass (A B A B ...) so machine drift lands on both
-sides equally.
+refs within each pass (A B | B A | A B ... — order reverses on odd
+passes since r8, so monotone drift lands on both arms symmetrically)
+so machine drift lands on both sides equally.
 
 Usage:
-    python tools/ab_bench.py REF1 REF2 [...] [--passes 3] \
+    python tools/ab_bench.py REF1 REF2 [...] [--passes 3] [--runs 3] \
         [--rows er_pipeline_blocked_n3,er_pipeline_e2e_n3] \
         [--queries name1,name2]
 
 ``--rows`` selects the corpus-generated ER pipeline rows (measured
-exactly as bench.py measures them: min-of-3 inside one JVM, noop sink);
-``--queries`` selects registry queries by name (same min-of-3, noop
-sink, sf dir from $SPARK_GRAFT_SF_DIR). The probe script is embedded
+exactly as bench.py measures them: min-of-``--runs`` inside one JVM,
+noop sink); ``--queries`` selects registry queries by name (same
+min-of-N, noop sink, sf dir from $SPARK_GRAFT_SF_DIR). bench.py embeds
+:func:`interleaved_ab` for the per-artifact same-host baseline. The probe script is embedded
 here and injected into every worktree unchanged, so old refs that
 predate any bench.py flag still measure identically — the only API it
 uses (pipeline.ERConfig / prepare_publications / match_publications /
@@ -63,9 +65,14 @@ out = {}
 def _noop(df):
     df.write.format("noop").mode("overwrite").save()
 
-def _min3(fn):
+# runs-per-query inside this one JVM; pass-level repetition across fresh
+# JVMs is the caller's job (AB_RUNS lets the embedded-baseline path trade
+# within-JVM repetition for more interleaved passes)
+RUNS = max(1, int(os.environ.get("AB_RUNS", "3")))
+
+def _min_runs(fn):
     times = []
-    for _ in range(3):
+    for _ in range(RUNS):
         t0 = time.perf_counter()
         fn()
         times.append(time.perf_counter() - t0)
@@ -76,7 +83,7 @@ if queries:
     specs = all_queries()
     for name in queries:
         fn = specs[name].fn
-        out[name] = _min3(lambda: _noop(fn(spark, sf_dir)))
+        out[name] = _min_runs(lambda: _noop(fn(spark, sf_dir)))
 
 if rows:
     # bench.py has carried _gen_er_corpus with these exact params since
@@ -99,7 +106,7 @@ if rows:
             left = prepare_publications(spark, pa, cfg)
             right = prepare_publications(spark, pb, cfg)
             _noop(match_publications(left, right, cfg))
-        out["er_pipeline_blocked_n3"] = _min3(_blocked)
+        out["er_pipeline_blocked_n3"] = _min_runs(_blocked)
 
     if "er_pipeline_e2e_n3" in rows:
         import shutil, tempfile
@@ -110,7 +117,7 @@ if rows:
                 res = run_er_pipeline(spark, pa, pb, ERConfig(window=3))
                 write_csv(res["entities"], f"{dest}/entities", sep="\t")
                 shutil.rmtree(f"{dest}/entities", ignore_errors=True)
-            out["er_pipeline_e2e_n3"] = _min3(_e2e)
+            out["er_pipeline_e2e_n3"] = _min_runs(_e2e)
         finally:
             shutil.rmtree(dest, ignore_errors=True)
 
@@ -142,7 +149,9 @@ def ensure_worktree(ref: str) -> str:
     return path
 
 
-def run_probe(worktree: str, rows: list[str], queries: list[str]) -> dict:
+def run_probe(
+    worktree: str, rows: list[str], queries: list[str], runs: int = 3
+) -> dict:
     env = dict(os.environ)
     # PREPEND the worktree — clobbering would break hosts whose pyspark
     # reaches Python via PYTHONPATH (SPARK_HOME-style installs)
@@ -150,6 +159,7 @@ def run_probe(worktree: str, rows: list[str], queries: list[str]) -> dict:
     env["AB_WORKTREE"] = worktree
     env["AB_ROWS"] = ",".join(rows)
     env["AB_QUERIES"] = ",".join(queries)
+    env["AB_RUNS"] = str(runs)
     proc = subprocess.run(
         [sys.executable, "-c", PROBE], env=env, cwd=worktree,
         capture_output=True, text=True, timeout=1800,
@@ -163,32 +173,40 @@ def run_probe(worktree: str, rows: list[str], queries: list[str]) -> dict:
     )
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("refs", nargs="+")
-    ap.add_argument("--passes", type=int, default=3)
-    ap.add_argument("--rows", default="er_pipeline_blocked_n3,er_pipeline_e2e_n3")
-    ap.add_argument("--queries", default="")
-    args = ap.parse_args()
-    rows = [r for r in args.rows.split(",") if r]
-    queries = [q for q in args.queries.split(",") if q]
-
-    trees = {ref: ensure_worktree(ref) for ref in args.refs}
-    results: dict[str, dict[str, list[float]]] = {r: {} for r in args.refs}
-    for p in range(args.passes):
-        for ref in args.refs:
-            # a single hung/failed probe must not eat the summary — the
-            # interleaved data already collected is the tool's output
+def interleaved_ab(
+    refs: list[str],
+    rows: list[str],
+    queries: list[str],
+    passes: int = 3,
+    runs: int = 3,
+    on_record=None,
+) -> tuple[list[dict], dict]:
+    """The interleaved pass loop, reusable (bench.py embeds it for the
+    same-host baseline). Fresh JVM per (ref, pass); within each pass the
+    refs run back-to-back, and the ref ORDER REVERSES on odd passes so
+    slow monotone drift (page-cache fill, thermal) lands on both arms
+    symmetrically instead of always favoring whichever ref runs second.
+    Returns (records, summary): one record dict per (pass, ref) — probe
+    failures become {'error': ...} records rather than aborting, because
+    the interleaved data already collected is the tool's output — and a
+    per-ref per-row {min, median, all} summary."""
+    trees = {ref: ensure_worktree(ref) for ref in refs}
+    records: list[dict] = []
+    results: dict[str, dict[str, list[float]]] = {r: {} for r in refs}
+    for p in range(passes):
+        order = list(refs) if p % 2 == 0 else list(reversed(refs))
+        for ref in order:
             try:
-                res = run_probe(trees[ref], rows, queries)
+                res = run_probe(trees[ref], rows, queries, runs=runs)
+                rec = {"pass": p, "ref": ref, **res}
             except (subprocess.TimeoutExpired, RuntimeError) as exc:
-                print(json.dumps({"pass": p, "ref": ref,
-                                  "error": str(exc)[:500]}), flush=True)
-                continue
-            print(json.dumps({"pass": p, "ref": ref, **res}), flush=True)
+                rec = {"pass": p, "ref": ref, "error": str(exc)[:500]}
+                res = {}
+            records.append(rec)
+            if on_record is not None:
+                on_record(rec)
             for k, v in res.items():
                 results[ref].setdefault(k, []).append(v)
-
     summary = {
         ref: {
             k: {"min": min(v), "median": round(statistics.median(v), 3), "all": v}
@@ -196,6 +214,25 @@ def main() -> None:
         }
         for ref, per in results.items()
     }
+    return records, summary
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("refs", nargs="+")
+    ap.add_argument("--passes", type=int, default=3)
+    ap.add_argument("--runs", type=int, default=3,
+                    help="min-of-N runs per query inside each JVM")
+    ap.add_argument("--rows", default="er_pipeline_blocked_n3,er_pipeline_e2e_n3")
+    ap.add_argument("--queries", default="")
+    args = ap.parse_args()
+    rows = [r for r in args.rows.split(",") if r]
+    queries = [q for q in args.queries.split(",") if q]
+
+    _, summary = interleaved_ab(
+        args.refs, rows, queries, passes=args.passes, runs=args.runs,
+        on_record=lambda rec: print(json.dumps(rec), flush=True),
+    )
     print(json.dumps({"summary": summary}, indent=2), flush=True)
 
 
