@@ -11,11 +11,13 @@ forests in O(log² n) rounds — independent of graph diameter. (Plain
 min-label propagation was measured needing >25 rounds on a long-chain
 match graph at sf0.1; this converges in ~5.)
 
-Every round is two groupBy/join shuffles over the edge list, with
-``localCheckpoint`` truncating lineage. The final component id is the
-MIN node id in the component — deterministic, unlike the reference's
-enumeration-order cluster ids (SURVEY.md §7.3: tests compare cluster
-*partitions*, not ids).
+Every round is (in the default ``window`` implementation) two window
+shuffle+sort passes over the edge list plus a round-final ``distinct``
+— no joins; see :func:`_round_step` for the implementation knob and
+the A/B history — with ``localCheckpoint`` truncating lineage. The
+final component id is the MIN node id in the component —
+deterministic, unlike the reference's enumeration-order cluster ids
+(SURVEY.md §7.3: tests compare cluster *partitions*, not ids).
 """
 
 from __future__ import annotations
@@ -169,38 +171,122 @@ def _small_star_window(e: DataFrame) -> DataFrame:
     )
 
 
+def _large_star_window_nodistinct(e: DataFrame) -> DataFrame:
+    """:func:`_large_star_window` with INPUT DEDUP fused into the same
+    window pass: the round-final ``distinct`` (a third exchange +
+    pre/post hash aggregates per round in the r7 default) is replaced
+    by a ``lag``-based adjacent-duplicate drop inside each star's
+    existing shuffle+sort. The window gains an ``ORDER BY v`` (the r7
+    form sorted on the partition key alone), under which duplicate
+    ``(u, v)`` rows are adjacent and ``first(v)`` is the partition min
+    for free; each star thereby consumes the DISTINCT edge set while
+    its own output may carry cross-partition duplicates (two centers
+    emitting the same rewired edge), which the NEXT star's dedup
+    absorbs — duplicates never compound across rounds. The edge SETS
+    each round produces are identical to the r7 window form's
+    (multiplicities differ, bounded by per-round coincidence), so
+    labels are identical; pinned by test_clustering's set-equality and
+    end-to-end tests."""
+    from pyspark.sql import Window
+
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    w = Window.partitionBy("u").orderBy("v")
+    # sorted asc by v, the frame's first value IS the partition min
+    m = F.least(F.first("v").over(w), F.col("u"))
+    keep = F.lag("v").over(w).isNull() | (F.lag("v").over(w) != F.col("v"))
+    return (
+        sym.select("u", "v", m.alias("m"), keep.alias("keep"))
+        .filter(F.col("keep") & (F.col("v") > F.col("u")))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+    )
+
+
+def _small_star_window_nodistinct(e: DataFrame) -> DataFrame:
+    """:func:`_small_star_window` with the round-final ``distinct``
+    replaced by the same fused input dedup as
+    :func:`_large_star_window_nodistinct`: duplicate directed edges are
+    adjacent under the window's existing ``ORDER BY v`` and dropped via
+    ``lag``; the representative self row rides on ``row_number == 1``
+    (always a kept row — a partition's first row has no lag). One
+    shuffle+sort total, no join, no distinct."""
+    from pyspark.sql import Window
+
+    d = e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    )
+    w = Window.partitionBy("u").orderBy("v")
+    rows = d.select(
+        "u",
+        "v",
+        F.first("v").over(w).alias("m"),
+        F.row_number().over(w).alias("rn"),
+        (F.lag("v").over(w).isNull()
+         | (F.lag("v").over(w) != F.col("v"))).alias("keep"),
+    ).filter("keep")
+    pair = F.struct(F.col("v").alias("a"), F.col("m").alias("b"))
+    self_pair = F.when(
+        F.col("rn") == 1, F.struct(F.col("u").alias("a"), F.col("m").alias("b"))
+    )
+    return (
+        rows.select(F.explode(F.array(pair, self_pair)).alias("s"))
+        .filter(F.col("s").isNotNull())
+        .select(F.col("s.a").alias("u"), F.col("s.b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+    )
+
+
 def _round_step(e: DataFrame, pin: bool) -> DataFrame:
     """One alternating round (large star then small star), in the
     implementation selected by ``SPARK_GRAFT_CC_STAR``: ``window`` (the
-    r7 DEFAULT — join-free window-function stars) or ``join`` (the
-    r6 form with the volume-gated pinned exchange, kept as the
-    reference implementation and for A/B probes). Flipping the knob
-    never changes results, only the plan.
+    DEFAULT since r7 — join-free window-function stars, round-final
+    ``distinct``), ``window-nodistinct`` (r8 — the same window stars
+    with input dedup fused into each star's window pass: TWO exchanges
+    per round, zero joins, zero aggregates; measured-and-rejected as
+    default, see below), or ``join`` (the r6 form with the volume-gated
+    pinned exchange, kept as the reference implementation and for A/B
+    probes). Flipping the knob never changes results, only the plan.
 
-    Why window won (r7, all interleaved fresh-JVM A/Bs on one night):
-    each join-form star pays exchange + aggregation + join probe; the
+    Why window beat join (r7, interleaved fresh-JVM A/Bs): each
+    join-form star pays exchange + aggregation + join probe; the
     window form computes the per-node min as ``min(v) OVER (PARTITION
-    BY u)`` in ONE shuffle+sort and joins nothing. Measured join vs
-    window: 10M edges 66.7-71.1 s vs 44.1-46.5 s (~35% win), 100M
-    edges (the century leg, 64g heap, x8 width) 515.3/646.9 s vs
-    476.3/506.5 s — window won BOTH interleaved pairs — sf0.1 labels
-    query 7.1 s vs 4.7 s, and the N=3 ER e2e composition 8.0 s vs
-    6.2 s. The r5 455.7 s century 'floor' was a different host window;
-    same-night the window form is the faster star at every scale
-    measured."""
+    BY u)`` in ONE shuffle+sort and joins nothing. Join vs window:
+    10M edges 66.7-71.1 s vs 44.1-46.5 s, 100M edges 515.3/646.9 s vs
+    476.3/506.5 s, both interleaved pairs to window.
+
+    Why nodistinct is NOT the default (r8, fresh JVM per sample, arms
+    alternated, order reversed between pairs): dropping the round-final
+    distinct removes a third of each round's exchanges, but the next
+    star then SHUFFLES the un-deduped multiset before its in-window
+    lag-dedup can act — and mid-convergence rewiring makes coincident
+    edges (many nodes receiving the same local min) a large fraction
+    of the volume on big graphs, so what the dropped exchange saves,
+    the fatter remaining shuffles give back. Measured: at 10M edges
+    nodistinct is consistently slightly faster (39.3/39.8/41.4/42.3 s
+    vs window's 41.2/41.6/41.8/42.9; 3 of 4 adjacent pairs, min 39.3
+    vs 41.2) — but at 100M edges (the century leg, 64g heap, width
+    256, 4 samples/arm spanning 90 min of heavy host drift) the
+    adjacent pairs split 2-2, mins tied (407.5 nd vs 408.2 w), and
+    medians favored window (434.5 vs 534.5 s). No demonstrated win at
+    the scale that matters = no flip; the knob stays for workloads
+    whose duplicate density differs (plan shape pinned in
+    test_plan_shapes.py::test_nodistinct_star_round_is_two_exchanges)."""
     import os
 
     impl = os.environ.get("SPARK_GRAFT_CC_STAR", "window")
-    if impl not in ("window", "join"):
-        # a typo ('JOIN', 'join ') silently selecting window on BOTH
-        # arms of an A/B is exactly the measurement-honesty failure
-        # this knob exists to prevent — fail loudly
+    if impl not in ("window", "window-nodistinct", "join"):
+        # a typo ('JOIN', 'join ') silently selecting one arm's impl on
+        # BOTH arms of an A/B is exactly the measurement-honesty
+        # failure this knob exists to prevent — fail loudly
         raise ValueError(
-            f"SPARK_GRAFT_CC_STAR must be 'window' or 'join', got {impl!r}"
+            "SPARK_GRAFT_CC_STAR must be 'window-nodistinct', 'window', "
+            f"or 'join', got {impl!r}"
         )
     if impl == "join":
         return _small_star(_large_star(e, pin), pin)
-    return _small_star_window(_large_star_window(e))
+    if impl == "window":
+        return _small_star_window(_large_star_window(e))
+    return _small_star_window_nodistinct(_large_star_window_nodistinct(e))
 
 
 def _small_star(e: DataFrame, pin: bool) -> DataFrame:
@@ -417,17 +503,28 @@ def _connected_components_loop(
             # mislabeling that node into two components — but which is
             # not a fixed point. Such a node keeps nsrc > 1 here, so
             # the loop keeps iterating until the halves merge.
+            # nsrc counts DISTINCT targets (not rows): the nodistinct
+            # window stars keep bounded duplicate edges between rounds,
+            # and a row-counting probe would read a duplicated
+            # child->root edge as "two outgoing edges" and never declare
+            # a true star forest converged. countDistinct costs an
+            # Expand on probe rounds only (the count gate keeps those
+            # rare); on the distinct-preserving impls it degenerates to
+            # the old row count.
+            tgt_type = e.schema["v"].dataType
             churn = (
-                e.select(
-                    F.col("u").alias("n"), F.lit(1).alias("s"), F.lit(0).alias("t")
-                )
+                e.select(F.col("u").alias("n"), F.col("v").alias("tgt"))
                 .union(
                     e.select(
-                        F.col("v").alias("n"), F.lit(0).alias("s"), F.lit(1).alias("t")
+                        F.col("v").alias("n"),
+                        F.lit(None).cast(tgt_type).alias("tgt"),
                     )
                 )
                 .groupBy("n")
-                .agg(F.sum("s").alias("nsrc"), F.sum("t").alias("ntgt"))
+                .agg(
+                    F.countDistinct("tgt").alias("nsrc"),
+                    F.count(F.when(F.col("tgt").isNull(), 1)).alias("ntgt"),
+                )
                 .filter(
                     (F.col("nsrc") >= 1) & ((F.col("nsrc") > 1) | (F.col("ntgt") > 0))
                 )

@@ -172,3 +172,80 @@ def test_window_star_impl_matches_join_impl(spark, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_CC_STAR", "window")
     windowed = _components_as_partitions(connected_components(edges).collect())
     assert windowed == baseline
+
+
+def test_nodistinct_star_impl_matches_join_impl(spark, monkeypatch):
+    """The r8 fused-dedup stars (SPARK_GRAFT_CC_STAR=window-nodistinct)
+    drop the round-final distinct and dedup each star's INPUT inside its
+    window pass instead — their output may carry bounded duplicate rows,
+    but the edge SET per star must equal the join form's exactly, the
+    duplicate multiplicity must stay bounded (output rows <= distinct
+    input edges + centers, never multiset blowup), and end-to-end labels
+    must be identical on a random multigraph with self-loops and
+    duplicate edges."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from pyspark_entity_resolution_spark.operators.clustering import (
+        _large_star,
+        _large_star_window_nodistinct,
+        _small_star,
+        _small_star_window_nodistinct,
+    )
+
+    rng = random.Random(1234)
+    n_nodes, n_edges = 300, 700
+    raw = [
+        (rng.randrange(n_nodes), rng.randrange(n_nodes)) for _ in range(n_edges)
+    ] + [(5, 5), (7, 7), (10, 20), (10, 20), (20, 10)]  # loops + dups both ways
+    edges = spark.createDataFrame(raw, ["src", "dst"])
+    e = edges.select(
+        edges.src.alias("u"), edges.dst.alias("v")
+    ).filter("u <> v")
+
+    j_large = {(r["u"], r["v"]) for r in _large_star(e, pin=False).collect()}
+    nd_large_rows = [
+        (r["u"], r["v"]) for r in _large_star_window_nodistinct(e).collect()
+    ]
+    assert set(nd_large_rows) == j_large
+    # input dedup bounds emission: one row per DISTINCT undirected edge
+    n_distinct_edges = e.select(
+        F.least("u", "v"), F.greatest("u", "v")
+    ).distinct().count()
+    assert len(nd_large_rows) <= n_distinct_edges
+
+    j_small = {(r["u"], r["v"]) for r in _small_star(e, pin=False).collect()}
+    nd_small_rows = [
+        (r["u"], r["v"])
+        for r in _small_star_window_nodistinct(e).collect()
+    ]
+    assert set(nd_small_rows) == j_small
+    n_centers = e.select(F.greatest("u", "v")).distinct().count()
+    assert len(nd_small_rows) <= n_distinct_edges + n_centers
+
+    monkeypatch.setenv("SPARK_GRAFT_CC_STAR", "join")
+    baseline = _components_as_partitions(connected_components(edges).collect())
+    monkeypatch.setenv("SPARK_GRAFT_CC_STAR", "window-nodistinct")
+    fused = _components_as_partitions(connected_components(edges).collect())
+    assert fused == baseline
+
+
+def test_nodistinct_star_long_chain_and_string_keys(spark, monkeypatch):
+    """Convergence-sensitive shapes under the fused-dedup stars: a long
+    chain (max alternating-star rounds for the node count) and
+    string-namespaced node keys (the cluster_matched_pairs path) — the
+    duplicate-tolerant probe must still declare the true fixed point
+    and only it."""
+    monkeypatch.setenv("SPARK_GRAFT_CC_STAR", "window-nodistinct")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], ["src", "dst"]
+    )
+    parts = _components_as_partitions(connected_components(chain).collect())
+    assert parts == {frozenset(range(201))}
+
+    named = spark.createDataFrame(
+        [("a:1", "b:2"), ("b:2", "a:3"), ("a:9", "b:9")], ["src", "dst"]
+    )
+    parts = _components_as_partitions(connected_components(named).collect())
+    assert parts == {frozenset({"a:1", "b:2", "a:3"}), frozenset({"a:9", "b:9"})}

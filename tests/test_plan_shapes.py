@@ -203,3 +203,36 @@ def test_window_star_rounds_are_join_free(spark, monkeypatch):
     assert "Join" not in wplan, wplan
     assert "Window" in wplan
     assert "Join" in jplan  # the reference form keeps its joins
+
+
+def test_nodistinct_star_round_is_two_exchanges(spark, monkeypatch):
+    """The r8 window-nodistinct CC round must be exactly TWO exchanges
+    (one per star's window) with zero joins and zero aggregates — the
+    variant's entire reason to exist is dropping the round-final
+    distinct's exchange + hash-aggregate pair. (It stays a knob, not
+    the default: at 100M edges the fatter un-deduped shuffles measured
+    a wash against the saved exchange — see _round_step.) The default
+    round must keep the r7 window shape: two windows, the distinct's
+    aggregate pair, still join-free."""
+    from pyspark.sql import functions as F
+
+    from pyspark_entity_resolution_spark.operators.clustering import (
+        _round_step,
+    )
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], ["u", "v"]
+    ).select(F.col("u").cast("long"), F.col("v").cast("long"))
+
+    monkeypatch.setenv("SPARK_GRAFT_CC_STAR", "window-nodistinct")
+    plan = _round_step(e, pin=False)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("Exchange") == 2, plan
+    assert "Join" not in plan and "HashAggregate" not in plan, plan
+    assert plan.count("Window") == 2
+
+    monkeypatch.delenv("SPARK_GRAFT_CC_STAR")
+    dplan = _round_step(e, pin=False)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert dplan.count("Window") == 2 and "Join" not in dplan
+    assert "HashAggregate" in dplan  # the round-final distinct
