@@ -432,6 +432,31 @@ def main(full: bool = False, baseline_ref: str | None = None) -> None:
         per_query[name] = best
         total += best
 
+    ann_arm_sec: dict[str, dict] | None = None
+    if full:
+        # per-arm timing for the noisiest gate row (r7: 4.5 s spread on
+        # a ~6 s pack, the regression net's biggest hole): localize
+        # which of the six ANN strategies wobbles. The pack row above
+        # stays the gate entry; these ride in metadata only.
+        from pyspark_entity_resolution_spark.plans.queries_vector import (
+            ann_methods_arms,
+        )
+
+        ann_arm_sec = {}
+        for arm, df in ann_methods_arms(spark, sf_dir).items():
+            times = []
+            for _ in range(runs):
+                start = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                times.append(time.perf_counter() - start)
+            ann_arm_sec[arm] = {
+                "min": round(min(times), 3),
+                "spread": round(max(times) - min(times), 3),
+            }
+            print(f"[bench] ann arm {arm}: {ann_arm_sec[arm]['min']}s "
+                  f"(±{ann_arm_sec[arm]['spread']})",
+                  file=sys.stderr, flush=True)
+
     if not full:
         er_elapsed = _bench_er_pipeline(spark)
         print(f"[bench] er_pipeline_blocked_n3: {er_elapsed}s",
@@ -469,6 +494,8 @@ def main(full: bool = False, baseline_ref: str | None = None) -> None:
         "er_corpus": er_corpus_meta(),
         "pack_provenance": PACK_PROVENANCE,
     }
+    if ann_arm_sec is not None:
+        workload["ann_methods_arm_sec"] = ann_arm_sec
     metric = "full_total_runtime" if full else "headline_total_runtime"
     # emit the HEAD artifact BEFORE the baseline subprocess: if a
     # harness timeout kills the run mid-baseline, the measured numbers
