@@ -133,13 +133,29 @@ def prepare_training_corpus(
     max_dup_ngram_frac: float | None = None,
     redact_pii: bool = False,
     cut_dup_spans_w: int | None = None,
+    winnow_k: int | None = None,
+    winnow_w: int = 8,
+    winnow_hash: str = "xx64",
 ) -> dict[str, DataFrame]:
     """Run the full corpus-prep funnel; returns every stage boundary:
 
     ``{"gated", "exact_deduped", "near_deduped", "chunks"}``
     (plus ``"repetition_gated"`` when ``max_dup_ngram_frac`` is set,
-    ``"span_cut"`` when ``cut_dup_spans_w`` is set, and ``"redacted"``
-    when ``redact_pii`` is on).
+    ``"span_cut"`` when ``cut_dup_spans_w`` is set, ``"redacted"``
+    when ``redact_pii`` is on, and ``"fingerprints"`` when ``winnow_k``
+    is set).
+
+    ``winnow_k`` adds a winnowed-fingerprint stage (SIGMOD'03, one
+    window pass — operators/winnowing.py) over the SURVIVING documents
+    (post near-dup removal, post span-cut when enabled): the artifact a
+    production corpus ships alongside the text so future batches can be
+    overlap-checked without re-fingerprinting history. The stage
+    defaults to ``winnow_hash="xx64"`` — the xxhash64 fast path,
+    measured 0.59-0.60x of md5 end-to-end at 5k/50k docs (r7,
+    tools/scale_probe.py probe_winnow) — because the fingerprint
+    consumer here is Spark-side only; pass ``"md5"`` when fingerprints
+    must be reproducible by an external engine (the oracle-checked gate
+    row keeps md5 for exactly that reason).
 
     Optional stages mirror the full production scrub sequence:
     ``max_dup_ngram_frac`` adds the Gopher repetition gate between the
@@ -201,6 +217,13 @@ def prepare_training_corpus(
 
         chunk_input = near.withColumn(text_col, _redact(F.col(text_col)))
         stages["redacted"] = chunk_input
+    if winnow_k is not None:
+        from .winnowing import winnow_fingerprints
+
+        stages["fingerprints"] = winnow_fingerprints(
+            chunk_input, id_col, text_col,
+            k=winnow_k, w=winnow_w, hash=winnow_hash,
+        )
     stages["chunks"] = chunk_documents(
         chunk_input, id_col, text_col,
         chunk_chars=chunk_chars, overlap=chunk_overlap,

@@ -160,3 +160,33 @@ def test_optional_repetition_and_pii_stages(spark, docs):
         stages, docs.unionByName(spam)).collect()]
     assert funnel == ["input", "gated", "repetition_gated", "exact_deduped",
                       "near_deduped", "redacted", "chunks"]
+
+
+def test_winnow_fingerprint_stage(spark, docs):
+    """winnow_k adds the fingerprint artifact stage over SURVIVING docs
+    only, on the xx64 fast path by default; winnow_hash='md5' selects
+    the oracle-reproducible hash and matches the standalone operator
+    row-for-row. Fingerprints stay out of the doc-count funnel (they
+    are per-fingerprint rows, not documents)."""
+    from pyspark_entity_resolution_spark.operators.winnowing import (
+        winnow_fingerprints,
+    )
+
+    stages = prepare_training_corpus(docs, winnow_k=8)
+    fps = stages["fingerprints"]
+    assert set(fps.columns) == {"doc_id", "fp_pos", "fp_hash"}
+    surviving = {r.doc_id for r in stages["near_deduped"].collect()}
+    fp_rows = fps.collect()
+    assert fp_rows and {r.doc_id for r in fp_rows} == surviving
+    # default is the xx64 fast path: 16-hex-digit digests (md5 is 32)
+    assert all(len(r.fp_hash) == 16 for r in fp_rows)
+
+    md5_stage = prepare_training_corpus(
+        docs, winnow_k=8, winnow_hash="md5"
+    )["fingerprints"]
+    direct = winnow_fingerprints(stages["near_deduped"], k=8, hash="md5")
+    assert sorted(map(tuple, md5_stage.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    funnel = [r.stage for r in corpus_funnel(stages, docs).collect()]
+    assert "fingerprints" not in funnel

@@ -1094,6 +1094,29 @@ def probe_winnow(spark) -> None:
         flush=True,
     )
 
+    # the PRODUCTION-SHAPED consumer (r8): prepare_training_corpus's
+    # winnow stage — gate + exact dedup + LSH near-dup + fingerprints,
+    # the pipeline a real corpus build runs — at 50k docs, md5 arm vs
+    # the stage's xx64 default. This is the fast path carrying in situ,
+    # not in an isolated operator probe.
+    from pyspark_entity_resolution_spark.operators.corpus import (
+        prepare_training_corpus,
+    )
+
+    def _corpus_fp(df, hash):
+        stages = prepare_training_corpus(df, winnow_k=8, winnow_hash=hash)
+        return stages["fingerprints"].count()
+
+    t5 = _timed("corpus-prep fp stage 50k docs [md5]",
+                lambda: _corpus_fp(big, "md5"))
+    t6 = _timed("corpus-prep fp stage 50k docs [xx64 default]",
+                lambda: _corpus_fp(big, "xx64"))
+    print(
+        f"[winnow] corpus-prep winnow stage at 50k docs: xx64 "
+        f"x{t6 / t5:.2f} of md5",
+        flush=True,
+    )
+
 
 def main() -> None:
     # the x100 legs need a big driver heap (local mode: the executors'
