@@ -9,15 +9,20 @@ dependency: it parses PNG/JPEG/GIF/BMP container headers byte-wise (the
 cheap header-sniff stage every production image pipeline runs before
 pixel decode).
 
-Full pixel-decode kernels FAIL LOUD by default: ``fake=False`` (the
-default) requires a real codec — PIL for images (imported at plan-build
-time so a missing library errors on the driver, not mid-job) and ffmpeg
-for video frame sampling (not probed here). Where the codec is absent
-this raises ``NotImplementedError``. Tests and environments without the
-libs opt into ``fake=True``, a deterministic md5-derived stand-in that
-exercises the full Spark-side plumbing — schema, batching, partitioning
-— with real data flow and an output shape identical to the real
-kernel's.
+Full pixel-decode kernels FAIL LOUD by default: the default ``codec=
+"pil"`` requires PIL (imported at plan-build time so a missing library
+errors on the driver, not mid-job), and video frame sampling requires
+ffmpeg (not probed here). Where the codec is absent this raises
+``NotImplementedError``. Two escape hatches, both explicit:
+
+- ``codec="png-stdlib"`` — a TRUE pixel decode for small 8-bit PNGs
+  built on the stdlib alone (:func:`_png_decode`: zlib-inflated IDAT +
+  full None/Sub/Up/Average/Paeth scanline unfiltering); dimensions come
+  from the verified pixel stream, and non-PNG / palette / interlaced /
+  oversized payloads raise rather than mis-decode.
+- ``fake=True`` — a deterministic md5-derived stand-in that exercises
+  the full Spark-side plumbing (schema, batching, partitioning) with
+  real data flow and an output shape identical to the real kernel's.
 """
 
 from __future__ import annotations
@@ -83,11 +88,125 @@ def _real_decode(payload: bytes) -> tuple[int, int, int, str]:
     return width, height, channels, hashlib.md5(payload).hexdigest()
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# stdlib decoder scope guard: the per-byte Python unfilter loop is fine
+# for thumbnails/fixtures but must not silently eat a 100-megapixel
+# scan — past this budget the decode raises and the caller routes the
+# payload to a real codec or a quarantine path
+_PNG_STDLIB_MAX_PIXELS = 1 << 22  # 4M pixels (e.g. 2048x2048)
+
+
+def _png_decode(payload: bytes, max_pixels: int = _PNG_STDLIB_MAX_PIXELS):
+    """TRUE pixel decode of a small PNG with the stdlib only: parse the
+    chunk stream, zlib-inflate the concatenated IDAT data, and reverse
+    the per-scanline filters (None/Sub/Up/Average/Paeth — the full
+    filter set of the PNG spec). Returns ``(width, height, channels,
+    raw)`` where ``raw`` is the unfiltered pixel bytes, row-major,
+    ``height * width * channels`` long.
+
+    Scope (everything else raises ``ValueError`` — the documented
+    guard, never a silent wrong decode): 8-bit depth, color types
+    0/2/4/6 (gray, RGB, gray+alpha, RGBA), no interlace, no palette,
+    at most ``max_pixels`` pixels, and the IDAT stream must inflate to
+    EXACTLY the expected scanline length — a truncated or padded pixel
+    stream is an error here even when the header parses, which is what
+    separates this from :func:`_probe_header`'s header sniff."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG signature")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 8 <= len(payload):
+        (length,), tag = struct.unpack(">I", payload[pos:pos + 4]), payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + length]
+        if len(body) != length:
+            raise ValueError("truncated chunk")
+        if tag == b"IHDR":
+            ihdr = body
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + length  # len + tag + body + crc
+    if ihdr is None or len(ihdr) != 13:
+        raise ValueError("missing IHDR")
+    w, h, depth, color_type, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise ValueError(f"unsupported color type {color_type} (palette?)")
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG variant (depth={depth}, interlace={interlace})"
+        )
+    if w * h > max_pixels:
+        raise ValueError(f"{w}x{h} exceeds the stdlib decoder's "
+                         f"{max_pixels}-pixel budget; use a real codec")
+    data = zlib.decompress(bytes(idat))
+    stride = w * channels
+    if len(data) != h * (1 + stride):
+        raise ValueError(
+            f"pixel stream is {len(data)} bytes, expected {h * (1 + stride)}"
+        )
+    out = bytearray()
+    prev = bytes(stride)
+    p = 0
+    for _ in range(h):
+        ft = data[p]
+        cur = bytearray(data[p + 1:p + 1 + stride])
+        p += 1 + stride
+        if ft == 1:  # Sub
+            for i in range(channels, stride):
+                cur[i] = (cur[i] + cur[i - channels]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(stride):
+                cur[i] = (cur[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                left = cur[i - channels] if i >= channels else 0
+                cur[i] = (cur[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = cur[i - channels] if i >= channels else 0
+                b = prev[i]
+                c = prev[i - channels] if i >= channels else 0
+                pr = a + b - c
+                pa, pb, pc = abs(pr - a), abs(pr - b), abs(pr - c)
+                cur[i] = (cur[i] + (
+                    a if pa <= pb and pa <= pc else b if pb <= pc else c
+                )) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"invalid scanline filter {ft}")
+        out += cur
+        prev = cur
+    return w, h, channels, bytes(out)
+
+
+def _stdlib_decode(payload: bytes) -> tuple[int, int, int, str]:
+    """PNG-only real decode on the stdlib path: dimensions come from the
+    VERIFIED pixel stream (:func:`_png_decode` inflates and unfilters
+    every scanline), not from the header. Non-PNG payloads raise
+    NotImplementedError — the codec-absent guard stays loud for formats
+    the stdlib cannot decode."""
+    import hashlib
+
+    if payload[:8] != _PNG_SIG:
+        raise NotImplementedError(
+            "stdlib codec decodes PNG only; this payload needs PIL/libjpeg"
+        )
+    w, h, c, _raw = _png_decode(payload)
+    return w, h, c, hashlib.md5(payload).hexdigest()
+
+
 def decode_image_batch(
-    batches: Iterator[pd.DataFrame], fake: bool = False
+    batches: Iterator[pd.DataFrame], fake: bool = False, codec: str = "pil"
 ) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel: (media_id, payload) -> IMAGE_FEATURES_SCHEMA."""
-    decode = _fake_decode if fake else _real_decode
+    decode = _fake_decode if fake else (
+        _stdlib_decode if codec == "png-stdlib" else _real_decode
+    )
     for pdf in batches:
         rows = []
         for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
@@ -103,7 +222,9 @@ def decode_image_batch(
         )
 
 
-def extract_image_features(media: DataFrame, fake: bool = False) -> DataFrame:
+def extract_image_features(
+    media: DataFrame, fake: bool = False, codec: str = "pil"
+) -> DataFrame:
     """Decode + feature-extract an image column.
 
     Plan shape: column-prune to (media_id, payload) BEFORE the Python
@@ -111,24 +232,36 @@ def extract_image_features(media: DataFrame, fake: bool = False) -> DataFrame:
     explicit output schema. Partitioning is preserved; at scale,
     repartition upstream by size estimate so Arrow batches stay bounded.
 
-    Default ``fake=False`` needs PIL and fails loud AT PLAN BUILD if it
-    is missing — fabricated features never ship silently; opt into
-    ``fake=True`` for the deterministic stub kernel.
+    ``codec``:
+
+    - ``"pil"`` (default): needs PIL and fails loud AT PLAN BUILD if it
+      is missing — fabricated features never ship silently.
+    - ``"png-stdlib"``: no library needed — a TRUE pixel decode
+      (zlib-inflate + unfilter, :func:`_png_decode`) for small 8-bit
+      PNGs; non-PNG payloads and exotic/oversized PNGs raise in-kernel.
+
+    ``fake=True`` selects the deterministic stub kernel regardless of
+    codec (clearly-fabricated features for plumbing tests).
     """
-    if not fake:
+    if not fake and codec not in ("pil", "png-stdlib"):
+        raise ValueError(f"codec must be 'pil' or 'png-stdlib', got {codec!r}")
+    if not fake and codec == "pil":
         try:
             import PIL.Image  # noqa: F401  (driver-side availability check)
         except ImportError as exc:
             raise NotImplementedError(
                 "real image decoding requires PIL/libjpeg, which is not "
-                "installed; pass fake=True to run the deterministic stub "
-                "kernel (clearly-fabricated features for plumbing tests)"
+                "installed; pass codec='png-stdlib' for the library-free "
+                "PNG pixel decoder, or fake=True for the deterministic "
+                "stub kernel (clearly-fabricated features for plumbing "
+                "tests)"
             ) from exc
     pruned = media.filter(F.col("media_type") == "image").select(
         "media_id", "payload"
     )
     return pruned.mapInPandas(
-        lambda it: decode_image_batch(it, fake=fake), IMAGE_FEATURES_SCHEMA
+        lambda it: decode_image_batch(it, fake=fake, codec=codec),
+        IMAGE_FEATURES_SCHEMA,
     )
 
 

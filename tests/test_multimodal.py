@@ -331,3 +331,161 @@ def test_real_decode_unit_kernel_with_pil():
     w, h, c, digest = _real_decode(payload)
     assert (w, h, c) == (11, 4, 3)
     assert digest == hashlib.md5(payload).hexdigest()
+
+
+# ------------------- stdlib PNG pixel decode (no codec library) ----------
+
+def _png_encode(width, height, pixels, color_type=2, filters=None):
+    """Test-side PNG ENCODER for known pixel bytes: applies the spec's
+    per-row filter transform (the inverse of what the decoder reverses)
+    so the decoder's unfiltering of every filter type is provable
+    against exact pixel values. `pixels` is row-major raw bytes,
+    height*width*channels long; `filters[r]` picks row r's filter."""
+    import struct
+    import zlib
+
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    stride = width * ch
+    filters = filters or [0] * height
+    data = bytearray()
+    prev = bytes(stride)
+    for r in range(height):
+        raw = bytes(pixels[r * stride:(r + 1) * stride])
+        ft = filters[r]
+        enc = bytearray(raw)
+        if ft == 1:  # Sub
+            for i in range(stride - 1, ch - 1, -1):
+                enc[i] = (raw[i] - raw[i - ch]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(stride):
+                enc[i] = (raw[i] - prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                left = raw[i - ch] if i >= ch else 0
+                enc[i] = (raw[i] - ((left + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = raw[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else b if pb <= pc else c
+                enc[i] = (raw[i] - pred) & 0xFF
+        data += bytes([ft]) + bytes(enc)
+        prev = raw
+
+    def chunk(tag, body):
+        blob = tag + body
+        return struct.pack(">I", len(body)) + blob + struct.pack(
+            ">I", zlib.crc32(blob)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(data)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_stdlib_decode_roundtrip_all_filters():
+    """Exact pixel recovery through every scanline filter the PNG spec
+    defines (None/Sub/Up/Average/Paeth) — the proof this is a pixel
+    decoder, not a header sniff."""
+    from pyspark_entity_resolution_spark.operators.multimodal import _png_decode
+
+    w, h = 6, 5
+    pixels = bytes((r * 37 + i * 11) & 0xFF for r in range(h) for i in range(w * 3))
+    payload = _png_encode(w, h, pixels, color_type=2, filters=[0, 1, 2, 3, 4])
+    gw, gh, gch, raw = _png_decode(payload)
+    assert (gw, gh, gch) == (w, h, 3)
+    assert raw == pixels
+
+    # gray and RGBA variants round-trip too
+    for ct, ch in ((0, 1), (6, 4)):
+        px = bytes((i * 7) & 0xFF for i in range(4 * 3 * ch))
+        got = _png_decode(_png_encode(4, 3, px, color_type=ct,
+                                      filters=[4, 3, 1]))
+        assert got == (4, 3, ch, px)
+
+
+def test_png_stdlib_decode_guards():
+    """The documented scope guards fail LOUD: truncated pixel stream
+    (header parses fine — _probe_header accepts it, the decoder must
+    not), palette color type, over-budget dimensions, bad filter byte,
+    and non-PNG payloads through the kernel-level _stdlib_decode."""
+    import struct
+    import zlib
+
+    from pyspark_entity_resolution_spark.operators.multimodal import (
+        _png_decode,
+        _probe_header,
+        _stdlib_decode,
+    )
+
+    # the short fixture used elsewhere in this file: ONE row of pixel
+    # data for a 7x5 image — header-valid, pixel-invalid
+    short = _png_bytes(7, 5, color_type=6)
+    assert _probe_header(short)[0] == "png"  # the sniff accepts it...
+    with pytest.raises(ValueError, match="pixel stream"):
+        _png_decode(short)  # ...the decoder does not
+
+    px = bytes(4 * 2 * 3)
+    good = _png_encode(4, 2, px, color_type=2)
+    # palette (color type 3)
+    pal = bytearray(good)
+    pal[25] = 3
+    with pytest.raises(ValueError, match="color type"):
+        _png_decode(bytes(pal))
+    # over-budget dimensions
+    big = _png_encode(4, 2, px, color_type=2)
+    with pytest.raises(ValueError, match="budget"):
+        _png_decode(big, max_pixels=7)
+    # bad filter byte
+    raw = b"\x07" + px[:12] + b"\x00" + px[12:]
+    bad = (
+        b"\x89PNG\r\n\x1a\n"
+        + good[8:33]  # reuse IHDR chunk bytes (len 25: 4+4+13+4)
+    )
+    def chunk(tag, body):
+        blob = tag + body
+        return struct.pack(">I", len(body)) + blob + struct.pack(
+            ">I", zlib.crc32(blob)
+        )
+    bad += chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="filter"):
+        _png_decode(bad)
+    # non-PNG through the kernel decode: loud NotImplementedError
+    with pytest.raises(NotImplementedError, match="PNG only"):
+        _stdlib_decode(b"\xff\xd8JPEG-bytes")
+
+
+def test_real_pixel_decode_spark_e2e_stdlib(spark):
+    """FORMERLY PIL-GATED territory, now running green with no codec
+    library: extract_image_features(codec='png-stdlib') decodes real
+    pixel streams through the full Spark path (column prune -> Arrow ->
+    mapInPandas) and returns dimensions taken from the VERIFIED pixel
+    data, plus the payload hash."""
+    import hashlib
+
+    rgb_px = bytes((i * 3) & 0xFF for i in range(7 * 5 * 3))
+    rgba_px = bytes((i * 5) & 0xFF for i in range(3 * 2 * 4))
+    rgb = _png_encode(7, 5, rgb_px, color_type=2, filters=[0, 1, 2, 3, 4])
+    rgba = _png_encode(3, 2, rgba_px, color_type=6, filters=[4, 2])
+    rows = [
+        (1, "image", rgb, "image/png", "s3://x/rgb.png"),
+        (2, "image", rgba, "image/png", "s3://x/rgba.png"),
+        (3, "video", b"MP4-fake", "video/mp4", "s3://x/v.mp4"),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {
+        r["media_id"]: r
+        for r in extract_image_features(media, codec="png-stdlib").collect()
+    }
+    assert set(got) == {1, 2}
+    assert (got[1]["width"], got[1]["height"], got[1]["channels"]) == (7, 5, 3)
+    assert (got[2]["width"], got[2]["height"], got[2]["channels"]) == (3, 2, 4)
+    assert got[1]["content_hash"] == hashlib.md5(rgb).hexdigest()
+    assert got[1]["n_bytes"] == len(rgb)
