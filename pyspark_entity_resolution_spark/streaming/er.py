@@ -220,7 +220,13 @@ def _acquire_store_lease(spark, labels_path: str, owner: str):
     raises RuntimeError when another writer holds the lease. A lease
     left behind by a crashed writer must be cleared explicitly with
     :func:`break_store_lease` — a deliberate manual step, since only
-    an operator can know the other writer is truly gone."""
+    an operator can know the other writer is truly gone.
+
+    Atomicity rests on Hadoop-FS ``create(path, overwrite=False)``
+    (create-exclusive); that this primitive actually excludes across
+    SEPARATE JVMs on the local filesystem — not merely across threads
+    of one session — is proven by racing real processes in
+    tests/test_streaming_er.py::test_lease_mutual_exclusion_across_processes."""
     import json as _json
     import os as _os
     import time as _time

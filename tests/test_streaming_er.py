@@ -1188,3 +1188,118 @@ def test_diff_write_skips_unchanged_members_of_touched_components(spark, tmp_pat
         for r in cluster_matched_pairs(all_matches, "a_id", "b_id").collect()
     }
     assert got == expected
+
+
+_LEASE_RACE_SCRIPT = r'''
+import json, sys, time
+
+sys.path.insert(0, "/root/repo")
+role, labels_path, out_path, lease_wait, hold = sys.argv[1:6]
+
+from pyspark_entity_resolution_spark.session import get_spark
+from pyspark_entity_resolution_spark.streaming.er import (
+    _acquire_store_lease_retry,
+    _release_store_lease,
+)
+
+spark = get_spark(
+    app_name=f"lease-race-{role}", master="local[2]", shuffle_partitions=2
+)
+
+
+def log(event):
+    with open(out_path, "a") as f:
+        f.write(json.dumps({"role": role, "event": event,
+                            "t": time.time()}) + "\n")
+        f.flush()
+
+
+log("started")
+try:
+    fs = _acquire_store_lease_retry(
+        spark, labels_path, owner=role, lease_wait=float(lease_wait)
+    )
+    log("acquired")
+    time.sleep(float(hold))
+    _release_store_lease(spark, labels_path, fs)
+    log("released")
+except RuntimeError:
+    log("denied")
+spark.stop()
+'''
+
+
+def test_lease_mutual_exclusion_across_processes(tmp_path):
+    """The single-writer contract must hold across SEPARATE JVMs, not
+    just within one session: the lease is Hadoop-FS create-exclusive,
+    and this proves that primitive is atomic on this filesystem by
+    racing real processes. Writer A (own JVM) acquires and holds;
+    writer B (second JVM, ``lease_wait`` = generous) starts while A
+    holds and must block until A releases — B's acquire timestamp must
+    be AFTER A's release timestamp; writer C (``lease_wait`` = tiny)
+    must be denied with the locked-store error while A still holds.
+    In-process coverage of the same paths:
+    test_writer_lease_blocks_concurrent_fold_and_compact,
+    test_lease_wait_retries_through_benign_contention."""
+    import json
+    import subprocess
+    import sys
+    import time
+
+    labels_path = str(tmp_path / "labels_race")
+    script = tmp_path / "lease_race.py"
+    script.write_text(_LEASE_RACE_SCRIPT)
+    out_a = str(tmp_path / "a.jsonl")
+    out_b = str(tmp_path / "b.jsonl")
+    out_c = str(tmp_path / "c.jsonl")
+
+    def events(path):
+        try:
+            with open(path) as f:
+                return [json.loads(ln) for ln in f if ln.strip()]
+        except FileNotFoundError:
+            return []
+
+    def wait_for(path, event, timeout=120):
+        deadline = time.monotonic() + timeout
+        while time.monotonic() < deadline:
+            for e in events(path):
+                if e["event"] == event:
+                    return e
+            time.sleep(0.2)
+        raise AssertionError(f"no {event!r} in {path} within {timeout}s")
+
+    # A: acquire immediately, hold long enough for B and C to contend
+    # (the hold must outlast B's and C's JVM startup, ~10s each here)
+    a = subprocess.Popen(
+        [sys.executable, str(script), "A", labels_path, out_a, "0", "30"],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    try:
+        wait_for(out_a, "acquired")
+        # C: tiny lease_wait while A holds -> denied (started first so
+        # its attempt lands well inside A's hold window)
+        c = subprocess.Popen(
+            [sys.executable, str(script), "C", labels_path, out_c, "0.3", "0"],
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
+        # B: generous lease_wait -> must block, then win after A releases
+        b = subprocess.Popen(
+            [sys.executable, str(script), "B", labels_path, out_b, "90", "0"],
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
+        try:
+            denied = wait_for(out_c, "denied")
+            a_released = wait_for(out_a, "released")
+            b_acquired = wait_for(out_b, "acquired")
+            wait_for(out_b, "released")
+        finally:
+            b.wait(timeout=120)
+            c.wait(timeout=120)
+    finally:
+        a.wait(timeout=120)
+
+    # C was denied while A still held (before A's release)
+    assert denied["t"] < a_released["t"]
+    # mutual exclusion across JVMs: B acquired only after A released
+    assert b_acquired["t"] >= a_released["t"]
