@@ -357,7 +357,7 @@ def _baseline_same_host_interleaved(ref: str) -> dict:
         )
     except Exception as exc:  # noqa: BLE001 — diagnostic sink by design
         return {"ref": base, "error": repr(exc)}
-    return {
+    out = {
         "ref": base,
         "head_ref": head,
         "passes": passes,
@@ -370,6 +370,16 @@ def _baseline_same_host_interleaved(ref: str) -> dict:
                     "both arms are COMMITTED shas in cached worktrees"
                     % runs,
     }
+    if passes < 2:
+        # one pass = A-then-B, no order reversal — exactly the
+        # sequential ordering this block exists to replace. Stamp it so
+        # a reader never mistakes a single-pass run (HEAD first, cold
+        # cache; baseline second, warm) for straddle-grade evidence.
+        out["sequential_grade"] = True
+        out["protocol"] += ("; WARNING: passes=1 is sequential A-then-B "
+                            "— no straddle evidence, ordering bias "
+                            "uncorrected")
+    return out
 
 
 def main(full: bool = False, baseline_ref: str | None = None) -> None:

@@ -165,6 +165,14 @@ def test_interleaved_baseline_embeds_pairs_and_summary(monkeypatch):
     assert out["summary"] == fake_summary
     assert "interleaved" in out["protocol"]
 
+    # a single pass is A-then-B with no order reversal — the artifact
+    # must carry the sequential-grade warning so nobody reads it as
+    # straddle evidence (the r8 sf1 run made exactly that mistake)
+    monkeypatch.setenv("SPARK_GRAFT_BASELINE_PASSES", "1")
+    one = bench._baseline_same_host_interleaved("some-ref")
+    assert one["sequential_grade"] is True
+    assert "sequential A-then-B" in one["protocol"]
+
     # HEAD == baseline must short-circuit (tautological comparison)
     monkeypatch.setattr(ab_bench, "resolve_ref", lambda ref: "a" * 40)
     same = bench._baseline_same_host_interleaved("HEAD")
