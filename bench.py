@@ -60,6 +60,15 @@ PACK_PROVENANCE: dict[str, dict[str, list[str]]] = {
                          "left_semi_exists (r6)", "left_anti_not_exists (r6)"],
         "renamed_from": ["semi_anti_join_customers (standalone, r1-r5)"],
     },
+    "dedup_ngram_jaccard": {
+        # r8 widened in place: section 'char_blocked' is the r1-r7 row
+        # set (char-3-grams, blocked strategy); section 'token_prefix'
+        # adds the AllPairs/PPJoin prefix-filtered strategy over
+        # token-3-shingles — each candidate strategy driver-verified in
+        # its right vocabulary regime
+        "constituents": ["char_blocked", "token_prefix (r8)"],
+        "renamed_from": [],
+    },
     "text_analysis_pack": {
         # r6 widened in place: n_bpe_tokens column (GPT-2-family
         # pre-tokenizer count) joins the per-doc stats row set

@@ -14,9 +14,10 @@ Four families, all expressed as declarative DataFrame plans that scale to
 - **SimHash**: 64-bit signed-sum signature over token md5 bits; near-dup
   candidates share one of four 16-bit chunks (Hamming<=3-by-pigeonhole
   style banding).
-- **n-gram Jaccard**: exact character-shingle Jaccard verification over
-  blocked pairs (default), or AllPairs/PPJoin prefix-filtered candidates
-  for selective vocabularies.
+- **n-gram Jaccard**: exact shingle Jaccard verification (character or
+  whitespace-token k-grams) over blocked pairs (default), or
+  AllPairs/PPJoin prefix-filtered candidates for selective vocabularies
+  (token shingles are that regime).
 
 Pair-verification stages intersect 64-bit hash arrays instead of string
 arrays whenever a planning-time certificate proves ``xxhash64`` is
@@ -32,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import char_shingles, fingerprint_md5, tokens
+from ..functions.text import char_shingles, fingerprint_md5, tokens, word_shingles
 
 HEX = "0123456789abcdef"
 
@@ -514,8 +515,16 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.6,
     strategy: str = "blocked",
+    shingle: str = "char",
 ) -> DataFrame:
-    """Character-k-gram set Jaccard >= ``threshold`` pairs within blocks.
+    """k-gram set Jaccard >= ``threshold`` pairs within blocks.
+
+    ``shingle`` picks the gram unit: ``"char"`` (default — character
+    k-grams, the oracle-checked gate semantics) or ``"token"``
+    (whitespace-token k-shingles joined with a space, the selective-
+    vocabulary regime where the ``"prefix"`` strategy is the scale
+    path). Both units run through identical candidate strategies and
+    the same exact verification.
 
     Two lossless candidate strategies with IDENTICAL results (equivalence
     is property-tested against the brute-force join in
@@ -548,8 +557,11 @@ def ngram_jaccard_pairs(
     """
     if strategy not in ("blocked", "prefix"):
         raise ValueError(f"unknown strategy {strategy!r}")
+    if shingle not in ("char", "token"):
+        raise ValueError(f"unknown shingle unit {shingle!r}")
+    shingler = char_shingles if shingle == "char" else word_shingles
     block_cols = list(block_cols)
-    grams = F.array_distinct(char_shingles(F.col(text_col), k))
+    grams = F.array_distinct(shingler(F.col(text_col), k))
     base = df.select(
         F.col(id_col).alias("__id"), *block_cols, grams.alias("grams"),
         F.size(grams).alias("ng"),

@@ -287,25 +287,62 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "dedup_ngram_jaccard",
     f"""
-    WITH g AS (
+    WITH cg AS (
       SELECT doc_id, lang, source, list_distinct({_GRAMS_SQL}) AS grams
       FROM documents
+    ),
+    tk AS (SELECT doc_id, lang, source, {_TOKS_SQL} AS tk FROM documents),
+    tg AS (
+      SELECT doc_id, lang, source,
+             list_distinct(list_transform(
+               range(1, greatest(1, len(tk) - 2) + 1),
+               i -> array_to_string(tk[i : i + 2], ' '))) AS grams
+      FROM tk
+    ),
+    char_pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+               / len(list_distinct(a.grams || b.grams)) AS ngram_jaccard
+      FROM cg a JOIN cg b
+        ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+               / len(list_distinct(a.grams || b.grams)) >= 0.6
+    ),
+    token_pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+               / len(list_distinct(a.grams || b.grams)) AS ngram_jaccard
+      FROM tg a JOIN tg b
+        ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+               / len(list_distinct(a.grams || b.grams)) >= 0.6
     )
-    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-           CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-             / len(list_distinct(a.grams || b.grams)) AS ngram_jaccard
-    FROM g a JOIN g b
-      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-    WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-             / len(list_distinct(a.grams || b.grams)) >= 0.6
+    SELECT 'char_blocked' AS section, a_id, b_id, ngram_jaccard FROM char_pairs
+    UNION ALL
+    SELECT 'token_prefix' AS section, a_id, b_id, ngram_jaccard FROM token_pairs
     """,
-    "char-3-gram set Jaccard near-dup detection over (lang, source) blocks",
+    "k-gram set Jaccard near-dup detection over (lang, source) blocks — "
+    "each candidate strategy in its right regime: char-3-grams via the "
+    "blocked strategy (small selective-free vocabulary), token-3-shingles "
+    "via AllPairs/PPJoin prefix filtering (the selective-vocabulary scale "
+    "path). The DuckDB oracle computes both pair sets from scratch, so the "
+    "prefix path's losslessness is hash-checked by the driver, not just "
+    "property-tested.",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.ngram_jaccard_pairs(
-        spread(spark, load(spark, sf_dir, "documents")), block_cols=["lang", "source"], k=3,
-        threshold=0.6,
+    docs = spread(spark, load(spark, sf_dir, "documents"))
+    char_arm = D.ngram_jaccard_pairs(
+        docs, block_cols=["lang", "source"], k=3, threshold=0.6,
+    ).select(
+        F.lit("char_blocked").alias("section"), "a_id", "b_id", "ngram_jaccard"
     )
+    token_arm = D.ngram_jaccard_pairs(
+        docs, block_cols=["lang", "source"], k=3, threshold=0.6,
+        strategy="prefix", shingle="token",
+    ).select(
+        F.lit("token_prefix").alias("section"), "a_id", "b_id", "ngram_jaccard"
+    )
+    return char_arm.unionByName(token_arm)
 
 
 _SIMHASH_SQL = """

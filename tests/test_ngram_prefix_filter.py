@@ -74,6 +74,51 @@ def test_pruned_strategies_equal_brute_force(spark, strategy, seed, threshold):
     assert got == want
 
 
+def _brute_force_tokens(df, w, threshold):
+    """Reference semantics for token shingles: all pairs within blocks
+    over whitespace-token w-shingles."""
+    from pyspark_entity_resolution_spark.functions.text import word_shingles
+
+    grams = F.array_distinct(word_shingles(F.col("text"), w))
+    base = df.select("doc_id", "lang", "source", grams.alias("grams"),
+                     F.size(grams).alias("ng"))
+    a = base.select(F.col("doc_id").alias("a_id"), "lang", "source",
+                    F.col("grams").alias("a_grams"), F.col("ng").alias("a_ng"))
+    b = base.select(F.col("doc_id").alias("b_id"), "lang", "source",
+                    F.col("grams").alias("b_grams"), F.col("ng").alias("b_ng"))
+    inter = F.size(F.array_intersect("a_grams", "b_grams"))
+    jac = F.try_divide(inter.cast("double"),
+                       F.col("a_ng") + F.col("b_ng") - inter)
+    return (a.join(b, on=["lang", "source"])
+            .filter(F.col("a_id") < F.col("b_id"))
+            .withColumn("ngram_jaccard", jac)
+            .filter(F.col("ngram_jaccard") >= threshold)
+            .select("a_id", "b_id", "ngram_jaccard"))
+
+
+@pytest.mark.parametrize("strategy", ["blocked", "prefix"])
+@pytest.mark.parametrize("seed,threshold", [(11, 0.5), (12, 0.3)])
+def test_token_shingles_equal_brute_force(spark, strategy, seed, threshold):
+    # token shingles are the selective-vocabulary regime the prefix
+    # strategy exists for — both strategies must still be lossless there
+    rng = random.Random(seed)
+    df = spark.createDataFrame(_corpus(rng, 120),
+                               ["doc_id", "text", "lang", "source"])
+    fast = D.ngram_jaccard_pairs(df, k=2, threshold=threshold,
+                                 strategy=strategy, shingle="token")
+    slow = _brute_force_tokens(df, w=2, threshold=threshold)
+    got, want = _rows(fast), _rows(slow)
+    assert len(want) > 0, "corpus must exercise the threshold band"
+    assert got == want
+
+
+def test_unknown_shingle_unit_raises(spark):
+    df = spark.createDataFrame([(1, "a b c", "en", "web")],
+                               ["doc_id", "text", "lang", "source"])
+    with pytest.raises(ValueError, match="shingle unit"):
+        D.ngram_jaccard_pairs(df, shingle="byte")
+
+
 def test_hash_injectivity_certificate(spark):
     # the planning-time certificate must accept a clean vocabulary and
     # hash-verified jaccard must equal string jaccard exactly

@@ -20,7 +20,9 @@ Probe D (``century``): TWO measured decades (x100) for MinHash-LSH,
          pipeline — each family in its own subprocess (fresh JVM) so
          base legs never measure a predecessor's heap. Individual
          families: ``century-minhash`` ``century-substring``
-         ``century-cc`` ``century-er`` ``century-ingest`` (the
+         ``century-ngram`` (prefix-filtered token-shingle Jaccard — the
+         selective-vocabulary scale path, with an exactly-100x result
+         assertion) ``century-cc`` ``century-er`` ``century-ingest`` (the
          ingest-time serving paths: fixed arriving batch vs a x100
          persisted index) ``century-labelstore`` ``century-winnow``.
 
@@ -284,8 +286,8 @@ def _with_scaled_partitions(spark, fn, factor=8):
 
 
 CENTURY_FAMILIES = (
-    "century-minhash", "century-substring", "century-cc", "century-er",
-    "century-ingest", "century-labelstore", "century-winnow",
+    "century-minhash", "century-substring", "century-ngram", "century-cc",
+    "century-er", "century-ingest", "century-labelstore", "century-winnow",
 )
 
 
@@ -358,6 +360,55 @@ def probe_century_substring(spark) -> None:
         runs=1,
     )
     print(f"[century] substring_spans x100 data -> x{t2 / t1:.1f} time", flush=True)
+
+
+def probe_century_ngram(spark) -> None:
+    """x100 leg for the n-gram Jaccard SCALE path: AllPairs/PPJoin
+    prefix filtering over token shingles (the selective-vocabulary
+    regime the strategy exists for). The blocked default is the
+    small-block baseline and is deliberately NOT run at x100: within
+    (lang, source) blocks it is O(sum block^2) — at 500k docs that is
+    ~2.8e9 array intersections, hours of work the prefix path replaces
+    with rare-gram bucket joins. The x100 corpus's per-copy token salt
+    makes every copy's shingle vocabulary disjoint, so the correct
+    result is EXACTLY 100x the base pair set (id-remapped) — the probe
+    asserts that, making this a correctness check at scale, not just a
+    timing. Standalone mode: ``scale_probe.py century-ngram``."""
+    from pyspark_entity_resolution_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from pyspark_entity_resolution_spark.plans.common import spread
+
+    base = spread(spark, spark.read.parquet("/root/testdata/sf0.1/documents.parquet"))
+
+    def _pairs(df):
+        return ngram_jaccard_pairs(
+            df, k=3, threshold=0.6, strategy="prefix", shingle="token"
+        ).count()
+
+    n_base = _pairs(base)
+    t1 = _timed_century("ngram_prefix 5k docs", lambda: _pairs(base), runs=3)
+    # build (or cache-hit) the x100 corpus only AFTER the base leg is
+    # timed: the 500k-doc build in the same JVM bloats the heap and a
+    # first-run base leg measured after it read 30.7 s vs 5-6 s clean
+    big = spread(spark, spark.read.parquet(_docs_xn(spark, 100)), factor=2)
+    counted = {}
+    t2 = _timed_century(
+        "ngram_prefix 500k docs (x100)",
+        lambda: counted.setdefault(
+            "n", _with_scaled_partitions(spark, lambda: _pairs(big))
+        ),
+        runs=1,
+    )
+    assert counted["n"] == 100 * n_base, (
+        f"x100 corpus must yield exactly 100x the base pairs "
+        f"(copy-local salting): got {counted['n']}, want {100 * n_base}"
+    )
+    print(
+        f"[century] ngram_prefix x100 data -> x{t2 / t1:.1f} time "
+        f"({n_base} -> {counted['n']} pairs, exactly 100x: OK)",
+        flush=True,
+    )
 
 
 def probe_century_cc(spark) -> None:
@@ -1145,6 +1196,8 @@ def main() -> None:
         probe_century_minhash(spark)
     elif "century-substring" in sys.argv[1:]:
         probe_century_substring(spark)
+    elif "century-ngram" in sys.argv[1:]:
+        probe_century_ngram(spark)
     elif "century-cc" in sys.argv[1:]:
         probe_century_cc(spark)
     elif "century-er" in sys.argv[1:]:
