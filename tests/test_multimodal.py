@@ -489,3 +489,184 @@ def test_real_pixel_decode_spark_e2e_stdlib(spark):
     assert (got[2]["width"], got[2]["height"], got[2]["channels"]) == (3, 2, 4)
     assert got[1]["content_hash"] == hashlib.md5(rgb).hexdigest()
     assert got[1]["n_bytes"] == len(rgb)
+
+
+# ----------------- real WAV-PCM waveform decode (numpy + stdlib) --------
+
+def _wav_pcm(rate, channels, bits, frames):
+    """WAV with EXPLICIT raw integer samples — `frames` is a list of
+    per-frame tuples (signed ints for 16-bit, unsigned 0..255 for
+    8-bit), so every feature the kernel reports has a hand-computable
+    expected value."""
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 1, channels, rate,
+                      rate * channels * bits // 8, channels * bits // 8, bits)
+    if bits == 16:
+        data = b"".join(struct.pack("<" + "h" * channels, *f) for f in frames)
+    else:
+        data = b"".join(bytes(f) for f in frames)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_wav_feature_kernel_exact_square_wave():
+    # +A/-A square wave: rms == peak == A/32768 exactly, one sign change
+    # per adjacent pair
+    from pyspark_entity_resolution_spark.operators.multimodal import (
+        _wav_features,
+    )
+
+    A = 8192
+    frames = [(A,) if i % 2 == 0 else (-A,) for i in range(100)]
+    rate, ch, n, dur, rms, peak, zc = _wav_features(
+        _wav_pcm(16000, 1, 16, frames))
+    assert (rate, ch, n) == (16000, 1, 100)
+    assert dur == pytest.approx(100 / 16000)
+    assert rms == pytest.approx(A / 32768)
+    assert peak == pytest.approx(A / 32768)
+    assert zc == 99
+
+
+def test_wav_stereo_mix_and_zero_transparency():
+    # the mono mix is the per-frame channel mean, and exact zeros are
+    # transparent to the crossing count: +0.5, 0, -0.5, 0 is ONE crossing
+    import math
+
+    from pyspark_entity_resolution_spark.operators.multimodal import (
+        _wav_features,
+    )
+
+    frames = [(16384, 16384), (0, 0), (-16384, -16384), (8192, -8192)]
+    rate, ch, n, dur, rms, peak, zc = _wav_features(
+        _wav_pcm(8000, 2, 16, frames))
+    assert (rate, ch, n) == (8000, 2, 4)
+    assert peak == pytest.approx(0.5)
+    assert rms == pytest.approx(math.sqrt((0.25 + 0.0 + 0.25 + 0.0) / 4))
+    assert zc == 1
+
+
+def test_wav_8bit_unsigned_normalization():
+    # 8-bit WAV is unsigned with 128 center: (v - 128) / 128, so 0 maps
+    # to exactly -1.0 and 255 to 127/128
+    import math
+
+    from pyspark_entity_resolution_spark.operators.multimodal import (
+        _wav_features,
+    )
+
+    frames = [(255,), (0,), (255,), (0,)]
+    rate, ch, n, dur, rms, peak, zc = _wav_features(
+        _wav_pcm(8000, 1, 8, frames))
+    hi = 127 / 128
+    assert peak == pytest.approx(1.0)
+    assert rms == pytest.approx(math.sqrt((hi * hi + 1.0) / 2))
+    assert zc == 3
+
+
+def test_wav_silent_file_reads_zero_not_noise():
+    # the all-zero payload from the header-probe fixture: zero rms, zero
+    # peak, and — because zeros are transparent, not sign flips — zero
+    # crossings
+    from pyspark_entity_resolution_spark.operators.multimodal import (
+        _wav_features,
+    )
+
+    rate, ch, n, dur, rms, peak, zc = _wav_features(
+        _wav_bytes(16000, 1, 16, 16000))
+    assert (rate, ch, n, dur) == (16000, 1, 16000, 1.0)
+    assert (rms, peak, zc) == (0.0, 0.0, 0)
+
+
+def test_wav_decode_guards():
+    # every out-of-scope payload raises with a named reason — never a
+    # silent wrong decode
+    import struct
+
+    from pyspark_entity_resolution_spark.operators.multimodal import (
+        _wav_pcm_decode,
+    )
+
+    ok = _wav_pcm(8000, 1, 16, [(1,), (-1,), (2,)])
+
+    with pytest.raises(ValueError, match="RIFF/WAVE"):
+        _wav_pcm_decode(b"not audio at all")
+    with pytest.raises(ValueError, match="format code 3"):
+        _wav_pcm_decode(ok.replace(
+            b"fmt " + struct.pack("<I", 16) + struct.pack("<H", 1),
+            b"fmt " + struct.pack("<I", 16) + struct.pack("<H", 3), 1))
+    # 24-bit depth: patch the bits field (last 2 bytes of the fmt body)
+    fmt24 = struct.pack("<HHIIHH", 1, 1, 8000, 8000 * 3, 3, 24)
+    bad_bits = (b"RIFF" + struct.pack("<I", 4 + 8 + 16 + 8) + b"WAVE"
+                + b"fmt " + struct.pack("<I", 16) + fmt24
+                + b"data" + struct.pack("<I", 0))
+    with pytest.raises(ValueError, match="bit depth 24"):
+        _wav_pcm_decode(bad_bits)
+    # truncated final frame: 16-bit mono data chunk of 3 bytes
+    fmt16 = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    trunc = (b"RIFF" + struct.pack("<I", 4 + 8 + 16 + 8 + 3) + b"WAVE"
+             + b"fmt " + struct.pack("<I", 16) + fmt16
+             + b"data" + struct.pack("<I", 3) + b"\x01\x02\x03")
+    with pytest.raises(ValueError, match="frame stride"):
+        _wav_pcm_decode(trunc)
+    with pytest.raises(ValueError, match="missing data"):
+        _wav_pcm_decode(b"RIFF" + struct.pack("<I", 4 + 8 + 16) + b"WAVE"
+                        + b"fmt " + struct.pack("<I", 16) + fmt16)
+    with pytest.raises(ValueError, match="frame .*budget|budget"):
+        _wav_pcm_decode(ok, max_frames=2)
+
+
+def test_extract_audio_features_spark_e2e(spark):
+    """Real waveform decode through the full Spark path (column prune ->
+    Arrow -> mapInPandas): exact features for hand-built PCM, non-audio
+    rows pruned before the Python boundary."""
+    import hashlib
+
+    from pyspark_entity_resolution_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    A = 8192
+    square = _wav_pcm(16000, 1, 16, [(A,) if i % 2 == 0 else (-A,)
+                                     for i in range(100)])
+    stereo = _wav_pcm(8000, 2, 16,
+                      [(16384, 16384), (0, 0), (-16384, -16384)])
+    rows = [
+        (1, "audio", square, "audio/wav", "s3://a/sq.wav"),
+        (2, "audio", stereo, "audio/wav", "s3://a/st.wav"),
+        (3, "image", square, "image/png", "s3://a/not-audio.png"),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r
+           for r in extract_audio_features(media).collect()}
+    assert set(got) == {1, 2}
+    r1 = got[1]
+    assert (r1["sample_rate"], r1["channels"], r1["n_frames"]) == (16000, 1, 100)
+    assert r1["rms"] == pytest.approx(A / 32768)
+    assert r1["zero_crossings"] == 99
+    assert r1["content_hash"] == hashlib.md5(square).hexdigest()
+    r2 = got[2]
+    assert (r2["sample_rate"], r2["channels"], r2["n_frames"]) == (8000, 2, 3)
+    assert r2["peak"] == pytest.approx(0.5)
+    assert r2["zero_crossings"] == 1
+
+
+def test_extract_audio_features_fake_and_codec_guard(spark):
+    from pyspark_entity_resolution_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    rows = [(1, "audio", b"opaque-bytes", "audio/flac", "s3://a/x.flac")]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    # the stub kernel runs the full plumbing with fabricated stats
+    fake = extract_audio_features(media, fake=True).collect()
+    assert len(fake) == 1 and fake[0]["sample_rate"] in (
+        8000, 16000, 22050, 44100, 48000)
+    # unknown codecs fail at plan build, and compressed payloads fail
+    # loud in-kernel on the real path
+    with pytest.raises(ValueError, match="wav-stdlib"):
+        extract_audio_features(media, codec="soundfile")
+    with pytest.raises(Exception, match="RIFF/WAVE"):
+        extract_audio_features(media).collect()
