@@ -29,6 +29,13 @@ sniff, and ``extract_audio_features`` is a TRUE waveform decode for
 integer-PCM WAV (numpy + stdlib, :func:`_wav_pcm_decode`) — rms / peak
 / zero-crossing features computed from the verified sample stream,
 with compressed/float formats raising loud.
+
+Video frame sampling has a real library-free path too:
+``sample_video_frames(codec="gif-stdlib")`` LZW-decodes and COMPOSITES
+animated GIFs (:func:`_gif_decode_frames`: patch offsets, transparency,
+disposal none/keep/restore-background, interlace), samples on the GIF's
+own frame clock, and hashes the composited canvas; mp4/webm/avi still
+require ffmpeg and fail loud.
 """
 
 from __future__ import annotations
@@ -789,20 +796,196 @@ def probe_video_metadata(media: DataFrame) -> DataFrame:
     return pruned.mapInPandas(probe_video_batch, VIDEO_METADATA_SCHEMA)
 
 
-def sample_video_frames(
-    media: DataFrame, every_n_seconds: int = 10, fake: bool = False
-) -> DataFrame:
-    """Frame-sampling plumbing for video payloads: emits one row per
-    sampled frame with a deterministic fake frame hash (real
-    implementation would shell to ffmpeg per Arrow batch).
+_GIF_STDLIB_MAX_PIXELS = 1 << 22  # same budget rationale as the PNG guard
 
-    Default ``fake=False`` fails loud at plan build — ffmpeg is not
-    shipped here; opt into ``fake=True`` for the stub kernel."""
-    if not fake:
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, expected: int) -> bytes:
+    """GIF-flavor LZW decode (LSB-first variable-width codes) of a
+    concatenated image-data stream into exactly ``expected`` palette
+    indices. Short streams, corrupt codes, and post-end garbage raise —
+    a frame either decodes fully or not at all."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    if not 2 <= min_code_size <= 8:
+        raise ValueError(f"invalid LZW minimum code size {min_code_size}")
+    table = [bytes([i]) for i in range(clear)] + [b"", b""]
+    code_size = min_code_size + 1
+    out = bytearray()
+    prev = None
+    bitpos, total_bits = 0, len(data) * 8
+    while len(out) < expected:
+        if bitpos + code_size > total_bits:
+            raise ValueError("LZW stream ended before the pixel count")
+        byte_i, bit_o = divmod(bitpos, 8)
+        code = (int.from_bytes(data[byte_i:byte_i + 3], "little") >> bit_o) \
+            & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            del table[clear + 2:]
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            raise ValueError("LZW end-of-information before the pixel count")
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"corrupt LZW stream (code {code})")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+    return bytes(out[:expected])
+
+
+def _gif_decode_frames(
+    payload: bytes, max_pixels: int = _GIF_STDLIB_MAX_PIXELS
+):
+    """TRUE frame decode of a (possibly animated) GIF with the stdlib
+    only: parse the block stream, LZW-decode every image block, and
+    COMPOSITE each frame onto the logical canvas (patch offsets,
+    transparency, disposal none/keep/restore-background — the disposal
+    modes real encoders emit). Yields ``(frame_idx, delay_cs, width,
+    height, rgb)`` with ``rgb`` the full composited canvas, row-major
+    ``height * width * 3`` bytes.
+
+    Scope (everything else raises ``ValueError``): GIF87a/89a, a color
+    table available for every frame, interlaced frames handled, at most
+    ``max_pixels`` canvas pixels, disposal mode 3 (restore-previous)
+    unsupported."""
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF signature")
+    width, height = struct.unpack("<HH", payload[6:10])
+    if width * height > max_pixels:
+        raise ValueError(f"{width}x{height} exceeds the stdlib decoder's "
+                         f"{max_pixels}-pixel budget; use a real codec")
+    packed, bg_idx = payload[10], payload[11]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = payload[pos:pos + 3 * n]
+        pos += 3 * n
+    bg_rgb = (gct[3 * bg_idx:3 * bg_idx + 3]
+              if gct and (packed & 0x80) and 3 * bg_idx + 3 <= len(gct)
+              else b"\x00\x00\x00")
+    canvas = bytearray(bg_rgb * (width * height))
+
+    def sub_blocks(p):
+        chunks = bytearray()
+        while True:
+            if p >= len(payload):
+                raise ValueError("truncated sub-block stream")
+            n = payload[p]
+            p += 1
+            if n == 0:
+                return bytes(chunks), p
+            chunks += payload[p:p + n]
+            if p + n > len(payload):
+                raise ValueError("truncated sub-block")
+            p += n
+    frame_idx = 0
+    delay_cs, transparent = 0, None
+    disposal = 0
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            return
+        if block == 0x21:  # extension
+            label = payload[pos]
+            pos += 1
+            body, pos = sub_blocks(pos)
+            if label == 0xF9 and len(body) >= 4:  # graphic control
+                flags, delay_cs = body[0], struct.unpack("<H", body[1:3])[0]
+                disposal = (flags >> 2) & 0x07
+                transparent = body[3] if flags & 0x01 else None
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+        left, top, fw, fh, fpacked = struct.unpack(
+            "<HHHHB", payload[pos:pos + 9])
+        pos += 9
+        lct = None
+        if fpacked & 0x80:
+            n = 2 << (fpacked & 0x07)
+            lct = payload[pos:pos + 3 * n]
+            pos += 3 * n
+        palette = lct or gct
+        if palette is None:
+            raise ValueError("frame has no color table")
+        if disposal == 3:
+            raise ValueError(
+                "disposal mode 3 (restore-previous) is out of the stdlib "
+                "decoder's scope")
+        if left + fw > width or top + fh > height:
+            raise ValueError("frame patch exceeds the logical canvas")
+        min_code = payload[pos]
+        pos += 1
+        data, pos = sub_blocks(pos)
+        idxs = _gif_lzw_decode(data, min_code, fw * fh)
+        if fpacked & 0x40:  # interlaced: 4-pass row order
+            rows = [idxs[r * fw:(r + 1) * fw] for r in range(fh)]
+            order = ([*range(0, fh, 8)] + [*range(4, fh, 8)]
+                     + [*range(2, fh, 4)] + [*range(1, fh, 2)])
+            deinter = [None] * fh
+            for src, dst in enumerate(order):
+                deinter[dst] = rows[src]
+            idxs = b"".join(deinter)
+        for r in range(fh):
+            base = ((top + r) * width + left) * 3
+            row = idxs[r * fw:(r + 1) * fw]
+            for c, ix in enumerate(row):
+                if ix == transparent:
+                    continue
+                if 3 * ix + 3 > len(palette):
+                    raise ValueError(f"palette index {ix} out of range")
+                canvas[base + 3 * c:base + 3 * c + 3] = \
+                    palette[3 * ix:3 * ix + 3]
+        yield frame_idx, delay_cs, width, height, bytes(canvas)
+        if disposal == 2:  # restore the patch region to background
+            for r in range(fh):
+                base = ((top + r) * width + left) * 3
+                canvas[base:base + 3 * fw] = bg_rgb * fw
+        frame_idx += 1
+        delay_cs, transparent, disposal = 0, None, 0
+    raise ValueError("GIF stream ended without a trailer")
+
+
+def sample_video_frames(
+    media: DataFrame, every_n_seconds: int = 10, fake: bool = False,
+    codec: str = "ffmpeg",
+) -> DataFrame:
+    """Frame sampling for video payloads: one row per sampled frame.
+
+    ``codec="gif-stdlib"`` is a REAL path with no codec library:
+    animated GIFs are LZW-decoded and composited frame by frame
+    (:func:`_gif_decode_frames`), the frame clock is the GIF's own
+    per-frame delay, and the sampler keeps the first frame at or after
+    each ``every_n_seconds`` boundary (frame 0 always; an undelayed
+    single-frame GIF contributes exactly one row). ``frame_hash`` is
+    the md5 of the COMPOSITED RGB canvas — pixel-level evidence, not a
+    payload hash. Non-GIF payloads raise in-kernel.
+
+    The default ``codec="ffmpeg"`` fails loud at plan build — ffmpeg is
+    not shipped here; ``fake=True`` selects the deterministic stub
+    kernel regardless of codec."""
+    if not fake and codec == "ffmpeg":
         raise NotImplementedError(
-            "real frame sampling requires ffmpeg, which is not installed; "
-            "pass fake=True to run the deterministic stub kernel"
+            "real frame sampling of mp4/webm/avi requires ffmpeg, which "
+            "is not installed; pass codec='gif-stdlib' for the "
+            "library-free animated-GIF decoder, or fake=True for the "
+            "deterministic stub kernel"
         )
+    if not fake and codec != "gif-stdlib":
+        raise ValueError(f"codec must be 'ffmpeg' or 'gif-stdlib', "
+                         f"got {codec!r}")
 
     schema = StructType(
         [
@@ -813,7 +996,7 @@ def sample_video_frames(
         ]
     )
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def fake_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
         for pdf in batches:
@@ -829,7 +1012,25 @@ def sample_video_frames(
                 rows, columns=["media_id", "frame_idx", "frame_ts_sec", "frame_hash"]
             )
 
+    def gif_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(payload) if payload is not None else b""
+                acc_cs, next_cs = 0, 0
+                for idx, delay_cs, _w, _h, rgb in _gif_decode_frames(payload):
+                    if acc_cs >= next_cs:
+                        rows.append((media_id, idx, acc_cs // 100,
+                                     hashlib.md5(rgb).hexdigest()))
+                        next_cs = acc_cs + every_n_seconds * 100
+                    acc_cs += delay_cs
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "frame_ts_sec", "frame_hash"]
+            )
+
     pruned = media.filter(F.col("media_type") == "video").select(
         "media_id", "payload"
     )
-    return pruned.mapInPandas(kernel, schema)
+    return pruned.mapInPandas(fake_kernel if fake else gif_kernel, schema)

@@ -670,3 +670,199 @@ def test_extract_audio_features_fake_and_codec_guard(spark):
         extract_audio_features(media, codec="soundfile")
     with pytest.raises(Exception, match="RIFF/WAVE"):
         extract_audio_features(media).collect()
+
+
+# ------------- real animated-GIF frame decode (stdlib LZW + compositing) --
+
+def _lzw_pack(codes, code_size):
+    """LSB-first bit-pack of fixed-width LZW codes."""
+    val = bits = 0
+    out = bytearray()
+    for c in codes:
+        val |= c << bits
+        bits += code_size
+        while bits >= 8:
+            out.append(val & 0xFF)
+            val >>= 8
+            bits -= 8
+    if bits:
+        out.append(val & 0xFF)
+    return bytes(out)
+
+
+def _gif_anim(width, height, palette, frames):
+    """Minimal-but-valid GIF89a encoder for tests: every pixel is a
+    literal code preceded by a CLEAR (so the code width never grows —
+    trivially correct LZW). `frames` is a list of dicts with `indices`
+    (fw*fh palette indices in storage order) and optional left/top/
+    fw/fh/delay_cs/transparent/disposal/interlace."""
+    import struct
+
+    n = max(2, len(palette) // 3)
+    bits = max(1, (n - 1).bit_length())
+    gct_n = 1 << bits
+    pal = palette + b"\x00" * (3 * gct_n - len(palette))
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", width, height)
+    out += bytes([0x80 | (bits - 1), 0, 0])  # GCT present, bg index 0
+    out += pal
+    min_code = max(2, bits)
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    for f in frames:
+        if (f.get("delay_cs") or f.get("transparent") is not None
+                or f.get("disposal")):
+            flags = ((f.get("disposal", 0) & 7) << 2) \
+                | (1 if f.get("transparent") is not None else 0)
+            out += bytes([0x21, 0xF9, 4, flags])
+            out += struct.pack("<H", f.get("delay_cs") or 0)
+            out += bytes([f.get("transparent") or 0, 0])
+        fw, fh = f.get("fw", width), f.get("fh", height)
+        out += bytes([0x2C])
+        out += struct.pack("<HHHH", f.get("left", 0), f.get("top", 0), fw, fh)
+        out += bytes([0x40 if f.get("interlace") else 0])
+        codes = []
+        for px in f["indices"]:
+            codes += [clear, px]
+        codes.append(end)
+        data = _lzw_pack(codes, min_code + 1)
+        out += bytes([min_code])
+        for i in range(0, len(data), 255):
+            chunk = data[i:i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3B"
+    return bytes(out)
+
+
+_PAL4 = (b"\xff\x00\x00"   # 0 red (also background)
+         b"\x00\xff\x00"   # 1 green
+         b"\x00\x00\xff"   # 2 blue
+         b"\x00\x00\x00")  # 3 black
+
+
+def _rgb(*idxs):
+    return b"".join(_PAL4[3 * i:3 * i + 3] for i in idxs)
+
+
+def test_gif_decode_single_frame_exact_pixels():
+    from pyspark_entity_resolution_spark.operators.multimodal import (
+        _gif_decode_frames,
+    )
+
+    gif = _gif_anim(3, 2, _PAL4, [{"indices": [0, 1, 2, 3, 0, 1]}])
+    frames = list(_gif_decode_frames(gif))
+    assert len(frames) == 1
+    idx, delay, w, h, rgb = frames[0]
+    assert (idx, delay, w, h) == (0, 0, 3, 2)
+    assert rgb == _rgb(0, 1, 2, 3, 0, 1)
+
+
+def test_gif_animation_compositing_transparency_and_disposal():
+    # frame 0 fills the 2x2 canvas; frame 1 is a 1x1 patch at (1,1);
+    # frame 2 is a transparent-only patch (keeps what is under it);
+    # frame 1 carries disposal 2, so its patch region is restored to
+    # the BACKGROUND color before frame 2 composes
+    from pyspark_entity_resolution_spark.operators.multimodal import (
+        _gif_decode_frames,
+    )
+
+    gif = _gif_anim(2, 2, _PAL4, [
+        {"indices": [1, 1, 1, 1], "delay_cs": 50},
+        {"indices": [2], "left": 1, "top": 1, "fw": 1, "fh": 1,
+         "delay_cs": 50, "disposal": 2},
+        {"indices": [0], "left": 0, "top": 0, "fw": 1, "fh": 1,
+         "delay_cs": 50, "transparent": 0},
+    ])
+    frames = list(_gif_decode_frames(gif))
+    assert [f[0] for f in frames] == [0, 1, 2]
+    assert frames[0][4] == _rgb(1, 1, 1, 1)           # all green
+    assert frames[1][4] == _rgb(1, 1, 1, 2)           # blue patch at (1,1)
+    # after disposal 2 the (1,1) cell is background RED; frame 2's own
+    # patch is fully transparent so (0,0) keeps green
+    assert frames[2][4] == _rgb(1, 1, 1, 0)
+    assert [f[1] for f in frames] == [50, 50, 50]
+
+
+def test_gif_interlaced_frame_deinterlaces():
+    # store rows in GIF interlace order; the decoder must put row r of
+    # pass-order position i back at its natural position
+    from pyspark_entity_resolution_spark.operators.multimodal import (
+        _gif_decode_frames,
+    )
+
+    order = [0, 4, 2, 6, 1, 3, 5, 7]  # interlace pass order for fh=8
+    # natural image: row r is all color r % 4
+    stored = []
+    for dst in order:
+        stored += [dst % 4] * 2  # fw=2
+    gif = _gif_anim(2, 8, _PAL4, [{"indices": stored, "interlace": True}])
+    (_, _, w, h, rgb), = _gif_decode_frames(gif)
+    want = b"".join(_rgb(r % 4, r % 4) for r in range(8))
+    assert rgb == want
+
+
+def test_gif_decode_guards():
+    from pyspark_entity_resolution_spark.operators.multimodal import (
+        _gif_decode_frames,
+    )
+
+    ok = _gif_anim(3, 2, _PAL4, [{"indices": [0, 1, 2, 3, 0, 1]}])
+    with pytest.raises(ValueError, match="GIF signature"):
+        list(_gif_decode_frames(b"PNG pretending"))
+    with pytest.raises(ValueError, match="pixel budget"):
+        list(_gif_decode_frames(ok, max_pixels=4))
+    with pytest.raises(ValueError, match="disposal mode 3"):
+        list(_gif_decode_frames(_gif_anim(1, 1, _PAL4, [
+            {"indices": [1], "disposal": 3}])))
+    with pytest.raises(ValueError, match="trailer|truncated|ended"):
+        list(_gif_decode_frames(ok[:-4]))
+
+
+def test_sample_video_frames_gif_real_decode_spark_e2e(spark):
+    """Real frame sampling through the full Spark path: the GIF's own
+    frame clock drives the sampler, and frame_hash is the md5 of the
+    COMPOSITED canvas (independently recomputed here)."""
+    import hashlib
+
+    from pyspark_entity_resolution_spark.operators.multimodal import (
+        sample_video_frames,
+    )
+
+    # three frames at 0.5 s each; every_n_seconds=1 keeps frame 0
+    # (t=0.0) and frame 2 (t=1.0), skipping frame 1 (t=0.5)
+    gif = _gif_anim(2, 1, _PAL4, [
+        {"indices": [1, 1], "delay_cs": 50},
+        {"indices": [2, 2], "delay_cs": 50},
+        {"indices": [3, 3], "delay_cs": 50},
+    ])
+    rows = [
+        (1, "video", gif, "image/gif", "s3://v/anim.gif"),
+        (2, "image", gif, "image/gif", "s3://v/not-video.gif"),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = sorted(
+        sample_video_frames(media, every_n_seconds=1,
+                            codec="gif-stdlib").collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    assert [(r["media_id"], r["frame_idx"], r["frame_ts_sec"])
+            for r in got] == [(1, 0, 0), (1, 2, 1)]
+    assert got[0]["frame_hash"] == hashlib.md5(_rgb(1, 1)).hexdigest()
+    assert got[1]["frame_hash"] == hashlib.md5(_rgb(3, 3)).hexdigest()
+
+
+def test_sample_video_frames_codec_guards(spark):
+    from pyspark_entity_resolution_spark.operators.multimodal import (
+        sample_video_frames,
+    )
+
+    media = spark.createDataFrame(
+        [(1, "video", b"mp4-bytes", "video/mp4", "s3://v/x.mp4")],
+        MEDIA_SCHEMA)
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        sample_video_frames(media)
+    with pytest.raises(ValueError, match="gif-stdlib"):
+        sample_video_frames(media, codec="avi-stdlib")
+    # non-GIF payloads fail loud in-kernel on the real path
+    with pytest.raises(Exception, match="GIF signature"):
+        sample_video_frames(media, codec="gif-stdlib").collect()
