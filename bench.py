@@ -60,6 +60,14 @@ PACK_PROVENANCE: dict[str, dict[str, list[str]]] = {
                          "left_semi_exists (r6)", "left_anti_not_exists (r6)"],
         "renamed_from": ["semi_anti_join_customers (standalone, r1-r5)"],
     },
+    "deterministic_sample": {
+        # r8 widened in place: rule 'mix' adds mix_sources (weight-
+        # targeted no-oversample source mixing) — the oracle recomputes
+        # the K-row rate arithmetic from scratch, bit-identical IEEE
+        # threshold math on both engines
+        "constituents": ["flat", "stratified", "mix (r8)"],
+        "renamed_from": [],
+    },
     "dedup_ngram_jaccard": {
         # r8 widened in place: section 'char_blocked' is the r1-r7 row
         # set (char-3-grams, blocked strategy); section 'token_prefix'

@@ -702,9 +702,41 @@ _SAMPLE_BUCKET_SQL = (
 )
 
 
+# mix_sources oracle: the same IEEE-double dance the Python operator
+# performs, op-for-op (sum order, (w * t) / n association, floor-not-
+# round, the one-bucket clamp) so the CASE thresholds come out
+# bit-identical — see operators/sampling.py mix_sources
+_MIX_W = "(0.5 / ((0.5 + 0.3) + 0.2))", "(0.3 / ((0.5 + 0.3) + 0.2))", \
+    "(0.2 / ((0.5 + 0.3) + 0.2))"
+_MIX_SQL = f"""
+    mix_counts AS (
+      SELECT
+        SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n1,
+        SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS n2,
+        SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS n3
+      FROM orders
+    ),
+    mix_thr AS (
+      SELECT
+        CAST(floor(greatest(least(1.0, ({_MIX_W[0]} * t) / n1), 0.000001)
+             * 1000000) AS BIGINT) AS th1,
+        CAST(floor(greatest(least(1.0, ({_MIX_W[1]} * t) / n2), 0.000001)
+             * 1000000) AS BIGINT) AS th2,
+        CAST(floor(greatest(least(1.0, ({_MIX_W[2]} * t) / n3), 0.000001)
+             * 1000000) AS BIGINT) AS th3
+      FROM (
+        SELECT least(n1 / {_MIX_W[0]}, n2 / {_MIX_W[1]}, n3 / {_MIX_W[2]}) AS t,
+               n1, n2, n3
+        FROM mix_counts
+      )
+    )
+"""
+
+
 @q(
     "deterministic_sample",
     f"""
+    WITH {_MIX_SQL}
     SELECT 'flat' AS rule, o_orderkey, o_custkey FROM orders
     WHERE {_SAMPLE_BUCKET_SQL} < 100000
     UNION ALL
@@ -715,14 +747,31 @@ _SAMPLE_BUCKET_SQL = (
         WHEN '2-HIGH' THEN 150000
         ELSE 50000
       END
+    UNION ALL
+    SELECT 'mix', o_orderkey, o_custkey FROM orders, mix_thr
+    WHERE {_SAMPLE_BUCKET_SQL} <
+      CASE o_orderpriority
+        WHEN '1-URGENT' THEN th1
+        WHEN '2-HIGH' THEN th2
+        WHEN '3-MEDIUM' THEN th3
+        ELSE 0
+      END
     """,
     "deterministic hash sampling (md5-bucket filter): reproducible across "
     "engines/runs/retries unlike rand()-based sampling. 'flat' = uniform "
-    "~10%; 'stratified' = per-priority rates (the training-data mixing "
-    "primitive, operators/sampling.py)",
+    "~10%; 'stratified' = per-priority rates; 'mix' = mix_sources "
+    "weight-targeted no-oversample source mixing (50/30/20 over three "
+    "priorities: the binding source kept whole, the rest hash-sampled to "
+    "their shares — the oracle recomputes the thresholds from scratch, "
+    "so the K-row collect + rate arithmetic is hash-verified, not just "
+    "unit-tested)",
 )
 def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.sampling import hash_sample, stratified_hash_sample
+    from ..operators.sampling import (
+        hash_sample,
+        mix_sources,
+        stratified_hash_sample,
+    )
 
     o = load(spark, sf_dir, "orders")
     flat = hash_sample(o, "o_orderkey", 0.10).select(
@@ -733,7 +782,11 @@ def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         rates={"1-URGENT": 0.30, "2-HIGH": 0.15},
         default_rate=0.05,
     ).select(F.lit("stratified").alias("rule"), "o_orderkey", "o_custkey")
-    return flat.unionByName(strat)
+    mix = mix_sources(
+        o, "o_orderkey", "o_orderpriority",
+        weights={"1-URGENT": 0.5, "2-HIGH": 0.3, "3-MEDIUM": 0.2},
+    ).select(F.lit("mix").alias("rule"), "o_orderkey", "o_custkey")
+    return flat.unionByName(strat).unionByName(mix)
 
 
 @q(
