@@ -866,3 +866,94 @@ def test_sample_video_frames_codec_guards(spark):
     # non-GIF payloads fail loud in-kernel on the real path
     with pytest.raises(Exception, match="GIF signature"):
         sample_video_frames(media, codec="gif-stdlib").collect()
+
+
+def _gif_raw(width, height, palette, min_code, codes):
+    """GIF container around hand-chosen LZW codes (no trailing END —
+    callers include it in `codes` if the stream should terminate
+    cleanly), for driving specific decoder branches."""
+    import struct
+
+    n = max(2, len(palette) // 3)
+    bits = max(1, (n - 1).bit_length())
+    pal = palette + b"\x00" * (3 * (1 << bits) - len(palette))
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", width, height)
+    out += bytes([0x80 | (bits - 1), 0, 0])
+    out += pal
+    out += bytes([0x2C]) + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+    # variable-width LSB-first packing: width tracks the decoder's
+    # dictionary growth ((code, width) pairs supplied by the caller)
+    val = nbits = 0
+    data = bytearray()
+    for code, w in codes:
+        val |= code << nbits
+        nbits += w
+        while nbits >= 8:
+            data.append(val & 0xFF)
+            val >>= 8
+            nbits -= 8
+    if nbits:
+        data.append(val & 0xFF)
+    out += bytes([min_code])
+    for i in range(0, len(data), 255):
+        chunk = data[i:i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3B"
+    return bytes(out)
+
+
+def test_gif_lzw_dictionary_growth_and_code_width_bump():
+    """Consecutive literals WITHOUT clear codes grow the dictionary one
+    entry per code, and the read width must bump exactly when the next
+    free slot reaches 2^width — decode a 16-pixel run that crosses the
+    8-entry boundary of a min-code-size-2 stream (width 3 -> 4)."""
+    from pyspark_entity_resolution_spark.operators.multimodal import (
+        _gif_decode_frames,
+    )
+
+    pixels = [0, 1, 2, 3, 0, 1, 2, 3, 0, 1, 2, 3, 0, 1, 2, 3]
+    clear, end = 4, 5
+    codes, width, next_code = [(clear, 3)], 3, 6
+    for i, px in enumerate(pixels):
+        codes.append((px, width))
+        if i > 0:  # the decoder adds an entry per code after the first
+            next_code += 1
+            if next_code == (1 << width):
+                width += 1
+    codes.append((end, width))
+    gif = _gif_raw(16, 1, _PAL4, 2, codes)
+    (_, _, w, h, rgb), = _gif_decode_frames(gif)
+    assert (w, h) == (16, 1)
+    assert rgb == _rgb(*pixels)
+
+
+def test_gif_lzw_composed_and_kwkwk_codes():
+    """A code that references a dictionary entry, and the KwKwK corner
+    (a code equal to the next free slot): [clear, 1, 2, 6] decodes to
+    1,2,1,2 (entry 6 = '12'), and [clear, 1, 6] decodes to 1,1,1
+    (entry = prev + prev[0])."""
+    from pyspark_entity_resolution_spark.operators.multimodal import (
+        _gif_decode_frames,
+    )
+
+    composed = _gif_raw(4, 1, _PAL4, 2,
+                        [(4, 3), (1, 3), (2, 3), (6, 3), (5, 3)])
+    (_, _, _, _, rgb), = _gif_decode_frames(composed)
+    assert rgb == _rgb(1, 2, 1, 2)
+
+    kwkwk = _gif_raw(3, 1, _PAL4, 2, [(4, 3), (1, 3), (6, 3), (5, 3)])
+    (_, _, _, _, rgb), = _gif_decode_frames(kwkwk)
+    assert rgb == _rgb(1, 1, 1)
+
+
+def test_gif_lzw_corrupt_code_raises():
+    # a code beyond the next free slot can never be produced by a valid
+    # encoder — named failure, not garbage pixels
+    from pyspark_entity_resolution_spark.operators.multimodal import (
+        _gif_decode_frames,
+    )
+
+    bad = _gif_raw(3, 1, _PAL4, 2, [(4, 3), (1, 3), (7, 3), (5, 3)])
+    with pytest.raises(ValueError, match="corrupt LZW"):
+        list(_gif_decode_frames(bad))
