@@ -609,7 +609,15 @@ def ngram_jaccard_pairs(
     # -- prefix strategy --
     # global document frequency per gram; (df_cnt, gram) structs sort by
     # frequency-then-value, so the struct IS the total order key — no
-    # global rank window needed
+    # global rank window needed.
+    # Deliberately groupBy+join rather than count()-over-Window(gram),
+    # which would save one exchange and the second shingle computation:
+    # a window has NO map-side partial aggregation, so a hot gram
+    # concentrates its entire postings list in one partition — a skew
+    # bomb precisely in the high-df regime callers can still hand this
+    # strategy (char grams). The groupBy's partial agg collapses hot
+    # grams before the shuffle and AQE skew-join covers the join side,
+    # so this shape survives any vocabulary distribution.
     freq = (
         base.select(F.explode("grams").alias("gram"))
         .groupBy("gram")
