@@ -36,6 +36,14 @@ animated GIFs (:func:`_gif_decode_frames`: patch offsets, transparency,
 disposal none/keep/restore-background, interlace), samples on the GIF's
 own frame clock, and hashes the composited canvas; mp4/webm/avi still
 require ffmpeg and fail loud.
+
+The decoded waveform feeds modality-level dedup:
+``audio_fingerprints`` quantizes per-window RMS into an energy-profile
+signature, and ``audio_near_dup_pairs`` runs the engine's standard
+banded generate-then-verify shape over those signatures (band-hash
+equi-join candidates, exact level-match-fraction verification) — audio
+near-dup detection with the same never-all-pairs scaling story as the
+text dedup family.
 """
 
 from __future__ import annotations
@@ -46,6 +54,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
     DoubleType,
     IntegerType,
@@ -672,6 +681,132 @@ def extract_audio_features(
     return pruned.mapInPandas(
         lambda it: decode_audio_batch(it, fake=fake, codec=codec),
         AUDIO_FEATURES_SCHEMA,
+    )
+
+
+AUDIO_FINGERPRINT_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_windows", IntegerType()),
+        StructField("sig", ArrayType(IntegerType())),
+    ]
+)
+
+
+def audio_fingerprints(
+    media: DataFrame, window_frames: int = 2048, levels: int = 8,
+    codec: str = "wav-stdlib",
+) -> DataFrame:
+    """Deterministic energy-profile fingerprint per audio payload: the
+    verified PCM mono mix (:func:`_wav_pcm_decode`) is cut into
+    fixed-size windows of ``window_frames`` frames (tail window
+    dropped) and each window's RMS is quantized to one of ``levels``
+    uniform buckets in [0, 1] — ``sig`` is that level sequence.
+
+    This is the audio analog of the text near-dup signatures: cheap,
+    engine-portable (pure arithmetic on decoded samples), and stable
+    under re-encoding of the same PCM data. It is NOT robust to
+    time-shifts or resampling — the documented scope is exact/near-exact
+    duplicate detection of ingested clips, the common case in corpus
+    dedup (the same file ingested twice, possibly with touched
+    metadata: RIFF chunks outside ``data`` do not affect the
+    signature)."""
+    if codec != "wav-stdlib":
+        raise ValueError(f"codec must be 'wav-stdlib', got {codec!r}")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(payload) if payload is not None else b""
+                _rate, _ch, frames = _wav_pcm_decode(payload)
+                mix = frames.mean(axis=1)
+                n = mix.shape[0] // window_frames
+                if n == 0:
+                    rows.append((media_id, 0, []))
+                    continue
+                wins = mix[:n * window_frames].reshape(n, window_frames)
+                rms = np.sqrt(np.mean(wins * wins, axis=1))
+                lv = np.clip((rms * levels).astype(np.int64), 0, levels - 1)
+                rows.append((media_id, int(n), [int(x) for x in lv]))
+            yield pd.DataFrame(rows, columns=["media_id", "n_windows", "sig"])
+
+    pruned = media.filter(F.col("media_type") == "audio").select(
+        "media_id", "payload"
+    )
+    return pruned.mapInPandas(kernel, AUDIO_FINGERPRINT_SCHEMA)
+
+
+def audio_near_dup_pairs(
+    fps: DataFrame, bands: int = 4, min_match_fraction: float = 0.9
+) -> DataFrame:
+    """Near-duplicate audio pairs from :func:`audio_fingerprints`
+    output — the same banded generate-then-verify shape as the text
+    near-dup family: split each signature into ``bands`` contiguous
+    chunks, hash each chunk, equi-join on (length, band index, chunk
+    hash) so candidates are proposed by shared-band buckets (never an
+    all-pairs scan), then verify with the EXACT fraction of equal
+    levels and keep pairs at or above ``min_match_fraction``.
+
+    Clips of different window counts are never candidates (the length
+    rides the join key): the scope is same-length near-exact duplicate
+    detection, matching the fingerprint's documented scope. Everything
+    after the fingerprint kernel is native expression work."""
+    if bands < 1:
+        raise ValueError(f"bands must be >= 1, got {bands}")
+    base = fps.filter(F.col("n_windows") > 0).select(
+        "media_id", "n_windows", "sig"
+    )
+    # per-band hash of the level subsequence: band i covers
+    # [floor(i*n/b), floor((i+1)*n/b)) — contiguous, covers every
+    # window. `bounds` carries bands+1 fenceposts so every element_at
+    # below is in range (Spark 4 ANSI errors on out-of-bounds indexes)
+    bounds = F.transform(
+        F.sequence(F.lit(0), F.lit(bands)),
+        lambda i: F.floor(i * F.col("n_windows") / bands).cast("int"),
+    )
+    band_hashes = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda i: F.xxhash64(
+            F.slice(
+                F.col("sig"),
+                F.element_at(bounds, i + F.lit(1)) + F.lit(1),
+                F.element_at(bounds, i + F.lit(2))
+                - F.element_at(bounds, i + F.lit(1)),
+            ).cast("string")
+        ),
+    )
+    keyed = base.select(
+        "media_id", "n_windows", "sig",
+        F.posexplode(band_hashes).alias("band_idx", "band_hash"),
+    )
+    a = keyed.select(
+        F.col("media_id").alias("a_id"), F.col("sig").alias("a_sig"),
+        "n_windows", "band_idx", "band_hash",
+    )
+    b = keyed.select(
+        F.col("media_id").alias("b_id"), F.col("sig").alias("b_sig"),
+        "n_windows", "band_idx", "band_hash",
+    )
+    match_frac = F.try_divide(
+        F.size(
+            F.filter(
+                F.zip_with("a_sig", "b_sig", lambda x, y: x == y),
+                lambda t: t,
+            )
+        ).cast("double"),
+        F.col("n_windows").cast("double"),
+    )
+    return (
+        a.join(b, on=["n_windows", "band_idx", "band_hash"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "n_windows", "a_sig", "b_sig")
+        .distinct()
+        .withColumn("match_fraction", match_frac)
+        .filter(F.col("match_fraction") >= min_match_fraction)
+        .select("a_id", "b_id", "match_fraction")
     )
 
 

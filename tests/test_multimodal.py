@@ -957,3 +957,115 @@ def test_gif_lzw_corrupt_code_raises():
     bad = _gif_raw(3, 1, _PAL4, 2, [(4, 3), (1, 3), (7, 3), (5, 3)])
     with pytest.raises(ValueError, match="corrupt LZW"):
         list(_gif_decode_frames(bad))
+
+
+# ---------------- audio near-dup: energy fingerprints + banded pairs ----
+
+def _tone_wav(level_pattern, window_frames=64, rate=8000):
+    """WAV whose per-window RMS follows `level_pattern`: window i is a
+    constant-amplitude square wave at amplitude (level + 0.5)/8 of full
+    scale, so quantization with levels=8 recovers the pattern exactly
+    (RMS of a +-A square wave is A)."""
+    frames = []
+    for lv in level_pattern:
+        amp = int(((lv + 0.5) / 8) * 32768)
+        for i in range(window_frames):
+            frames.append((amp if i % 2 == 0 else -amp,))
+    return _wav_pcm(rate, 1, 16, frames)
+
+
+def test_audio_fingerprints_recover_designed_levels(spark):
+    from pyspark_entity_resolution_spark.operators.multimodal import (
+        audio_fingerprints,
+    )
+
+    pattern = [0, 3, 7, 2, 5]
+    rows = [
+        (1, "audio", _tone_wav(pattern), "audio/wav", "s3://a/1.wav"),
+        (2, "image", _tone_wav(pattern), "image/png", "s3://a/skip.png"),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = audio_fingerprints(media, window_frames=64, levels=8).collect()
+    assert len(got) == 1
+    assert got[0]["n_windows"] == 5
+    assert got[0]["sig"] == pattern
+
+
+def test_audio_near_dup_pairs_banded_candidates(spark):
+    """Exact duplicates match at fraction 1.0; a clip differing in one
+    of four quarters is proposed via the three shared bands and
+    verified at its exact fraction; unrelated clips and different-length
+    clips are never paired."""
+    from pyspark_entity_resolution_spark.operators.multimodal import (
+        audio_fingerprints,
+        audio_near_dup_pairs,
+    )
+
+    base = [0, 1, 2, 3, 4, 5, 6, 7]          # 8 windows -> 4 bands of 2
+    variant = [0, 1, 2, 3, 7, 7, 6, 7]       # band 2 differs (2 windows)
+    other = [7, 6, 5, 4, 3, 2, 1, 0]
+    shorter = [0, 1, 2, 3]
+    rows = [
+        (1, "audio", _tone_wav(base), "audio/wav", "s3://a/1.wav"),
+        (2, "audio", _tone_wav(base), "audio/wav", "s3://a/2.wav"),
+        (3, "audio", _tone_wav(variant), "audio/wav", "s3://a/3.wav"),
+        (4, "audio", _tone_wav(other), "audio/wav", "s3://a/4.wav"),
+        (5, "audio", _tone_wav(shorter), "audio/wav", "s3://a/5.wav"),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    fps = audio_fingerprints(media, window_frames=64, levels=8)
+    got = {(r["a_id"], r["b_id"]): r["match_fraction"]
+           for r in audio_near_dup_pairs(fps, bands=4,
+                                         min_match_fraction=0.7).collect()}
+    assert got[(1, 2)] == 1.0
+    assert got[(1, 3)] == got[(2, 3)] == 6 / 8
+    assert all(4 not in k and 5 not in k for k in got)
+    # at a stricter threshold the six-of-eight pair drops out but the
+    # exact duplicate survives
+    strict = {(r["a_id"], r["b_id"])
+              for r in audio_near_dup_pairs(fps, bands=4,
+                                            min_match_fraction=0.9).collect()}
+    assert strict == {(1, 2)}
+
+
+def test_audio_near_dup_join_is_banded_not_all_pairs(spark):
+    # the candidate stage must be an equi-join on the band key — no
+    # cartesian product anywhere in the plan
+    from pyspark_entity_resolution_spark.operators.multimodal import (
+        audio_fingerprints,
+        audio_near_dup_pairs,
+    )
+
+    rows = [(i, "audio", _tone_wav([i % 8] * 4), "audio/wav", f"s3://a/{i}")
+            for i in range(1, 5)]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    plan = audio_near_dup_pairs(
+        audio_fingerprints(media, window_frames=64)
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_audio_fingerprint_guards(spark):
+    from pyspark_entity_resolution_spark.operators.multimodal import (
+        audio_fingerprints,
+        audio_near_dup_pairs,
+    )
+
+    media = spark.createDataFrame(
+        [(1, "audio", b"not audio", "audio/wav", "s3://a/x.wav")],
+        MEDIA_SCHEMA)
+    with pytest.raises(ValueError, match="wav-stdlib"):
+        audio_fingerprints(media, codec="flac")
+    with pytest.raises(Exception, match="RIFF/WAVE"):
+        audio_fingerprints(media).collect()
+    with pytest.raises(ValueError, match="bands"):
+        audio_near_dup_pairs(audio_fingerprints(media), bands=0)
+    # sub-window clips fingerprint to an empty signature and are
+    # excluded from pairing rather than erroring
+    short = spark.createDataFrame(
+        [(1, "audio", _wav_pcm(8000, 1, 16, [(5,)] * 10), "audio/wav", "s")],
+        MEDIA_SCHEMA)
+    fps = audio_fingerprints(short, window_frames=64)
+    assert fps.collect()[0]["n_windows"] == 0
+    assert audio_near_dup_pairs(fps).count() == 0
