@@ -779,16 +779,32 @@ def audio_near_dup_pairs(
         ),
     )
     keyed = base.select(
-        "media_id", "n_windows", "sig",
+        "media_id", "n_windows",
         F.posexplode(band_hashes).alias("band_idx", "band_hash"),
     )
     a = keyed.select(
-        F.col("media_id").alias("a_id"), F.col("sig").alias("a_sig"),
-        "n_windows", "band_idx", "band_hash",
+        F.col("media_id").alias("a_id"), "n_windows", "band_idx", "band_hash",
     )
     b = keyed.select(
+        F.col("media_id").alias("b_id"), "n_windows", "band_idx", "band_hash",
+    )
+    # a pair sharing several bands is emitted once per shared band and
+    # deduplicated on ids alone — the dedup shuffle carries a few dozen
+    # bytes per row, never the signature arrays (same discipline as the
+    # text prefix-filter path); signatures re-join only for the
+    # surviving candidates' verification
+    cands = (
+        a.join(b, on=["n_windows", "band_idx", "band_hash"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    va = base.select(
+        F.col("media_id").alias("a_id"), "n_windows",
+        F.col("sig").alias("a_sig"),
+    )
+    vb = base.select(
         F.col("media_id").alias("b_id"), F.col("sig").alias("b_sig"),
-        "n_windows", "band_idx", "band_hash",
     )
     match_frac = F.try_divide(
         F.size(
@@ -800,10 +816,8 @@ def audio_near_dup_pairs(
         F.col("n_windows").cast("double"),
     )
     return (
-        a.join(b, on=["n_windows", "band_idx", "band_hash"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", "n_windows", "a_sig", "b_sig")
-        .distinct()
+        cands.join(va, on="a_id")
+        .join(vb, on="b_id")
         .withColumn("match_fraction", match_frac)
         .filter(F.col("match_fraction") >= min_match_fraction)
         .select("a_id", "b_id", "match_fraction")
