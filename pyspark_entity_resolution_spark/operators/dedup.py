@@ -912,13 +912,29 @@ def incremental_minhash_dedup(
     profile/params) to reuse it — a caller consuming BOTH the match
     rows and the kept set otherwise pays the band join + verification
     twice, since the two outputs live in separate plans
-    (checkpoint the matches first or the reuse is nominal).
+    (checkpoint the matches first or the reuse is nominal). The frame's
+    schema is validated here (it must carry the matches output columns
+    ``id_col`` / ``accepted_id`` / ``jaccard``); that the rows came
+    from the SAME arriving/index/params remains caller responsibility —
+    a matches frame computed under different parameters type-checks but
+    silently under- or over-drops.
     """
     if arriving.isStreaming:
         raise ValueError(
             "incremental_minhash_dedup is batch-only; over a stream use "
             "incremental_minhash_matches inside foreachBatch"
         )
+    if matches is not None:
+        required = {id_col, "accepted_id", "jaccard"}
+        missing = required - set(matches.columns)
+        if missing:
+            raise ValueError(
+                f"matches= frame is missing column(s) {sorted(missing)} "
+                f"(got {matches.columns}); pass the output of "
+                f"incremental_minhash_matches(arriving, index, profile, "
+                f"id_col={id_col!r}, ...) computed from the SAME inputs "
+                f"and parameters as this call"
+            )
     if matches is None:
         matches = incremental_minhash_matches(
             arriving, index, profile, id_col, text_col, num_hashes, bands,

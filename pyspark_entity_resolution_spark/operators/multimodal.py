@@ -744,11 +744,23 @@ def audio_near_dup_pairs(
 ) -> DataFrame:
     """Near-duplicate audio pairs from :func:`audio_fingerprints`
     output — the same banded generate-then-verify shape as the text
-    near-dup family: split each signature into ``bands`` contiguous
-    chunks, hash each chunk, equi-join on (length, band index, chunk
-    hash) so candidates are proposed by shared-band buckets (never an
-    all-pairs scan), then verify with the EXACT fraction of equal
-    levels and keep pairs at or above ``min_match_fraction``.
+    near-dup family: split each signature into contiguous chunks, hash
+    each chunk, equi-join on (length, band index, chunk hash) so
+    candidates are proposed by shared-band buckets (never an all-pairs
+    scan), then verify with the EXACT fraction of equal levels and keep
+    pairs at or above ``min_match_fraction``.
+
+    Candidate generation is COMPLETE, by pigeonhole: a qualifying pair
+    of length-n signatures has at most ``n - floor(min_match_fraction
+    * n) + 1`` mismatched windows (the +1 absorbs float-compare slack
+    in the verification divide), so the per-length band count is
+    derived as ``max(bands, mismatch_bound + 1)`` (capped at n, one
+    window per band) and at least one band is mismatch-free — every
+    pair the verifier would keep is proposed by some shared band.
+    ``bands`` is therefore a floor (a bucket-granularity/performance
+    dial), not a recall dial; ``min_match_fraction`` must be in (0, 1]
+    so the cap case still shares a band (a qualifying pair then has at
+    least one equal window).
 
     Clips of different window counts are never candidates (the length
     rides the join key): the scope is same-length near-exact duplicate
@@ -756,19 +768,33 @@ def audio_near_dup_pairs(
     after the fingerprint kernel is native expression work."""
     if bands < 1:
         raise ValueError(f"bands must be >= 1, got {bands}")
+    if not 0.0 < min_match_fraction <= 1.0:
+        raise ValueError(
+            f"min_match_fraction must be in (0, 1], got {min_match_fraction}"
+        )
     base = fps.filter(F.col("n_windows") > 0).select(
         "media_id", "n_windows", "sig"
     )
+    n = F.col("n_windows")
+    # per-length band count: the user floor, raised to the pigeonhole
+    # completeness bound (mismatches + 1) and capped at one window per
+    # band — a function of n_windows alone, so both join sides of a
+    # length group derive the identical banding
+    mismatch_bound = (
+        n - F.floor(F.lit(float(min_match_fraction)) * n).cast("int")
+        + F.lit(1)
+    )
+    n_bands = F.least(n, F.greatest(F.lit(bands), mismatch_bound + F.lit(1)))
     # per-band hash of the level subsequence: band i covers
     # [floor(i*n/b), floor((i+1)*n/b)) — contiguous, covers every
-    # window. `bounds` carries bands+1 fenceposts so every element_at
+    # window. `bounds` carries n_bands+1 fenceposts so every element_at
     # below is in range (Spark 4 ANSI errors on out-of-bounds indexes)
     bounds = F.transform(
-        F.sequence(F.lit(0), F.lit(bands)),
-        lambda i: F.floor(i * F.col("n_windows") / bands).cast("int"),
+        F.sequence(F.lit(0), n_bands),
+        lambda i: F.floor(i * F.col("n_windows") / n_bands).cast("int"),
     )
     band_hashes = F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
+        F.sequence(F.lit(0), n_bands - F.lit(1)),
         lambda i: F.xxhash64(
             F.slice(
                 F.col("sig"),
@@ -1010,6 +1036,8 @@ def _gif_decode_frames(
 
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF signature")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF header (logical screen descriptor)")
     width, height = struct.unpack("<HH", payload[6:10])
     if width * height > max_pixels:
         raise ValueError(f"{width}x{height} exceeds the stdlib decoder's "
@@ -1020,6 +1048,8 @@ def _gif_decode_frames(
     if packed & 0x80:
         n = 2 << (packed & 0x07)
         gct = payload[pos:pos + 3 * n]
+        if len(gct) != 3 * n:
+            raise ValueError("truncated global color table")
         pos += 3 * n
     bg_rgb = (gct[3 * bg_idx:3 * bg_idx + 3]
               if gct and (packed & 0x80) and 3 * bg_idx + 3 <= len(gct)
@@ -1048,6 +1078,8 @@ def _gif_decode_frames(
         if block == 0x3B:  # trailer
             return
         if block == 0x21:  # extension
+            if pos >= len(payload):
+                raise ValueError("truncated extension block (missing label)")
             label = payload[pos]
             pos += 1
             body, pos = sub_blocks(pos)
@@ -1058,6 +1090,8 @@ def _gif_decode_frames(
             continue
         if block != 0x2C:
             raise ValueError(f"unknown GIF block 0x{block:02x}")
+        if pos + 9 > len(payload):
+            raise ValueError("truncated image descriptor")
         left, top, fw, fh, fpacked = struct.unpack(
             "<HHHHB", payload[pos:pos + 9])
         pos += 9
@@ -1065,6 +1099,8 @@ def _gif_decode_frames(
         if fpacked & 0x80:
             n = 2 << (fpacked & 0x07)
             lct = payload[pos:pos + 3 * n]
+            if len(lct) != 3 * n:
+                raise ValueError("truncated local color table")
             pos += 3 * n
         palette = lct or gct
         if palette is None:
@@ -1075,6 +1111,8 @@ def _gif_decode_frames(
                 "decoder's scope")
         if left + fw > width or top + fh > height:
             raise ValueError("frame patch exceeds the logical canvas")
+        if pos >= len(payload):
+            raise ValueError("truncated image data (missing LZW code size)")
         min_code = payload[pos]
         pos += 1
         data, pos = sub_blocks(pos)

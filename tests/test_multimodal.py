@@ -818,6 +818,30 @@ def test_gif_decode_guards():
         list(_gif_decode_frames(ok[:-4]))
 
 
+def test_gif_truncation_raises_valueerror_not_struct_error():
+    """Fail-loud contract (r8 ADVICE): truncated fixed-size reads must
+    raise ValueError, never struct.error/IndexError, so a malformed GIF
+    is a documented in-kernel error rather than an anonymous task
+    death."""
+    from pyspark_entity_resolution_spark.operators.multimodal import (
+        _gif_decode_frames,
+    )
+
+    ok = _gif_anim(3, 2, _PAL4, [{"indices": [0, 1, 2, 3, 0, 1]}])
+    sep = 13 + 12  # 13-byte header + 4-color GCT
+    assert ok[sep] == 0x2C
+    with pytest.raises(ValueError, match="truncated GIF header"):
+        list(_gif_decode_frames(b"GIF89a\x03\x00"))
+    with pytest.raises(ValueError, match="global color table"):
+        list(_gif_decode_frames(ok[:15]))
+    with pytest.raises(ValueError, match="image descriptor"):
+        list(_gif_decode_frames(ok[:sep + 5]))
+    with pytest.raises(ValueError, match="extension"):
+        list(_gif_decode_frames(ok[:sep] + b"\x21"))
+    with pytest.raises(ValueError, match="LZW code size"):
+        list(_gif_decode_frames(ok[:sep + 10]))
+
+
 def test_sample_video_frames_gif_real_decode_spark_e2e(spark):
     """Real frame sampling through the full Spark path: the GIF's own
     frame clock drives the sampler, and frame_hash is the md5 of the
@@ -1026,6 +1050,34 @@ def test_audio_near_dup_pairs_banded_candidates(spark):
               for r in audio_near_dup_pairs(fps, bands=4,
                                             min_match_fraction=0.9).collect()}
     assert strict == {(1, 2)}
+
+
+def test_audio_near_dup_completeness_mismatches_spread_across_bands(spark):
+    """r8 ADVICE: with a FIXED 4-band split, a qualifying pair whose >=4
+    mismatched windows hit all four quarters shared no band and was
+    silently missed. The band count is now derived per length group from
+    min_match_fraction (pigeonhole bound), so this pair MUST surface."""
+    from pyspark_entity_resolution_spark.operators.multimodal import (
+        audio_fingerprints,
+        audio_near_dup_pairs,
+    )
+
+    base = [(i * 3) % 8 for i in range(40)]
+    variant = list(base)
+    for pos in (2, 12, 22, 32):  # one mismatch in each default quarter
+        variant[pos] = (variant[pos] + 1) % 8
+    rows = [
+        (1, "audio", _tone_wav(base), "audio/wav", "s3://a/1.wav"),
+        (2, "audio", _tone_wav(variant), "audio/wav", "s3://a/2.wav"),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    fps = audio_fingerprints(media, window_frames=64, levels=8)
+    got = audio_near_dup_pairs(fps, bands=4, min_match_fraction=0.9).collect()
+    assert len(got) == 1
+    assert (got[0]["a_id"], got[0]["b_id"]) == (1, 2)
+    assert got[0]["match_fraction"] == 36 / 40
+    with pytest.raises(ValueError, match="min_match_fraction"):
+        audio_near_dup_pairs(fps, min_match_fraction=0.0)
 
 
 def test_audio_near_dup_join_is_banded_not_all_pairs(spark):
