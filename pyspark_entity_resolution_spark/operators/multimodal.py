@@ -39,9 +39,13 @@ require ffmpeg and fail loud.
 
 The decoded waveform feeds modality-level dedup:
 ``audio_fingerprints`` quantizes per-window RMS into an energy-profile
-signature, and ``audio_near_dup_pairs`` runs the engine's standard
-banded generate-then-verify shape over those signatures (band-hash
-equi-join candidates, exact level-match-fraction verification) — audio
+signature (optionally with overlapping windows via ``hop_frames``),
+``audio_near_dup_pairs`` runs the engine's standard banded
+generate-then-verify shape over those signatures (band-hash equi-join
+candidates with a pigeonhole-complete derived band count, exact
+level-match-fraction verification), and
+``audio_near_dup_pairs_shifted`` adds time-shift tolerance (MinHash
+banding over level shingles, best-offset verification) — audio
 near-dup detection with the same never-all-pairs scaling story as the
 text dedup family.
 """
@@ -695,24 +699,35 @@ AUDIO_FINGERPRINT_SCHEMA = StructType(
 
 def audio_fingerprints(
     media: DataFrame, window_frames: int = 2048, levels: int = 8,
-    codec: str = "wav-stdlib",
+    codec: str = "wav-stdlib", hop_frames: int | None = None,
 ) -> DataFrame:
     """Deterministic energy-profile fingerprint per audio payload: the
-    verified PCM mono mix (:func:`_wav_pcm_decode`) is cut into
-    fixed-size windows of ``window_frames`` frames (tail window
-    dropped) and each window's RMS is quantized to one of ``levels``
-    uniform buckets in [0, 1] — ``sig`` is that level sequence.
+    verified PCM mono mix (:func:`_wav_pcm_decode`) is cut into windows
+    of ``window_frames`` frames starting every ``hop_frames`` frames
+    (default = ``window_frames``: non-overlapping, tail dropped) and
+    each window's RMS is quantized to one of ``levels`` uniform buckets
+    in [0, 1] — ``sig`` is that level sequence.
 
     This is the audio analog of the text near-dup signatures: cheap,
     engine-portable (pure arithmetic on decoded samples), and stable
     under re-encoding of the same PCM data. It is NOT robust to
-    time-shifts or resampling — the documented scope is exact/near-exact
-    duplicate detection of ingested clips, the common case in corpus
-    dedup (the same file ingested twice, possibly with touched
-    metadata: RIFF chunks outside ``data`` do not affect the
-    signature)."""
+    resampling, and robust to time-shifts only in hop-frame quanta —
+    a shift by k * ``hop_frames`` frames shifts the level sequence by
+    exactly k positions (pair via
+    :func:`audio_near_dup_pairs_shifted`); arbitrary sub-hop shifts
+    perturb every window's RMS and stay out of scope (shrink
+    ``hop_frames`` to tighten the quantization at proportional
+    signature cost). The base scope is exact/near-exact duplicate
+    detection of ingested clips, the common case in corpus dedup (the
+    same file ingested twice, possibly with touched metadata: RIFF
+    chunks outside ``data`` do not affect the signature)."""
     if codec != "wav-stdlib":
         raise ValueError(f"codec must be 'wav-stdlib', got {codec!r}")
+    hop = window_frames if hop_frames is None else hop_frames
+    if not 1 <= hop <= window_frames:
+        raise ValueError(
+            f"hop_frames must be in [1, window_frames], got {hop}"
+        )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -723,14 +738,15 @@ def audio_fingerprints(
                 payload = bytes(payload) if payload is not None else b""
                 _rate, _ch, frames = _wav_pcm_decode(payload)
                 mix = frames.mean(axis=1)
-                n = mix.shape[0] // window_frames
-                if n == 0:
+                if mix.shape[0] < window_frames:
                     rows.append((media_id, 0, []))
                     continue
-                wins = mix[:n * window_frames].reshape(n, window_frames)
+                wins = np.lib.stride_tricks.sliding_window_view(
+                    mix, window_frames
+                )[::hop]
                 rms = np.sqrt(np.mean(wins * wins, axis=1))
                 lv = np.clip((rms * levels).astype(np.int64), 0, levels - 1)
-                rows.append((media_id, int(n), [int(x) for x in lv]))
+                rows.append((media_id, int(len(lv)), [int(x) for x in lv]))
             yield pd.DataFrame(rows, columns=["media_id", "n_windows", "sig"])
 
     pruned = media.filter(F.col("media_type") == "audio").select(
@@ -840,6 +856,149 @@ def audio_near_dup_pairs(
             )
         ).cast("double"),
         F.col("n_windows").cast("double"),
+    )
+    return (
+        cands.join(va, on="a_id")
+        .join(vb, on="b_id")
+        .withColumn("match_fraction", match_frac)
+        .filter(F.col("match_fraction") >= min_match_fraction)
+        .select("a_id", "b_id", "match_fraction")
+    )
+
+
+def audio_near_dup_pairs_shifted(
+    fps: DataFrame,
+    max_shift_windows: int = 4,
+    shingle_windows: int = 8,
+    bands: int = 8,
+    min_match_fraction: float = 0.9,
+) -> DataFrame:
+    """Shift-tolerant near-duplicate audio pairs from
+    :func:`audio_fingerprints` output — the time-offset companion to
+    :func:`audio_near_dup_pairs`, which requires exact alignment and
+    misses a clip re-ingested with leading silence.
+
+    Candidates: each signature's ``shingle_windows``-long level
+    shingles are hashed (position-independent content units — a shift
+    by whole windows preserves all interior shingles), and band ``j``'s
+    key is the MIN shingle hash among those with ``hash % bands == j``
+    (one-permutation MinHash banding). Shifted duplicates share most
+    shingles, hence most band minima, so candidates surface from a
+    plain equi-join on (band index, band key) — never an all-pairs
+    scan — then a length prefilter ``|n_a - n_b| <= max_shift_windows``
+    prunes before verification. The candidate dedup shuffles ids only;
+    signatures re-join for the survivors (same discipline as the
+    aligned path).
+
+    Verify: the EXACT count of equal levels at the best alignment over
+    offsets in [-``max_shift_windows``, +``max_shift_windows``],
+    divided by the SHORTER clip's window count — a clip prefixed with
+    k <= max_shift_windows silence windows scores 1.0 against its
+    original.
+
+    Scope, honestly: shifts are window-quantized — this detects clips
+    offset by a whole number of fingerprint hops (e.g. leading silence
+    of ``k * hop_frames`` frames; fingerprint with ``hop_frames <
+    window_frames`` to tighten the quantization). Sub-hop shifts and
+    resampling remain out of scope. Candidate recall is probabilistic
+    (the standard MinHash-LSH trade-off; raise ``bands`` to trade
+    compute for recall) — unlike the aligned path's pigeonhole
+    completeness guarantee."""
+    if max_shift_windows < 0:
+        raise ValueError(
+            f"max_shift_windows must be >= 0, got {max_shift_windows}"
+        )
+    if shingle_windows < 1:
+        raise ValueError(
+            f"shingle_windows must be >= 1, got {shingle_windows}"
+        )
+    if bands < 1:
+        raise ValueError(f"bands must be >= 1, got {bands}")
+    if not 0.0 < min_match_fraction <= 1.0:
+        raise ValueError(
+            f"min_match_fraction must be in (0, 1], got {min_match_fraction}"
+        )
+    base = fps.filter(F.col("n_windows") >= shingle_windows).select(
+        "media_id", "n_windows", "sig"
+    )
+    shingles = F.transform(
+        F.sequence(
+            F.lit(1), F.col("n_windows") - F.lit(shingle_windows - 1)
+        ),
+        lambda i: F.xxhash64(
+            F.slice("sig", i, F.lit(shingle_windows)).cast("string")
+        ),
+    )
+    band_keys = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda j: F.array_min(
+            F.filter(shingles, lambda h: F.pmod(h, F.lit(bands)) == j)
+        ),
+    )
+    keyed = base.select(
+        "media_id", "n_windows",
+        F.posexplode(band_keys).alias("band_idx", "band_key"),
+    ).filter(F.col("band_key").isNotNull())
+    a = keyed.select(
+        F.col("media_id").alias("a_id"), F.col("n_windows").alias("a_n"),
+        "band_idx", "band_key",
+    )
+    b = keyed.select(
+        F.col("media_id").alias("b_id"), F.col("n_windows").alias("b_n"),
+        "band_idx", "band_key",
+    )
+    cands = (
+        a.join(b, on=["band_idx", "band_key"])
+        .filter(
+            (F.col("a_id") < F.col("b_id"))
+            & (F.abs(F.col("a_n") - F.col("b_n")) <= max_shift_windows)
+        )
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    va = base.select(
+        F.col("media_id").alias("a_id"), F.col("n_windows").alias("a_n"),
+        F.col("sig").alias("a_sig"),
+    )
+    vb = base.select(
+        F.col("media_id").alias("b_id"), F.col("n_windows").alias("b_n"),
+        F.col("sig").alias("b_sig"),
+    )
+
+    def matched_at(o):
+        # positive o: a's window o+i aligns with b's window i
+        start_a = F.greatest(o, F.lit(0)) + F.lit(1)
+        start_b = F.greatest(-o, F.lit(0)) + F.lit(1)
+        ln = F.least(
+            F.col("a_n") - F.greatest(o, F.lit(0)),
+            F.col("b_n") - F.greatest(-o, F.lit(0)),
+        )
+        # CaseWhen evaluates branches lazily, so the slice never sees a
+        # non-positive length when the overlap is empty
+        return F.when(ln <= 0, F.lit(0)).otherwise(
+            F.size(
+                F.filter(
+                    F.zip_with(
+                        F.slice("a_sig", start_a, ln),
+                        F.slice("b_sig", start_b, ln),
+                        lambda x, y: x == y,
+                    ),
+                    lambda t: t,
+                )
+            )
+        )
+
+    best = F.array_max(
+        F.transform(
+            F.sequence(
+                F.lit(-max_shift_windows), F.lit(max_shift_windows)
+            ),
+            matched_at,
+        )
+    )
+    match_frac = F.try_divide(
+        best.cast("double"),
+        F.least("a_n", "b_n").cast("double"),
     )
     return (
         cands.join(va, on="a_id")
