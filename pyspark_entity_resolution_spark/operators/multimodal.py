@@ -20,6 +20,11 @@ ffmpeg (not probed here). Where the codec is absent this raises
   full None/Sub/Up/Average/Paeth scanline unfiltering); dimensions come
   from the verified pixel stream, and non-PNG / palette / interlaced /
   oversized payloads raise rather than mis-decode.
+- ``codec="jpeg-stdlib"`` — a TRUE pixel decode for baseline-sequential
+  JPEGs with numpy + the stdlib (:func:`_jpeg_decode`: canonical
+  Huffman, DC prediction, AC run-length, restart markers, dequant,
+  float64 IDCT, chroma replication upsample, JFIF YCbCr->RGB);
+  progressive/arithmetic/lossless JPEGs raise rather than mis-decode.
 - ``fake=True`` — a deterministic md5-derived stand-in that exercises
   the full Spark-side plumbing (schema, batching, partitioning) with
   real data flow and an output shape identical to the real kernel's.
@@ -216,14 +221,346 @@ def _stdlib_decode(payload: bytes) -> tuple[int, int, int, str]:
     VERIFIED pixel stream (:func:`_png_decode` inflates and unfilters
     every scanline), not from the header. Non-PNG payloads raise
     NotImplementedError — the codec-absent guard stays loud for formats
-    the stdlib cannot decode."""
+    the stdlib cannot decode (for baseline JPEG, pass
+    ``codec="jpeg-stdlib"``)."""
     import hashlib
 
     if payload[:8] != _PNG_SIG:
         raise NotImplementedError(
-            "stdlib codec decodes PNG only; this payload needs PIL/libjpeg"
+            "stdlib codec decodes PNG only; pass codec='jpeg-stdlib' for "
+            "baseline JPEGs — other formats need PIL/libjpeg"
         )
     w, h, c, _raw = _png_decode(payload)
+    return w, h, c, hashlib.md5(payload).hexdigest()
+
+
+# same budget rationale as the PNG guard: the Python-loop Huffman stage
+# is fine for thumbnails/fixtures, not for a 100-megapixel scan
+_JPEG_STDLIB_MAX_PIXELS = 1 << 22
+
+# zigzag position k -> natural (row-major) coefficient index, ITU T.81
+_JPEG_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+
+def _jpeg_huff_table(counts: list, symbols: list) -> dict:
+    """Canonical Huffman table from a DHT segment's BITS/HUFFVAL lists:
+    (code length, code value) -> symbol, per ITU T.81 Annex C."""
+    table = {}
+    code = k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            if k >= len(symbols):
+                raise ValueError("Huffman counts exceed the symbol list")
+            table[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _JpegBits:
+    """MSB-first bit reader over one entropy-coded segment (already
+    unstuffed; restart boundaries start a fresh reader)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.data):
+            raise ValueError("JPEG entropy stream exhausted mid-block")
+        b = (self.data[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode(self, table: dict) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in JPEG entropy stream")
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    """EXTEND of ITU T.81 F.2.2.1: map a t-bit magnitude to its signed
+    value (leading 0 bit = negative branch)."""
+    return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+
+def _jpeg_decode(payload: bytes, max_pixels: int = _JPEG_STDLIB_MAX_PIXELS):
+    """TRUE pixel decode of a baseline-sequential JFIF JPEG with numpy +
+    the stdlib: parse the segment stream (DQT/DHT/SOF0/DRI/SOS), decode
+    the interleaved entropy-coded scan (canonical Huffman, DC
+    prediction with EXTEND, AC run-length with ZRL/EOB, restart-marker
+    resets), dequantize in zigzag order, inverse-DCT each 8x8 block
+    (float64 ``A.T @ B @ A`` with the T.81 basis), then per component:
+    round + clip to [0, 255], crop to the component resolution, and
+    replicate-upsample subsampled chroma before the JFIF YCbCr->RGB
+    convert (itself rounded + clipped). Returns ``(width, height,
+    channels, raw)`` with ``raw`` row-major interleaved pixel bytes.
+
+    Scope (everything else raises ``ValueError`` — the documented
+    guard, never a silent wrong decode): SOF0 baseline sequential only
+    (progressive SOF2, arithmetic SOF9+, lossless, and hierarchical
+    raise), 8-bit precision, 1 (grayscale) or 3 (YCbCr) components in
+    one interleaved scan, sampling factors where hmax/vmax divide each
+    component's factor, at most ``max_pixels`` pixels, and the entropy
+    stream must cover every MCU — a truncated scan is an error even
+    when the headers parse. Chroma upsampling is nearest-neighbor
+    replication (pinned by the tests); decoders with smoothing
+    interpolators differ on subsampled images by design.
+    """
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG SOI marker")
+    pos = 2
+    qt: dict[int, "np.ndarray"] = {}
+    huff: dict[tuple, dict] = {}
+    sof = None
+    scan = None
+    restart_interval = 0
+    while scan is None:
+        if pos + 4 > len(payload):
+            raise ValueError("truncated JPEG segment stream")
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker expected")
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            raise ValueError("EOI before any scan data")
+        seg_len = struct.unpack(">H", payload[pos + 2:pos + 4])[0]
+        body = payload[pos + 4:pos + 2 + seg_len]
+        if seg_len < 2 or len(body) != seg_len - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xDB:  # DQT (tables kept in zigzag order, as stored)
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 15
+                i += 1
+                width_ = 128 if pq else 64
+                raw = body[i:i + width_]
+                if pq > 1 or len(raw) != width_:
+                    raise ValueError("bad quantization table")
+                qt[tq] = np.frombuffer(
+                    raw, dtype=">u2" if pq else np.uint8
+                ).astype(np.int64)
+                i += width_
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                if i + 17 > len(body):
+                    raise ValueError("truncated Huffman table header")
+                tc, th = body[i] >> 4, body[i] & 15
+                counts = list(body[i + 1:i + 17])
+                n = sum(counts)
+                symbols = list(body[i + 17:i + 17 + n])
+                if len(symbols) != n:
+                    raise ValueError("truncated Huffman symbol list")
+                huff[(tc, th)] = _jpeg_huff_table(counts, symbols)
+                i += 17 + n
+        elif marker == 0xC0:  # SOF0: baseline sequential
+            if body[0] != 8:
+                raise ValueError(
+                    f"unsupported JPEG precision {body[0]} (8-bit only)"
+                )
+            h, w = struct.unpack(">HH", body[1:5])
+            nc = body[5]
+            if nc not in (1, 3):
+                raise ValueError(
+                    f"unsupported component count {nc} (grayscale/YCbCr "
+                    "only; CMYK needs a real codec)"
+                )
+            if w == 0 or h == 0 or len(body) < 6 + 3 * nc:
+                raise ValueError("bad SOF0 frame header")
+            if w * h > max_pixels:
+                raise ValueError(
+                    f"{w}x{h} exceeds the stdlib decoder's "
+                    f"{max_pixels}-pixel budget; use a real codec"
+                )
+            comps = [
+                {"id": body[6 + 3 * c], "h": body[7 + 3 * c] >> 4,
+                 "v": body[7 + 3 * c] & 15, "tq": body[8 + 3 * c]}
+                for c in range(nc)
+            ]
+            sof = (w, h, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"unsupported JPEG SOF type 0x{marker:02x} "
+                "(progressive/arithmetic/lossless/hierarchical); the "
+                "stdlib decoder handles baseline sequential SOF0 only"
+            )
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", body[:2])[0]
+        elif marker == 0xDA:  # SOS
+            if sof is None:
+                raise ValueError("SOS before SOF0")
+            ns = body[0]
+            if ns != len(sof[2]):
+                raise ValueError(
+                    "non-interleaved JPEG scan (one scan covering every "
+                    "component is the supported layout)"
+                )
+            sel = {}
+            for c in range(ns):
+                cs, tt = body[1 + 2 * c], body[2 + 2 * c]
+                sel[cs] = (tt >> 4, tt & 15)
+            scan = (sel, pos + 2 + seg_len)
+        pos += 2 + seg_len  # APPn / COM / others: skipped
+    sel, entropy_start = scan
+    w, h, comps = sof
+
+    # entropy data: unstuff FF00, split on restart markers, stop at EOI
+    segments = [bytearray()]
+    i = entropy_start
+    saw_eoi = False
+    while i < len(payload):
+        byte = payload[i]
+        if byte != 0xFF:
+            segments[-1].append(byte)
+            i += 1
+            continue
+        if i + 1 >= len(payload):
+            raise ValueError("truncated JPEG entropy stream")
+        m = payload[i + 1]
+        if m == 0x00:
+            segments[-1].append(0xFF)
+        elif 0xD0 <= m <= 0xD7:
+            segments.append(bytearray())
+        elif m == 0xD9:
+            saw_eoi = True
+            break
+        else:
+            raise ValueError(
+                f"unexpected marker 0x{m:02x} inside the entropy stream "
+                "(multi-scan JPEGs are out of scope)"
+            )
+        i += 2
+    if not saw_eoi:
+        raise ValueError("JPEG stream ended without EOI")
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    for c in comps:
+        if (c["h"] < 1 or c["v"] < 1 or hmax % c["h"] or vmax % c["v"]):
+            raise ValueError(
+                f"unsupported sampling factors {c['h']}x{c['v']} "
+                f"(hmax={hmax}, vmax={vmax} must divide evenly)"
+            )
+        if c["tq"] not in qt:
+            raise ValueError(f"missing quantization table {c['tq']}")
+        if c["id"] not in sel:
+            raise ValueError(f"scan does not cover component {c['id']}")
+        dc_id, ac_id = sel[c["id"]]
+        if (0, dc_id) not in huff or (1, ac_id) not in huff:
+            raise ValueError("missing Huffman table for a scan component")
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    planes = {
+        c["id"]: np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8))
+        for c in comps
+    }
+    # T.81 A.3.3 IDCT basis: A[u, x] = c(u)/2 * cos((2x+1) u pi / 16)
+    u = np.arange(8).reshape(8, 1)
+    x = np.arange(8).reshape(1, 8)
+    basis = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16)
+    basis[0, :] *= 1 / np.sqrt(2)
+
+    seg_idx = 0
+    bits = _JpegBits(bytes(segments[0]))
+    preds = {c["id"]: 0 for c in comps}
+    for mcu in range(mcus_x * mcus_y):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ValueError("missing JPEG restart marker")
+            bits = _JpegBits(bytes(segments[seg_idx]))
+            preds = {c["id"]: 0 for c in comps}
+        my, mx = divmod(mcu, mcus_x)
+        for c in comps:
+            dc_tab = huff[(0, sel[c["id"]][0])]
+            ac_tab = huff[(1, sel[c["id"]][1])]
+            for bv in range(c["v"]):
+                for bh in range(c["h"]):
+                    zz = np.zeros(64, dtype=np.int64)
+                    t = bits.decode(dc_tab)
+                    if t > 11:
+                        raise ValueError(f"invalid DC category {t}")
+                    diff = _jpeg_extend(bits.read_bits(t), t) if t else 0
+                    preds[c["id"]] += diff
+                    zz[0] = preds[c["id"]]
+                    k = 1
+                    while k < 64:
+                        rs = bits.decode(ac_tab)
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r == 15:  # ZRL: sixteen zeros
+                                k += 16
+                                continue
+                            break        # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("AC run past the block end")
+                        zz[k] = _jpeg_extend(bits.read_bits(s), s)
+                        k += 1
+                    natural = np.zeros(64)
+                    natural[list(_JPEG_ZIGZAG)] = zz * qt[c["tq"]]
+                    block = natural.reshape(8, 8)
+                    spatial = basis.T @ block @ basis + 128.0
+                    py = (my * c["v"] + bv) * 8
+                    px = (mx * c["h"] + bh) * 8
+                    planes[c["id"]][py:py + 8, px:px + 8] = spatial
+
+    out_planes = []
+    for c in comps:
+        cw = -(-w * c["h"] // hmax)
+        ch = -(-h * c["v"] // vmax)
+        p = np.clip(np.round(planes[c["id"]][:ch, :cw]), 0, 255)
+        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0),
+                      hmax // c["h"], axis=1)
+        out_planes.append(p[:h, :w])
+    if len(comps) == 1:
+        return w, h, 1, out_planes[0].astype(np.uint8).tobytes()
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255)
+    return w, h, 3, rgb.astype(np.uint8).tobytes()
+
+
+def _jpeg_stdlib_decode(payload: bytes) -> tuple[int, int, int, str]:
+    """Baseline-JPEG real decode on the stdlib path (the JPEG twin of
+    :func:`_stdlib_decode`): dimensions come from the VERIFIED pixel
+    stream — :func:`_jpeg_decode` Huffman-decodes and inverse-DCTs every
+    block. Non-JPEG payloads raise NotImplementedError."""
+    import hashlib
+
+    if payload[:2] != b"\xff\xd8":
+        raise NotImplementedError(
+            "jpeg-stdlib codec decodes JPEG only; pass codec='png-stdlib' "
+            "for PNGs — other formats need PIL"
+        )
+    w, h, c, _raw = _jpeg_decode(payload)
     return w, h, c, hashlib.md5(payload).hexdigest()
 
 
@@ -232,7 +569,9 @@ def decode_image_batch(
 ) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel: (media_id, payload) -> IMAGE_FEATURES_SCHEMA."""
     decode = _fake_decode if fake else (
-        _stdlib_decode if codec == "png-stdlib" else _real_decode
+        _stdlib_decode if codec == "png-stdlib"
+        else _jpeg_stdlib_decode if codec == "jpeg-stdlib"
+        else _real_decode
     )
     for pdf in batches:
         rows = []
@@ -266,22 +605,29 @@ def extract_image_features(
     - ``"png-stdlib"``: no library needed — a TRUE pixel decode
       (zlib-inflate + unfilter, :func:`_png_decode`) for small 8-bit
       PNGs; non-PNG payloads and exotic/oversized PNGs raise in-kernel.
+    - ``"jpeg-stdlib"``: no library needed — a TRUE pixel decode
+      (Huffman + dequant + IDCT + YCbCr, :func:`_jpeg_decode`) for
+      baseline-sequential JPEGs; non-JPEG payloads and
+      progressive/arithmetic/oversized JPEGs raise in-kernel.
 
     ``fake=True`` selects the deterministic stub kernel regardless of
     codec (clearly-fabricated features for plumbing tests).
     """
-    if not fake and codec not in ("pil", "png-stdlib"):
-        raise ValueError(f"codec must be 'pil' or 'png-stdlib', got {codec!r}")
+    if not fake and codec not in ("pil", "png-stdlib", "jpeg-stdlib"):
+        raise ValueError(
+            f"codec must be 'pil', 'png-stdlib', or 'jpeg-stdlib', "
+            f"got {codec!r}"
+        )
     if not fake and codec == "pil":
         try:
             import PIL.Image  # noqa: F401  (driver-side availability check)
         except ImportError as exc:
             raise NotImplementedError(
                 "real image decoding requires PIL/libjpeg, which is not "
-                "installed; pass codec='png-stdlib' for the library-free "
-                "PNG pixel decoder, or fake=True for the deterministic "
-                "stub kernel (clearly-fabricated features for plumbing "
-                "tests)"
+                "installed; pass codec='png-stdlib' or codec='jpeg-stdlib' "
+                "for the library-free pixel decoders, or fake=True for the "
+                "deterministic stub kernel (clearly-fabricated features "
+                "for plumbing tests)"
             ) from exc
     pruned = media.filter(F.col("media_type") == "image").select(
         "media_id", "payload"
