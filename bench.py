@@ -115,6 +115,20 @@ PACK_PROVENANCE: dict[str, dict[str, list[str]]] = {
         ],
         "renamed_from": ["embedding_near_dup_lsh (pairs only, r3-r4)"],
     },
+    "multimodal_pack": {
+        # r9: the media family's first bench row (bench-only, like the
+        # er_pipeline rows — binary payloads have no DuckDB oracle; the
+        # pytest pixel/sample pins stay the correctness layer). One
+        # timed pass = PNG pixel decode (png-stdlib, filter-2 rows) +
+        # WAV waveform features + fingerprints + banded near-dup join;
+        # the planted-pair count is asserted untimed after the runs.
+        "constituents": [
+            "extract_image_features png-stdlib (r9)",
+            "extract_audio_features wav-stdlib (r9)",
+            "audio_fingerprints + audio_near_dup_pairs (r9)",
+        ],
+        "renamed_from": [],
+    },
     "dedup_minhash_lsh": {
         # r3 switched this entry from label-blocked to UNBLOCKED LSH
         # (commit 2dcc36e); r4 added the ingest-time sections (band-key
@@ -301,6 +315,76 @@ def _bench_er_pipeline_e2e(spark) -> float:
         shutil.rmtree(dest, ignore_errors=True)
 
 
+def _bench_multimodal(spark) -> float:
+    """Media-family pack over a deterministic synthetic corpus
+    (tools/media_corpus.py: planted near-dup WAV clips + noise PNGs
+    with filter-2 scanlines, cached on disk): real stdlib PNG pixel
+    decode, real WAV waveform features, and the banded audio near-dup
+    join end-to-end — the perf-regression net the family lacked in r8
+    (correctness pins only, no bench row). The planted-pair count is
+    asserted after the timed runs so a silent workload change can never
+    masquerade as a perf delta."""
+    from pyspark_entity_resolution_spark.operators.multimodal import (
+        audio_fingerprints,
+        audio_near_dup_pairs,
+        extract_audio_features,
+        extract_image_features,
+    )
+    from tools.media_corpus import (
+        WINDOW_FRAMES,
+        build_media_corpus,
+        expected_audio_pairs,
+    )
+
+    n_audio = n_images = 400
+    path = build_media_corpus(
+        spark, "/tmp/media_bench_corpus_v1.parquet",
+        n_audio=n_audio, n_images=n_images,
+    )
+    media = spark.read.parquet(path)
+    best = None
+    for _ in range(3):
+        start = time.perf_counter()
+        extract_image_features(media, codec="png-stdlib").write.format(
+            "noop").mode("overwrite").save()
+        extract_audio_features(media).write.format("noop").mode(
+            "overwrite").save()
+        fps = audio_fingerprints(media, window_frames=WINDOW_FRAMES)
+        audio_near_dup_pairs(fps, min_match_fraction=0.9).write.format(
+            "noop").mode("overwrite").save()
+        elapsed = time.perf_counter() - start
+        best = elapsed if best is None else min(best, elapsed)
+    # untimed workload tripwire (the media analog of query_result_rows)
+    n_pairs = audio_near_dup_pairs(
+        audio_fingerprints(media, window_frames=WINDOW_FRAMES),
+        min_match_fraction=0.9,
+    ).count()
+    want = expected_audio_pairs(n_audio)
+    if n_pairs != want:
+        raise AssertionError(
+            f"multimodal bench corpus drifted: {n_pairs} near-dup pairs, "
+            f"expected the planted {want}"
+        )
+    return round(best, 3)
+
+
+def media_corpus_meta(n_audio: int = 400, n_images: int = 400) -> dict:
+    from tools.media_corpus import (
+        N_WINDOWS,
+        WINDOW_FRAMES,
+        expected_audio_pairs,
+    )
+
+    return {
+        "generator": "tools/media_corpus.py",
+        "n_audio": n_audio,
+        "n_images": n_images,
+        "windows_per_clip": N_WINDOWS,
+        "window_frames": WINDOW_FRAMES,
+        "planted_near_dup_pairs": expected_audio_pairs(n_audio),
+    }
+
+
 def _auto_baseline_ref() -> str | None:
     """The latest round-boundary commit STRICTLY BEFORE HEAD ("round N:
     verdict/..." — the driver stamps one per round), i.e. the prior
@@ -329,7 +413,13 @@ def _auto_baseline_ref() -> str | None:
         return None
 
 
-def _baseline_same_host_interleaved(ref: str) -> dict:
+def _baseline_same_host_interleaved(
+    ref: str,
+    rows: list | None = None,
+    queries: list | None = None,
+    passes: int | None = None,
+    runs: int | None = None,
+) -> dict:
     """Interleaved same-host A/B of committed HEAD vs the prior round's
     boundary commit, embedded in the artifact. Round 7's sequential
     A-then-B version of this (HEAD in-process first, then one baseline
@@ -343,11 +433,14 @@ def _baseline_same_host_interleaved(ref: str) -> dict:
 
     Both arms measure COMMITTED state (cached detached worktrees keyed
     by sha) — uncommitted edits are not in the HEAD arm; the official
-    in-process numbers above remain the working tree's. Knobs:
-    $SPARK_GRAFT_BASELINE_PASSES (default 2) / _RUNS (min-of-N inside
-    each JVM, default 2). Failures are embedded, not fatal — the HEAD
-    artifact must not die because an old ref can't run on today's
-    testdata."""
+    in-process numbers above remain the working tree's. Defaults are the
+    headline set; ``--full`` passes the whole registry with fewer
+    runs-per-JVM (r8 judge finding #1: the full-registry artifact had no
+    same-host protocol and could not adjudicate its own 58.6 -> 73.6 s
+    move). Knobs: $SPARK_GRAFT_BASELINE_PASSES (default 2) / _RUNS
+    (min-of-N inside each JVM, default 2). Failures are embedded, not
+    fatal — the HEAD artifact must not die because an old ref can't run
+    on today's testdata."""
     try:
         from tools.ab_bench import interleaved_ab, resolve_ref
 
@@ -358,13 +451,16 @@ def _baseline_same_host_interleaved(ref: str) -> dict:
     if head == base:
         return {"ref": base,
                 "error": "baseline ref equals HEAD; nothing to compare"}
-    passes = max(1, int(os.environ.get("SPARK_GRAFT_BASELINE_PASSES", "2")))
-    runs = max(1, int(os.environ.get("SPARK_GRAFT_BASELINE_RUNS", "2")))
+    if passes is None:
+        passes = max(1, int(os.environ.get("SPARK_GRAFT_BASELINE_PASSES", "2")))
+    if runs is None:
+        runs = max(1, int(os.environ.get("SPARK_GRAFT_BASELINE_RUNS", "2")))
     try:
         records, summary = interleaved_ab(
             [head, base],
-            rows=["er_pipeline_blocked_n3", "er_pipeline_e2e_n3"],
-            queries=HEADLINE,
+            rows=(["er_pipeline_blocked_n3", "er_pipeline_e2e_n3"]
+                  if rows is None else rows),
+            queries=HEADLINE if queries is None else queries,
             passes=passes,
             runs=runs,
             on_record=lambda rec: print(
@@ -459,30 +555,47 @@ def main(full: bool = False, baseline_ref: str | None = None) -> None:
         per_query[name] = best
         total += best
 
-    ann_arm_sec: dict[str, dict] | None = None
+    pack_section_sec: dict[str, dict] | None = None
     if full:
-        # per-arm timing for the noisiest gate row (r7: 4.5 s spread on
-        # a ~6 s pack, the regression net's biggest hole): localize
-        # which of the six ANN strategies wobbles. The pack row above
-        # stays the gate entry; these ride in metadata only.
+        # per-section timing for the multi-arm packs (r7 task: the ANN
+        # pack's 4.5 s spread; r9 extends to every widened pack per r8
+        # finding #2 — dedup_ngram_jaccard mixes ~1 s of data work with
+        # ~4 s of fixed prefix-pipeline overhead at sf0.1, and
+        # deterministic_sample's 'mix' rule pays a K-row collect the
+        # other rules don't): localize which constituent wobbles or
+        # carries the cost. The pack rows above stay the gate entries;
+        # these ride in metadata only.
+        from pyspark_entity_resolution_spark.plans.queries_relational import (
+            deterministic_sample_sections,
+        )
+        from pyspark_entity_resolution_spark.plans.queries_text import (
+            dedup_ngram_sections,
+        )
         from pyspark_entity_resolution_spark.plans.queries_vector import (
             ann_methods_arms,
         )
 
-        ann_arm_sec = {}
-        for arm, df in ann_methods_arms(spark, sf_dir).items():
-            times = []
-            for _ in range(runs):
-                start = time.perf_counter()
-                df.write.format("noop").mode("overwrite").save()
-                times.append(time.perf_counter() - start)
-            ann_arm_sec[arm] = {
-                "min": round(min(times), 3),
-                "spread": round(max(times) - min(times), 3),
-            }
-            print(f"[bench] ann arm {arm}: {ann_arm_sec[arm]['min']}s "
-                  f"(±{ann_arm_sec[arm]['spread']})",
-                  file=sys.stderr, flush=True)
+        pack_section_sec = {}
+        for pack, provider in (
+            ("ann_methods_topk", ann_methods_arms),
+            ("dedup_ngram_jaccard", dedup_ngram_sections),
+            ("deterministic_sample", deterministic_sample_sections),
+        ):
+            pack_section_sec[pack] = {}
+            for arm, df in provider(spark, sf_dir).items():
+                times = []
+                for _ in range(runs):
+                    start = time.perf_counter()
+                    df.write.format("noop").mode("overwrite").save()
+                    times.append(time.perf_counter() - start)
+                pack_section_sec[pack][arm] = {
+                    "min": round(min(times), 3),
+                    "spread": round(max(times) - min(times), 3),
+                }
+                print(f"[bench] {pack} section {arm}: "
+                      f"{pack_section_sec[pack][arm]['min']}s "
+                      f"(±{pack_section_sec[pack][arm]['spread']})",
+                      file=sys.stderr, flush=True)
 
     if not full:
         er_elapsed = _bench_er_pipeline(spark)
@@ -498,6 +611,12 @@ def main(full: bool = False, baseline_ref: str | None = None) -> None:
         )
         per_query["er_pipeline_e2e_n3"] = e2e_elapsed
         total += e2e_elapsed
+
+        mm_elapsed = _bench_multimodal(spark)
+        print(f"[bench] multimodal_pack: {mm_elapsed}s",
+              file=sys.stderr, flush=True)
+        per_query["multimodal_pack"] = mm_elapsed
+        total += mm_elapsed
 
     # --- workload self-description (untimed) -------------------------
     # Table cardinalities come from parquet footer metadata (cheap); the
@@ -519,10 +638,13 @@ def main(full: bool = False, baseline_ref: str | None = None) -> None:
         "table_rows": tables,
         "query_result_rows": query_rows,
         "er_corpus": er_corpus_meta(),
+        "media_corpus": media_corpus_meta(),
         "pack_provenance": PACK_PROVENANCE,
     }
-    if ann_arm_sec is not None:
-        workload["ann_methods_arm_sec"] = ann_arm_sec
+    if pack_section_sec is not None:
+        workload["pack_section_sec"] = pack_section_sec
+        # r8 artifact continuity: the ANN arms rode under this key
+        workload["ann_methods_arm_sec"] = pack_section_sec["ann_methods_topk"]
     metric = "full_total_runtime" if full else "headline_total_runtime"
     # emit the HEAD artifact BEFORE the baseline subprocess: if a
     # harness timeout kills the run mid-baseline, the measured numbers
@@ -531,16 +653,25 @@ def main(full: bool = False, baseline_ref: str | None = None) -> None:
     # simply supersedes this one when it completes)
     emit_bench_artifact(total, per_query, sf, workload, metric=metric)
 
-    # same-host prior-round comparison (headline mode only; suppressed
-    # in the baseline subprocess itself and by SPARK_GRAFT_NO_BASELINE)
-    if not full and not os.environ.get("SPARK_GRAFT_NO_BASELINE"):
+    # same-host prior-round comparison (suppressed in the baseline
+    # subprocess itself and by SPARK_GRAFT_NO_BASELINE). Headline mode:
+    # passes x min-of-2 over the headline set. Full mode (r9, closing
+    # r8 judge finding #1): the WHOLE registry, min-of-1 inside each
+    # JVM — per-query precision is lower, but the artifact now carries
+    # its own same-host straddle evidence instead of a README narrative.
+    if not os.environ.get("SPARK_GRAFT_NO_BASELINE"):
         ref = (baseline_ref
                or os.environ.get("SPARK_GRAFT_BASELINE_REF")
                or _auto_baseline_ref())
         if ref:
             print(f"[bench] baseline ref {ref[:12]} (interleaved same-host "
                   "A/B) ...", file=sys.stderr, flush=True)
-            baseline = _baseline_same_host_interleaved(ref)
+            baseline = _baseline_same_host_interleaved(
+                ref,
+                rows=[] if full else None,
+                queries=sorted(specs) if full else None,
+                runs=1 if full else None,
+            )
             if baseline:
                 workload["baseline_same_host_interleaved"] = baseline
                 emit_bench_artifact(

@@ -767,6 +767,20 @@ _MIX_SQL = f"""
     "unit-tested)",
 )
 def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sections = deterministic_sample_sections(spark, sf_dir)
+    return (sections["flat"]
+            .unionByName(sections["stratified"])
+            .unionByName(sections["mix"]))
+
+
+def deterministic_sample_sections(
+    spark: SparkSession, sf_dir: str
+) -> "dict[str, DataFrame]":
+    """The pack's sampling rules, individually addressable — the pack
+    is their union, and `bench.py --full` also times each rule
+    separately so a widened pack's cost stays attributable from the
+    artifact alone (the 'mix' rule pays a K-row collect for its rate
+    computation that 'flat'/'stratified' never do)."""
     from ..operators.sampling import (
         hash_sample,
         mix_sources,
@@ -786,7 +800,7 @@ def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         o, "o_orderkey", "o_orderpriority",
         weights={"1-URGENT": 0.5, "2-HIGH": 0.3, "3-MEDIUM": 0.2},
     ).select(F.lit("mix").alias("rule"), "o_orderkey", "o_custkey")
-    return flat.unionByName(strat).unionByName(mix)
+    return {"flat": flat, "stratified": strat, "mix": mix}
 
 
 @q(

@@ -82,7 +82,14 @@ if queries:
     from pyspark_entity_resolution_spark.plans.registry import all_queries
     specs = all_queries()
     for name in queries:
-        fn = specs[name].fn
+        spec = specs.get(name)
+        if spec is None:
+            # a query the other arm's registry has and this ref's does
+            # not (full-registry A/B across a round boundary): skip
+            # rather than abort — the summary simply has no sample for
+            # this (ref, query), which is the honest record
+            continue
+        fn = spec.fn
         out[name] = _min_runs(lambda: _noop(fn(spark, sf_dir)))
 
 if rows:

@@ -1,0 +1,135 @@
+"""Deterministic synthetic media corpus (WAV clips + PNG images) for the
+multimodal bench row and the century-audio scale probe.
+
+Layout: MEDIA_SCHEMA rows. Audio ids come in groups of 10 — member 0 is
+the group's base clip, members 1-2 are planted near-duplicates (one
+level-window bumped each, at distinct positions, so with 24 windows the
+within-group match fractions are 23/24, 23/24, and 22/24 — all above
+the 0.9 default), members 3-9 are unrelated patterns. Every level
+pattern is a pure integer hash of (group, member, window), so an n-fold
+corpus has exactly n-fold groups and EXACTLY n-fold qualifying pairs
+(3 per group): the pair-count assertion of the probe. Images are
+32x32 RGB PNGs with id-seeded noise, encoded with the stdlib (zlib +
+filter-0 scanlines) — real decode work for the png-stdlib kernel.
+
+Generation is DISTRIBUTED (mapInPandas over spark.range): the x100
+probe corpus never funnels through the driver.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+N_WINDOWS = 24
+WINDOW_FRAMES = 512
+_GROUP = 10
+
+
+def _mix(a: int, b: int) -> int:
+    x = (a * 2654435761 + b * 40503 + 9176) & 0xFFFFFFFF
+    x ^= x >> 13
+    x = (x * 2246822519) & 0xFFFFFFFF
+    x ^= x >> 16
+    return x
+
+
+def clip_levels(media_id: int) -> list[int]:
+    """The designed level pattern for one audio id (see module doc)."""
+    g, m = divmod(media_id, _GROUP)
+    if m < 3:
+        # base seeds are even, unrelated-member seeds odd: disjoint
+        # domains, so no cross-group pattern collision is possible
+        levels = [_mix(2 * g, w) % 8 for w in range(N_WINDOWS)]
+        if m:  # near-dup: bump one window, distinct position per member
+            pos = (m * 7) % N_WINDOWS
+            levels[pos] = (levels[pos] + 1) % 8
+        return levels
+    return [_mix(2 * (g * _GROUP + m) + 1, w) % 8 for w in range(N_WINDOWS)]
+
+
+def synth_wav(levels: list[int], window_frames: int = WINDOW_FRAMES,
+              rate: int = 8000) -> bytes:
+    """16-bit mono PCM WAV whose per-window RMS recovers ``levels``
+    exactly under ``audio_fingerprints(levels=8)`` (square wave at
+    amplitude (level + 0.5)/8 of full scale per window)."""
+    import numpy as np
+
+    amps = np.array([int(((lv + 0.5) / 8) * 32767) for lv in levels],
+                    dtype=np.int64)
+    sig = np.repeat(amps, window_frames)
+    toggle = np.where(np.arange(sig.size) % 2 == 0, 1, -1)
+    pcm = (sig * toggle).astype("<i2").tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+    hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+    hdr += b"data" + struct.pack("<I", len(pcm))
+    return hdr + pcm
+
+
+def synth_png(img_id: int, size: int = 32) -> bytes:
+    """Small RGB PNG with id-seeded noise pixels, stdlib-encoded. Rows
+    after the first use filter 2 (Up), so decoding pays the real
+    per-byte unfilter loop, not just a zlib inflate + copy."""
+    import numpy as np
+
+    rng = np.random.RandomState(img_id % (2 ** 31 - 1))
+    pix = rng.randint(0, 256, (size, 3 * size), dtype=np.uint8)
+    rows = [b"\x00" + pix[0].tobytes()]
+    for r in range(1, size):
+        rows.append(b"\x02" + (pix[r] - pix[r - 1]).tobytes())
+    raw = b"".join(rows)
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body)))
+
+    return (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", size, size, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw, 6))
+            + chunk(b"IEND", b""))
+
+
+def expected_audio_pairs(n_audio: int) -> int:
+    """Qualifying near-dup pairs the generator plants: 3 per full group
+    of 10 (plus the partial-group tail, which the callers avoid by
+    sizing n_audio to a multiple of 10)."""
+    full, rem = divmod(n_audio, _GROUP)
+    tail = {0: 0, 1: 0, 2: 1}.get(min(rem, 3), 3)
+    return 3 * full + tail
+
+
+def build_media_corpus(spark, path: str, n_audio: int,
+                       n_images: int = 0) -> str:
+    """Write (once, cached) a MEDIA_SCHEMA parquet of ``n_audio`` WAV
+    clips + ``n_images`` PNGs at ``path``; returns the path. Generation
+    is distributed — each task synthesizes its own id range."""
+    import os
+
+    if os.path.exists(path + "/_SUCCESS"):
+        return path
+
+    import pandas as pd
+
+    from pyspark_entity_resolution_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                if i < n_audio:
+                    rows.append((i, "audio", synth_wav(clip_levels(i)),
+                                 "audio/wav", f"synth://audio/{i}.wav"))
+                else:
+                    rows.append((i, "image", synth_png(i),
+                                 "image/png", f"synth://image/{i}.png"))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    n_part = max(8, (n_audio + n_images) // 2000)
+    (spark.range(n_audio + n_images, numPartitions=n_part)
+     .mapInPandas(kernel, MEDIA_SCHEMA)
+     .write.mode("overwrite").parquet(path))
+    return path

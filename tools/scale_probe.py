@@ -24,7 +24,9 @@ Probe D (``century``): TWO measured decades (x100) for MinHash-LSH,
          selective-vocabulary scale path, with an exactly-100x result
          assertion) ``century-cc`` ``century-er`` ``century-ingest`` (the
          ingest-time serving paths: fixed arriving batch vs a x100
-         persisted index) ``century-labelstore`` ``century-winnow``.
+         persisted index) ``century-labelstore`` ``century-winnow``
+         ``century-audio`` (planted near-dup WAV clips: Arrow decode
+         throughput + banded audio dedup, exact pair-count assertion).
 
 Usage: python tools/scale_probe.py [trio|ann|winnow|century|century-<family>]
 """
@@ -288,6 +290,7 @@ def _with_scaled_partitions(spark, fn, factor=8):
 CENTURY_FAMILIES = (
     "century-minhash", "century-substring", "century-ngram", "century-cc",
     "century-er", "century-ingest", "century-labelstore", "century-winnow",
+    "century-audio",
 )
 
 
@@ -1072,6 +1075,67 @@ def _docs_xn_affine(spark, factor: int) -> str:
     return dest
 
 
+def probe_century_audio(spark) -> None:
+    """Media family at x1/x10/x100 (r9): planted near-dup WAV clips
+    (tools/media_corpus.py — 3 qualifying pairs per 10-clip group, pure
+    hash patterns so an n-fold corpus has EXACTLY n-fold pairs). Two
+    legs per scale: decode throughput through the Arrow
+    extract_audio_features kernel (clips/s), and the full fingerprints
+    -> banded near-dup join with the exact planted-pair assertion."""
+    from pyspark_entity_resolution_spark.operators.multimodal import (
+        audio_fingerprints,
+        audio_near_dup_pairs,
+        extract_audio_features,
+    )
+    from tools.media_corpus import (
+        WINDOW_FRAMES,
+        build_media_corpus,
+        expected_audio_pairs,
+    )
+
+    base_n = 2_000
+    legs = {}
+    for factor in (1, 10, 100):
+        n = base_n * factor
+        media = spark.read.parquet(
+            build_media_corpus(
+                spark, f"/tmp/scale_media_x{factor}.parquet", n_audio=n
+            )
+        )
+
+        def _decode(m=media):
+            return extract_audio_features(m).count()
+
+        def _pairs(m=media, nn=n):
+            fps = audio_fingerprints(m, window_frames=WINDOW_FRAMES)
+            got = audio_near_dup_pairs(fps, min_match_fraction=0.9).count()
+            want = expected_audio_pairs(nn)
+            if got != want:
+                raise AssertionError(
+                    f"x{nn // base_n}: {got} pairs, planted {want}"
+                )
+            return got
+
+        runs = 2 if factor == 1 else 1
+        td = _timed_century(f"audio_decode {n} clips", _decode, runs=runs)
+        tp = _timed_century(
+            f"audio_near_dup {n} clips",
+            (lambda f=_pairs: _with_scaled_partitions(spark, f))
+            if factor == 100 else _pairs,
+            runs=runs,
+        )
+        legs[factor] = (td, tp)
+        print(f"[century] audio_decode x{factor}: {n / td:.0f} clips/s",
+              flush=True)
+    for factor in (10, 100):
+        print(
+            f"[century] audio x{factor} data -> "
+            f"decode x{legs[factor][0] / legs[1][0]:.1f} time, "
+            f"near_dup x{legs[factor][1] / legs[1][1]:.1f} time",
+            flush=True,
+        )
+
+
 def probe_century_winnow(spark) -> None:
     """Winnowing fingerprints + overlap pairs TWO decades up: sf0.1
     (5k docs) vs the x100 affine-mapped corpus (500k docs) — output
@@ -1208,6 +1272,8 @@ def main() -> None:
         probe_century_labelstore(spark)
     elif "century-winnow" in sys.argv[1:]:
         probe_century_winnow(spark)
+    elif "century-audio" in sys.argv[1:]:
+        probe_century_audio(spark)
     else:
         probe_er(spark)
         probe_cc(spark)
