@@ -432,9 +432,27 @@ def connected_components(
         spark.conf.set(key, session_width)
 
 
+# Per-round diagnostics of the MOST RECENT connected_components call on
+# this driver: one dict per completed round — {'sec': wall seconds for
+# the round's star step + materializing count (+ fixed-point probe on
+# probed rounds), 'edges': the round's output edge count, 'probed':
+# whether the count plateau let the convergence probe run}. Written by
+# _connected_components_loop, read by tools/scale_probe.py century-cc
+# (r8 judge task #8: the 100M-edge leg reads 375-730 s night-to-night
+# and one total can't say whether the variance is round-count or
+# per-round shuffle time). Driver-side diagnostic only — last call
+# wins; not part of the result contract and not thread-safe.
+LAST_RUN_ROUND_STATS: list = []
+
+
 def _connected_components_loop(
     raw: DataFrame, max_iterations: int, level=None, pin: bool = False
 ) -> DataFrame:
+    import time as _time
+
+    global LAST_RUN_ROUND_STATS
+    round_stats: list = []
+    LAST_RUN_ROUND_STATS = round_stats
     all_nodes = (
         raw.select(F.col("u").alias("node"))
         .union(raw.select(F.col("v").alias("node")))
@@ -467,6 +485,7 @@ def _connected_components_loop(
     # scan over the just-materialized checkpoint is trivial
     prev_count = e.count()
     for _ in range(max_iterations):
+        _round_t0 = _time.perf_counter()
         prev = e
         # lazy checkpoint: the count below is the action that
         # materializes it, so each round runs ONE heavy job instead of
@@ -554,6 +573,11 @@ def _connected_components_loop(
                 (F.col("nsrc") >= 1) & ((F.col("nsrc") > 1) | (F.col("ntgt") > 0))
             )
             converged = churn.isEmpty()
+        round_stats.append({
+            "sec": round(_time.perf_counter() - _round_t0, 3),
+            "edges": count,
+            "probed": count == prev_count,
+        })
         prev_count = count
         # the superseded round's blocks are re-readable only until this
         # release; every consumer of `prev` (this round's stars + probe)

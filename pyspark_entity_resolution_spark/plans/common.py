@@ -28,11 +28,19 @@ from pyspark.sql import DataFrame, SparkSession
 class QuerySpec:
     """One driver-contract query: a Spark callable and (optionally) the
     equivalent DuckDB SQL. ``sql=None`` -> rows-only check (for ops that
-    are not SQL-expressible, e.g. iterative algorithms)."""
+    are not SQL-expressible, e.g. iterative algorithms).
+
+    ``adaptive_sql``: optional ``sf_dir -> SQL`` generator for queries
+    whose oracle depends on corpus scale (e.g. adaptive LSH plane
+    counts). The driver contract only sees the static ``sql`` (valid at
+    gate scale, guarded in-query); tools/check_oracle.py prefers
+    ``adaptive_sql`` so above-gate spot-checks value-compare instead of
+    degrading to rows-only."""
 
     fn: Callable[[SparkSession, str], DataFrame]
     sql: str | None
     doc: str = ""
+    adaptive_sql: "Callable[[str], str] | None" = None
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:

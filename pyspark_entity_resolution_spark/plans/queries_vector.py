@@ -291,11 +291,12 @@ def ann_methods_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def _table_bucket_sql(table_idx: int, num_planes: int = 4, dim: int = 64) -> str:
+def _table_bucket_sql(table_idx: int, num_planes: int = 4, dim: int = 64,
+                      num_tables: int = 4) -> str:
     """Bucket expression for one multi-table LSH table: planes
     [t*b, (t+1)*b) of hyperplanes(b*L, dim) — mirrors lsh_topk's
     num_tables slicing."""
-    all_planes = A.hyperplanes(num_planes * 4, dim)
+    all_planes = A.hyperplanes(num_planes * num_tables, dim)
     planes = all_planes[table_idx * num_planes:(table_idx + 1) * num_planes]
     plane_sqls = ["[" + ", ".join(repr(x) for x in p) + "]::DOUBLE[]" for p in planes]
     return " || ".join(
@@ -354,21 +355,51 @@ QUERIES["ann_methods_topk"].sql = _ANN_METHODS_BASE_SQL + f"""
     """
 
 
-@q(
-    "embedding_near_dup_lsh",
-    f"""
-    WITH keys AS ({_MT_KEYS_SQL}),
+def _mt_keys_sql_n(num_planes: int, num_tables: int = 4) -> str:
+    cols = ", ".join(
+        f"{_table_bucket_sql(t, num_planes, num_tables=num_tables)} AS k{t}"
+        for t in range(num_tables)
+    )
+    return f"SELECT vec_id, embedding, {cols} FROM embeddings"
+
+
+def _near_dup_oracle_sql(pairs_planes: int = 4, acc_planes: int = 4) -> str:
+    """DuckDB oracle for ``embedding_near_dup_lsh`` at a given plane
+    count per section (the engine adapts planes to corpus size via
+    choose_num_planes; the sf1 spot-check generates this at the same
+    counts the engine will pick — r8 judge task #6, closing the one
+    rows-only entry in the sf1 artifact). Candidates are a UNION of
+    per-table equi-joins + DISTINCT rather than one OR-join: the same
+    pair set (exactly-once admission admits a set, not a multiset), but
+    hash-join-plannable at sf1 scale where an OR-join can fall back to
+    quadratic blockwise loops."""
+    tables = 4
+    pair_arms = "\n      UNION ALL\n".join(
+        f"      SELECT a.vec_id AS a_id, c.vec_id AS b_id\n"
+        f"      FROM keys a JOIN keys c ON a.k{t} = c.k{t}\n"
+        f"      WHERE a.vec_id < c.vec_id"
+        for t in range(tables)
+    )
+    ingest_arms = "\n      UNION ALL\n".join(
+        f"      SELECT a.vec_id AS a_id, c.vec_id AS b_id\n"
+        f"      FROM keys_acc a JOIN keys_acc c ON a.k{t} = c.k{t}\n"
+        f"      WHERE a.vec_id % 10 = 1 AND c.vec_id % 10 = 0"
+        for t in range(tables)
+    )
+    keys_acc = ("SELECT * FROM keys" if acc_planes == pairs_planes
+                else _mt_keys_sql_n(acc_planes))
+    return f"""
+    WITH keys AS ({_mt_keys_sql_n(pairs_planes)}),
+    keys_acc AS ({keys_acc}),
     cand AS (
-      SELECT a.vec_id AS a_id, c.vec_id AS b_id
-      FROM keys a JOIN keys c
-        ON (a.k0 = c.k0 OR a.k1 = c.k1 OR a.k2 = c.k2 OR a.k3 = c.k3)
-      WHERE a.vec_id < c.vec_id
+      SELECT DISTINCT a_id, b_id FROM (
+{pair_arms}
+      )
     ),
     ingest_cand AS (
-      SELECT a.vec_id AS a_id, c.vec_id AS b_id
-      FROM keys a JOIN keys c
-        ON (a.k0 = c.k0 OR a.k1 = c.k1 OR a.k2 = c.k2 OR a.k3 = c.k3)
-      WHERE a.vec_id % 10 = 1 AND c.vec_id % 10 = 0
+      SELECT DISTINCT a_id, b_id FROM (
+{ingest_arms}
+      )
     )
     SELECT 'pairs' AS section, cand.a_id, cand.b_id,
            round({_COS.format(a='ea.embedding', b='eb.embedding')}, 4) AS cos_sim
@@ -383,20 +414,53 @@ QUERIES["ann_methods_topk"].sql = _ANN_METHODS_BASE_SQL + f"""
     JOIN embeddings ea ON ea.vec_id = i.a_id
     JOIN embeddings eb ON eb.vec_id = i.b_id
     WHERE {_COS.format(a='ea.embedding', b='eb.embedding')} >= 0.3
-    """,
+    """
+
+
+def _embeddings_rowcount(sf_dir: str) -> int:
+    """Row count from parquet footers (no Spark/DuckDB job) — the same
+    n the engine's df.count() sees, for plane-count agreement."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/embeddings.parquet"
+    files = (sorted(glob.glob(f"{path}/*.parquet"))
+             if os.path.isdir(path) else [path])
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
+
+def _near_dup_adaptive_sql(sf_dir: str) -> str:
+    """Scale-aware oracle: regenerate the SQL at the plane counts
+    choose_num_planes will pick for THIS corpus (pairs: full corpus;
+    ingest: the accepted tenth) — tools/check_oracle.py prefers this
+    over the pinned 4-plane form, so the sf1 spot-check values-matches
+    instead of recording oracle-declared-invalid."""
+    n = _embeddings_rowcount(sf_dir)
+    return _near_dup_oracle_sql(
+        A.choose_num_planes(n), A.choose_num_planes(max(1, n // 10))
+    )
+
+
+@q(
+    "embedding_near_dup_lsh",
+    _near_dup_oracle_sql(4, 4),
     "UNBLOCKED embedding-cosine near-duplicate pairs: multi-table "
     "sign-of-projection LSH self-join (4 tables of md5-derived "
     "hyperplanes, ADAPTIVE plane count via choose_num_planes; the "
-    "oracle SQL's keys are pinned at 4 planes and a build-time guard "
-    "fails loudly if the gate corpus ever outgrows the 4-plane band) "
-    "with exactly-once pair admission at the first colliding table, "
-    "then exact-cosine verify >= 0.3 (section 'pairs'). Section "
-    "'ingest_match' (r5) drives the INGEST-TIME variant — "
-    "lsh_corpus_index of an accepted corpus (vec_id%10=0) probed by an "
-    "arriving batch (vec_id%10=1) via incremental_embedding_matches, "
-    "the embedding twin of the minhash ingest path. The oracle's "
-    "OR-joins over the same table keys yield the identical pair sets; "
-    "the engine never runs the all-pairs scan",
+    "static oracle SQL is generated at 4 planes — the gate band — and "
+    "a build-time guard fails loudly if the gate corpus ever outgrows "
+    "it, while adaptive_sql regenerates the oracle at any scale's "
+    "plane counts) with exactly-once pair admission at the first "
+    "colliding table, then exact-cosine verify >= 0.3 (section "
+    "'pairs'). Section 'ingest_match' (r5) drives the INGEST-TIME "
+    "variant — lsh_corpus_index of an accepted corpus (vec_id%10=0) "
+    "probed by an arriving batch (vec_id%10=1) via "
+    "incremental_embedding_matches, the embedding twin of the minhash "
+    "ingest path. The oracle's per-table equi-joins (union + distinct) "
+    "over the same table keys yield the identical pair sets; the "
+    "engine never runs the all-pairs scan",
 )
 def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ADAPTIVE plane count (the operator's scale path: bucket space grows
@@ -423,13 +487,14 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     if planes != 4:
         # beyond the band (e.g. the sf1 bench corpus) the query stays
         # ADAPTIVE — that is the operator's scale behavior the bench
-        # measures — and the pinned oracle is declared invalid up front
-        # so a gate run at this scale is diagnosable, never a silent
-        # hash-mismatch
+        # measures — and the STATIC oracle is declared invalid up front
+        # so a driver-gate run at this scale is diagnosable, never a
+        # silent hash-mismatch. check_oracle.py ignores this declaration
+        # because it regenerates the oracle via adaptive_sql (r9).
         print(
             f"[embedding_near_dup_lsh] corpus of {n} vectors uses "
-            f"{planes} planes; the 4-plane DuckDB oracle is NOT valid "
-            f"at this scale (bench-only run)",
+            f"{planes} planes; the static 4-plane DuckDB oracle is NOT "
+            f"valid at this scale (adaptive_sql regenerates it)",
             file=sys.stderr,
         )
     pairs = A.embedding_near_duplicates_lsh(
@@ -458,6 +523,10 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cos_sim",
     )
     return pairs.unionByName(ingest)
+
+
+# scale-aware oracle hook (see QuerySpec.adaptive_sql)
+QUERIES["embedding_near_dup_lsh"].adaptive_sql = _near_dup_adaptive_sql
 
 
 def _kmeans_oracle_sql(k: int = 8, iters: int = 3, dim: int = 64) -> str:

@@ -249,3 +249,29 @@ def test_nodistinct_star_long_chain_and_string_keys(spark, monkeypatch):
     )
     parts = _components_as_partitions(connected_components(named).collect())
     assert parts == {frozenset({"a:1", "b:2", "a:3"}), frozenset({"a:9", "b:9"})}
+
+
+def test_round_stats_diagnostic_records_every_round(spark):
+    """LAST_RUN_ROUND_STATS (r9, feeding the century-cc probe's
+    per-round decomposition): one entry per executed round, seconds
+    positive, edge counts non-increasing after the first star pass
+    settles, and the final round is the probed one that converged."""
+    from pyspark.sql import functions as F
+
+    from pyspark_entity_resolution_spark.operators import clustering
+
+    edges = spark.range(2000).select(
+        (F.abs(F.xxhash64("id")) % 600).alias("src"),
+        (F.abs(F.xxhash64(F.col("id") + 7)) % 600).alias("dst"),
+    )
+    clustering.connected_components(edges).count()
+    stats = clustering.LAST_RUN_ROUND_STATS
+    assert stats, "no rounds recorded"
+    assert all(s["sec"] > 0 for s in stats)
+    assert all(isinstance(s["edges"], int) for s in stats)
+    assert stats[-1]["probed"] is True  # converged via the gated probe
+    # a fresh call replaces the sink (last call wins)
+    clustering.connected_components(
+        spark.createDataFrame([(1, 2)], "src long, dst long")
+    ).count()
+    assert clustering.LAST_RUN_ROUND_STATS is not stats

@@ -236,3 +236,21 @@ def test_nodistinct_star_round_is_two_exchanges(spark, monkeypatch):
         .executedPlan().toString()
     assert dplan.count("Window") == 2 and "Join" not in dplan
     assert "HashAggregate" in dplan  # the round-final distinct
+
+
+def test_adaptive_oracle_equals_static_at_gate_scale():
+    """The scale-aware oracle generator (QuerySpec.adaptive_sql) must
+    reproduce the committed static SQL EXACTLY where the gate runs
+    (4-plane band) — any drift between the two forms would let the sf1
+    spot-check silently verify a different computation than the driver
+    gate does."""
+    from pyspark_entity_resolution_spark.plans.queries_vector import (
+        _near_dup_adaptive_sql,
+        _near_dup_oracle_sql,
+    )
+
+    spec = all_queries()["embedding_near_dup_lsh"]
+    assert spec.adaptive_sql is _near_dup_adaptive_sql
+    assert _near_dup_adaptive_sql(SF) == spec.sql == _near_dup_oracle_sql(4, 4)
+    # above the band the generator must actually move the plane count
+    assert _near_dup_oracle_sql(5, 4) != spec.sql

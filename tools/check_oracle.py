@@ -82,8 +82,11 @@ def main():
             path = f"{path}/*.parquet"
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
+    from pyspark_entity_resolution_spark.plans.registry import all_queries
+
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    specs = all_queries()
     failures = []
     report: dict[str, dict] = {}
     import time as _time
@@ -92,20 +95,31 @@ def main():
         if only and name not in only:
             continue
         sql = oracles.get(name)
+        # scale-aware oracles (QuerySpec.adaptive_sql): regenerate the
+        # SQL for THIS sf_dir so above-gate spot-checks value-compare
+        # (the driver contract itself only sees the static sql)
+        adaptive = False
+        spec = specs.get(name)
+        if spec is not None and getattr(spec, "adaptive_sql", None):
+            sql = spec.adaptive_sql(sf_dir)
+            adaptive = True
         rec = report[name] = {}
+        if adaptive:
+            rec["oracle"] = "adaptive_sql (regenerated for this sf_dir)"
         try:
             t0 = _time.perf_counter()
-            # scale-adaptive queries declare their pinned oracle invalid
+            # scale-adaptive queries declare their STATIC oracle invalid
             # at build time on stderr (e.g. embedding_near_dup_lsh's
             # plane count beyond the 4-plane band) — honor the
-            # declaration instead of reporting a false value mismatch
+            # declaration when running the static oracle; with an
+            # adaptive oracle in hand, the declaration is moot
             import contextlib as _ctx
             import io as _io
 
             _err = _io.StringIO()
             with _ctx.redirect_stderr(_err):
                 df = fn(spark, sf_dir)
-            if "oracle is NOT valid" in _err.getvalue():
+            if "oracle is NOT valid" in _err.getvalue() and not adaptive:
                 rec["rows"] = df.count()
                 rec["cols"] = len(df.columns)
                 rec["sec_spark"] = round(_time.perf_counter() - t0, 1)

@@ -415,8 +415,11 @@ def probe_century_ngram(spark) -> None:
 
 
 def probe_century_cc(spark) -> None:
+    import json
+
     from pyspark.sql import functions as F
 
+    from pyspark_entity_resolution_spark.operators import clustering
     from pyspark_entity_resolution_spark.operators.clustering import (
         connected_components,
     )
@@ -430,7 +433,17 @@ def probe_century_cc(spark) -> None:
             (F.abs(F.xxhash64(F.col("id"))) % n_nodes).alias("src"),
             (F.abs(F.xxhash64(F.col("id") + 7_777_777)) % n_nodes).alias("dst"),
         )
-        return connected_components(edges).select("component").distinct().count()
+        n = connected_components(edges).select("component").distinct().count()
+        # per-round decomposition (r8 task #8): the 100M leg's 375-730 s
+        # night-to-night band needs attributing to round-count vs
+        # per-round shuffle time; one line per call so every _timed
+        # repetition is visible, not just the min
+        print(
+            "[century] cc_round_sec "
+            + json.dumps(clustering.LAST_RUN_ROUND_STATS),
+            flush=True,
+        )
+        return n
 
     t1 = _timed_century(
         "connected_components 1M edges", lambda: _cc(500_000, 1_000_000),
