@@ -1,0 +1,87 @@
+"""tools/media_corpus.py — the deterministic fixture generator behind
+the multimodal bench row and the century-audio probe. Its pair-count
+contract (EXACTLY 3 qualifying pairs per 10-clip group, n-fold corpus
+-> n-fold pairs) is what makes the probe's output assertion meaningful,
+so pin it here against brute force."""
+
+from tools.media_corpus import (
+    N_WINDOWS,
+    WINDOW_FRAMES,
+    build_media_corpus,
+    clip_levels,
+    expected_audio_pairs,
+    synth_png,
+    synth_wav,
+)
+
+
+def _qualifying_pairs_bruteforce(n: int, threshold: float = 0.9):
+    sigs = {i: clip_levels(i) for i in range(n)}
+    out = set()
+    for a in range(n):
+        for b in range(a + 1, n):
+            m = sum(1 for x, y in zip(sigs[a], sigs[b]) if x == y)
+            if m / N_WINDOWS >= threshold:
+                out.add((a, b))
+    return out
+
+
+def test_planted_pair_count_exact_and_scale_linear():
+    got = _qualifying_pairs_bruteforce(100)
+    assert len(got) == expected_audio_pairs(100) == 30
+    # the planted structure, not accidents: every pair is within-group
+    assert all(a // 10 == b // 10 and {a % 10, b % 10} <= {0, 1, 2}
+               for a, b in got)
+    # linearity is by construction (disjoint hash seed domains), spot-
+    # checked one size up
+    assert len(_qualifying_pairs_bruteforce(300)) == expected_audio_pairs(300)
+
+
+def test_synth_wav_fingerprints_recover_designed_levels(spark):
+    from pyspark_entity_resolution_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        audio_fingerprints,
+    )
+
+    rows = [(i, "audio", synth_wav(clip_levels(i)), "audio/wav", "s")
+            for i in range(5)]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r["sig"]
+           for r in audio_fingerprints(
+               media, window_frames=WINDOW_FRAMES, levels=8).collect()}
+    for i in range(5):
+        assert got[i] == clip_levels(i), i
+
+
+def test_synth_png_decodes_via_stdlib_kernel():
+    from pyspark_entity_resolution_spark.operators.multimodal import (
+        _png_decode,
+    )
+
+    w, h, c, raw = _png_decode(synth_png(7, size=16))
+    assert (w, h, c) == (16, 16, 3)
+    assert len(raw) == 16 * 16 * 3
+    # determinism: same id -> same payload
+    assert synth_png(7, size=16) == synth_png(7, size=16)
+    assert synth_png(7, size=16) != synth_png(8, size=16)
+
+
+def test_build_media_corpus_distributed_write(spark, tmp_path):
+    from pyspark_entity_resolution_spark.operators.multimodal import (
+        audio_fingerprints,
+        audio_near_dup_pairs,
+    )
+
+    path = build_media_corpus(
+        spark, str(tmp_path / "media.parquet"), n_audio=50, n_images=10
+    )
+    media = spark.read.parquet(path)
+    assert media.count() == 60
+    assert media.filter("media_type = 'image'").count() == 10
+    pairs = audio_near_dup_pairs(
+        audio_fingerprints(media, window_frames=WINDOW_FRAMES),
+        min_match_fraction=0.9,
+    ).count()
+    assert pairs == expected_audio_pairs(50) == 15
+    # cached: a second call returns without rewriting
+    assert build_media_corpus(spark, path, n_audio=50, n_images=10) == path
