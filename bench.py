@@ -124,6 +124,7 @@ PACK_PROVENANCE: dict[str, dict[str, list[str]]] = {
         # the planted-pair count is asserted untimed after the runs.
         "constituents": [
             "extract_image_features png-stdlib (r9)",
+            "extract_image_features jpeg-stdlib (r9)",
             "extract_audio_features wav-stdlib (r9)",
             "audio_fingerprints + audio_near_dup_pairs (r9)",
         ],
@@ -317,13 +318,16 @@ def _bench_er_pipeline_e2e(spark) -> float:
 
 def _bench_multimodal(spark) -> float:
     """Media-family pack over a deterministic synthetic corpus
-    (tools/media_corpus.py: planted near-dup WAV clips + noise PNGs
-    with filter-2 scanlines, cached on disk): real stdlib PNG pixel
-    decode, real WAV waveform features, and the banded audio near-dup
-    join end-to-end — the perf-regression net the family lacked in r8
-    (correctness pins only, no bench row). The planted-pair count is
-    asserted after the timed runs so a silent workload change can never
-    masquerade as a perf delta."""
+    (tools/media_corpus.py: planted near-dup WAV clips, noise PNGs with
+    filter-2 scanlines, coefficient-seeded baseline JPEGs; cached on
+    disk): real stdlib PNG + JPEG pixel decode, real WAV waveform
+    features, and the banded audio near-dup join end-to-end — the
+    perf-regression net the family lacked in r8 (correctness pins only,
+    no bench row). The planted-pair count is asserted after the timed
+    runs so a silent workload change can never masquerade as a perf
+    delta."""
+    from pyspark.sql import functions as F
+
     from pyspark_entity_resolution_spark.operators.multimodal import (
         audio_fingerprints,
         audio_near_dup_pairs,
@@ -336,16 +340,20 @@ def _bench_multimodal(spark) -> float:
         expected_audio_pairs,
     )
 
-    n_audio = n_images = 400
+    n_audio = n_images = n_jpegs = 400
     path = build_media_corpus(
-        spark, "/tmp/media_bench_corpus_v1.parquet",
-        n_audio=n_audio, n_images=n_images,
+        spark, "/tmp/media_bench_corpus_v2.parquet",
+        n_audio=n_audio, n_images=n_images, n_jpegs=n_jpegs,
     )
     media = spark.read.parquet(path)
+    pngs = media.filter(F.col("mime") == "image/png")
+    jpgs = media.filter(F.col("mime") == "image/jpeg")
     best = None
     for _ in range(3):
         start = time.perf_counter()
-        extract_image_features(media, codec="png-stdlib").write.format(
+        extract_image_features(pngs, codec="png-stdlib").write.format(
+            "noop").mode("overwrite").save()
+        extract_image_features(jpgs, codec="jpeg-stdlib").write.format(
             "noop").mode("overwrite").save()
         extract_audio_features(media).write.format("noop").mode(
             "overwrite").save()
@@ -368,7 +376,8 @@ def _bench_multimodal(spark) -> float:
     return round(best, 3)
 
 
-def media_corpus_meta(n_audio: int = 400, n_images: int = 400) -> dict:
+def media_corpus_meta(n_audio: int = 400, n_images: int = 400,
+                      n_jpegs: int = 400) -> dict:
     from tools.media_corpus import (
         N_WINDOWS,
         WINDOW_FRAMES,
@@ -378,7 +387,8 @@ def media_corpus_meta(n_audio: int = 400, n_images: int = 400) -> dict:
     return {
         "generator": "tools/media_corpus.py",
         "n_audio": n_audio,
-        "n_images": n_images,
+        "n_images_png": n_images,
+        "n_images_jpeg": n_jpegs,
         "windows_per_clip": N_WINDOWS,
         "window_frames": WINDOW_FRAMES,
         "planted_near_dup_pairs": expected_audio_pairs(n_audio),

@@ -2,7 +2,7 @@
 
 Every pin is against either a HAND-COMPUTED value (flat blocks: DC-only
 IDCT is (coeff * q)/8 + 128 exactly; single-AC blocks: one cosine term)
-or :func:`tests.jpeg_fixture.reference_pixels` — a plain double-loop
+or :func:`tools.jpeg_fixture.reference_pixels` — a plain double-loop
 T.81 spec-formula IDCT sharing no code with the decoder. The encoder
 writes chosen quantized coefficients directly, so the decoder's
 Huffman + dequant + IDCT + upsample + color-convert pipeline is what's
@@ -19,7 +19,7 @@ from pyspark_entity_resolution_spark.operators.multimodal import (
     _jpeg_stdlib_decode,
     extract_image_features,
 )
-from tests.jpeg_fixture import encode_jpeg, reference_pixels
+from tools.jpeg_fixture import encode_jpeg, reference_pixels
 
 Q_ONES = [1] * 64
 

@@ -85,3 +85,16 @@ def test_build_media_corpus_distributed_write(spark, tmp_path):
     assert pairs == expected_audio_pairs(50) == 15
     # cached: a second call returns without rewriting
     assert build_media_corpus(spark, path, n_audio=50, n_images=10) == path
+
+
+def test_synth_jpeg_decodes_via_stdlib_kernel():
+    from pyspark_entity_resolution_spark.operators.multimodal import (
+        _jpeg_decode,
+    )
+    from tools.media_corpus import synth_jpeg
+
+    w, h, c, raw = _jpeg_decode(synth_jpeg(3, size=32))
+    assert (w, h, c) == (32, 32, 1)
+    assert len(raw) == 32 * 32
+    assert synth_jpeg(3) == synth_jpeg(3)
+    assert synth_jpeg(3) != synth_jpeg(4)

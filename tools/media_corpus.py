@@ -89,6 +89,29 @@ def synth_png(img_id: int, size: int = 32) -> bytes:
             + chunk(b"IEND", b""))
 
 
+def synth_jpeg(img_id: int, size: int = 32) -> bytes:
+    """Small grayscale baseline JPEG with id-seeded quantized
+    coefficients (DC + a few low-frequency AC terms per 8x8 block),
+    encoded by the hand-rolled tools/jpeg_fixture encoder — real
+    Huffman + dequant + IDCT decode work for the jpeg-stdlib kernel."""
+    import numpy as np
+
+    from tools.jpeg_fixture import encode_jpeg
+
+    rng = np.random.RandomState((img_id * 31 + 7) % (2 ** 31 - 1))
+    nb = size // 8
+    blocks = {}
+    for by in range(nb):
+        for bx in range(nb):
+            coeffs = [0] * 64
+            coeffs[0] = int(rng.randint(-400, 401))
+            for idx in (1, 8, 9, 2, 16):
+                coeffs[idx] = int(rng.randint(-60, 61))
+            blocks[(by, bx)] = coeffs
+    comps = [{"id": 1, "h": 1, "v": 1, "tq": 0, "blocks": blocks}]
+    return encode_jpeg(size, size, comps, {0: [4] + [2] * 63})
+
+
 def expected_audio_pairs(n_audio: int) -> int:
     """Qualifying near-dup pairs the generator plants: 3 per full group
     of 10 (plus the partial-group tail, which the callers avoid by
@@ -99,10 +122,12 @@ def expected_audio_pairs(n_audio: int) -> int:
 
 
 def build_media_corpus(spark, path: str, n_audio: int,
-                       n_images: int = 0) -> str:
+                       n_images: int = 0, n_jpegs: int = 0) -> str:
     """Write (once, cached) a MEDIA_SCHEMA parquet of ``n_audio`` WAV
-    clips + ``n_images`` PNGs at ``path``; returns the path. Generation
-    is distributed — each task synthesizes its own id range."""
+    clips + ``n_images`` PNGs + ``n_jpegs`` JPEGs at ``path``; returns
+    the path. Generation is distributed — each task synthesizes its own
+    id range. Callers changing the size mix must change the path (the
+    cache is keyed on nothing else)."""
     import os
 
     if os.path.exists(path + "/_SUCCESS"):
@@ -122,14 +147,18 @@ def build_media_corpus(spark, path: str, n_audio: int,
                 if i < n_audio:
                     rows.append((i, "audio", synth_wav(clip_levels(i)),
                                  "audio/wav", f"synth://audio/{i}.wav"))
-                else:
+                elif i < n_audio + n_images:
                     rows.append((i, "image", synth_png(i),
                                  "image/png", f"synth://image/{i}.png"))
+                else:
+                    rows.append((i, "image", synth_jpeg(i),
+                                 "image/jpeg", f"synth://image/{i}.jpg"))
             yield pd.DataFrame(
                 rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
 
-    n_part = max(8, (n_audio + n_images) // 2000)
-    (spark.range(n_audio + n_images, numPartitions=n_part)
+    total = n_audio + n_images + n_jpegs
+    n_part = max(8, total // 2000)
+    (spark.range(total, numPartitions=n_part)
      .mapInPandas(kernel, MEDIA_SCHEMA)
      .write.mode("overwrite").parquet(path))
     return path
