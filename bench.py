@@ -125,6 +125,7 @@ PACK_PROVENANCE: dict[str, dict[str, list[str]]] = {
         "constituents": [
             "extract_image_features png-stdlib (r9)",
             "extract_image_features jpeg-stdlib (r9)",
+            "sample_video_frames gif-stdlib (r9)",
             "extract_audio_features wav-stdlib (r9)",
             "audio_fingerprints + audio_near_dup_pairs (r9)",
         ],
@@ -333,6 +334,7 @@ def _bench_multimodal(spark) -> float:
         audio_near_dup_pairs,
         extract_audio_features,
         extract_image_features,
+        sample_video_frames,
     )
     from tools.media_corpus import (
         WINDOW_FRAMES,
@@ -340,10 +342,10 @@ def _bench_multimodal(spark) -> float:
         expected_audio_pairs,
     )
 
-    n_audio = n_images = n_jpegs = 400
+    n_audio = n_images = n_jpegs = n_gifs = 400
     path = build_media_corpus(
-        spark, "/tmp/media_bench_corpus_v2.parquet",
-        n_audio=n_audio, n_images=n_images, n_jpegs=n_jpegs,
+        spark, "/tmp/media_bench_corpus_v3.parquet",
+        n_audio=n_audio, n_images=n_images, n_jpegs=n_jpegs, n_gifs=n_gifs,
     )
     media = spark.read.parquet(path)
     pngs = media.filter(F.col("mime") == "image/png")
@@ -355,6 +357,9 @@ def _bench_multimodal(spark) -> float:
             "noop").mode("overwrite").save()
         extract_image_features(jpgs, codec="jpeg-stdlib").write.format(
             "noop").mode("overwrite").save()
+        sample_video_frames(
+            media, every_n_seconds=1, codec="gif-stdlib"
+        ).write.format("noop").mode("overwrite").save()
         extract_audio_features(media).write.format("noop").mode(
             "overwrite").save()
         fps = audio_fingerprints(media, window_frames=WINDOW_FRAMES)
@@ -377,7 +382,7 @@ def _bench_multimodal(spark) -> float:
 
 
 def media_corpus_meta(n_audio: int = 400, n_images: int = 400,
-                      n_jpegs: int = 400) -> dict:
+                      n_jpegs: int = 400, n_gifs: int = 400) -> dict:
     from tools.media_corpus import (
         N_WINDOWS,
         WINDOW_FRAMES,
@@ -389,6 +394,7 @@ def media_corpus_meta(n_audio: int = 400, n_images: int = 400,
         "n_audio": n_audio,
         "n_images_png": n_images,
         "n_images_jpeg": n_jpegs,
+        "n_gifs": n_gifs,
         "windows_per_clip": N_WINDOWS,
         "window_frames": WINDOW_FRAMES,
         "planted_near_dup_pairs": expected_audio_pairs(n_audio),

@@ -98,3 +98,24 @@ def test_synth_jpeg_decodes_via_stdlib_kernel():
     assert len(raw) == 32 * 32
     assert synth_jpeg(3) == synth_jpeg(3)
     assert synth_jpeg(3) != synth_jpeg(4)
+
+
+def test_synth_gif_samples_via_stdlib_kernel(spark):
+    from pyspark_entity_resolution_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        _gif_decode_frames,
+        sample_video_frames,
+    )
+    from tools.media_corpus import synth_gif
+
+    frames = list(_gif_decode_frames(synth_gif(5)))
+    assert len(frames) == 3
+    assert all(f[1] == 50 for f in frames)          # 0.5 s per frame
+    assert synth_gif(5) == synth_gif(5) != synth_gif(6)
+    media = spark.createDataFrame(
+        [(1, "video", synth_gif(5), "image/gif", "s")], MEDIA_SCHEMA)
+    got = sample_video_frames(
+        media, every_n_seconds=1, codec="gif-stdlib").collect()
+    # frames at 0.0/0.5/1.0 s; sampler keeps t=0 and the first frame at
+    # or after the 1 s boundary
+    assert [r["frame_idx"] for r in got] == [0, 2]

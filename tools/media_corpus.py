@@ -112,6 +112,48 @@ def synth_jpeg(img_id: int, size: int = 32) -> bytes:
     return encode_jpeg(size, size, comps, {0: [4] + [2] * 63})
 
 
+def synth_gif(img_id: int, size: int = 16, frames: int = 3) -> bytes:
+    """Small animated GIF with id-seeded 4-color noise frames at 0.5 s
+    delays (trivially-valid LZW: every pixel a literal code preceded by
+    CLEAR) — real LZW decode + canvas compositing work for the
+    gif-stdlib frame-sampling kernel."""
+    import struct
+
+    import numpy as np
+
+    rng = np.random.RandomState((img_id * 17 + 3) % (2 ** 31 - 1))
+    pal = bytes(rng.randint(0, 256, 12, dtype=np.uint8))  # 4 colors
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", size, size)
+    out += bytes([0x81, 0, 0]) + pal  # GCT present, 2-bit table
+    for _f in range(frames):
+        out += bytes([0x21, 0xF9, 4, 0]) + struct.pack("<H", 50) + b"\x00\x00"
+        out += bytes([0x2C]) + struct.pack("<HHHH", 0, 0, size, size)
+        out += bytes([0])  # no LCT, not interlaced
+        codes = []
+        for px in rng.randint(0, 4, size * size):
+            codes += [4, int(px)]  # CLEAR, literal
+        codes.append(5)            # END
+        val = bits = 0
+        data = bytearray()
+        for c in codes:            # 3-bit codes, LSB-first
+            val |= c << bits
+            bits += 3
+            while bits >= 8:
+                data.append(val & 0xFF)
+                val >>= 8
+                bits -= 8
+        if bits:
+            data.append(val & 0xFF)
+        out += bytes([2])          # LZW minimum code size
+        for i in range(0, len(data), 255):
+            chunk = data[i:i + 255]
+            out += bytes([len(chunk)]) + bytes(chunk)
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
 def expected_audio_pairs(n_audio: int) -> int:
     """Qualifying near-dup pairs the generator plants: 3 per full group
     of 10 (plus the partial-group tail, which the callers avoid by
@@ -122,12 +164,14 @@ def expected_audio_pairs(n_audio: int) -> int:
 
 
 def build_media_corpus(spark, path: str, n_audio: int,
-                       n_images: int = 0, n_jpegs: int = 0) -> str:
+                       n_images: int = 0, n_jpegs: int = 0,
+                       n_gifs: int = 0) -> str:
     """Write (once, cached) a MEDIA_SCHEMA parquet of ``n_audio`` WAV
-    clips + ``n_images`` PNGs + ``n_jpegs`` JPEGs at ``path``; returns
-    the path. Generation is distributed — each task synthesizes its own
-    id range. Callers changing the size mix must change the path (the
-    cache is keyed on nothing else)."""
+    clips + ``n_images`` PNGs + ``n_jpegs`` JPEGs + ``n_gifs`` animated
+    GIFs (media_type 'video') at ``path``; returns the path. Generation
+    is distributed — each task synthesizes its own id range. Callers
+    changing the size mix must change the path (the cache is keyed on
+    nothing else)."""
     import os
 
     if os.path.exists(path + "/_SUCCESS"):
@@ -150,13 +194,16 @@ def build_media_corpus(spark, path: str, n_audio: int,
                 elif i < n_audio + n_images:
                     rows.append((i, "image", synth_png(i),
                                  "image/png", f"synth://image/{i}.png"))
-                else:
+                elif i < n_audio + n_images + n_jpegs:
                     rows.append((i, "image", synth_jpeg(i),
                                  "image/jpeg", f"synth://image/{i}.jpg"))
+                else:
+                    rows.append((i, "video", synth_gif(i),
+                                 "image/gif", f"synth://video/{i}.gif"))
             yield pd.DataFrame(
                 rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
 
-    total = n_audio + n_images + n_jpegs
+    total = n_audio + n_images + n_jpegs + n_gifs
     n_part = max(8, total // 2000)
     (spark.range(total, numPartitions=n_part)
      .mapInPandas(kernel, MEDIA_SCHEMA)
