@@ -1098,6 +1098,7 @@ def probe_century_audio(spark) -> None:
     from pyspark_entity_resolution_spark.operators.multimodal import (
         audio_fingerprints,
         audio_near_dup_pairs,
+        audio_near_dup_pairs_shifted,
         extract_audio_features,
     )
     from tools.media_corpus import (
@@ -1129,6 +1130,15 @@ def probe_century_audio(spark) -> None:
                 )
             return got
 
+        def _shifted(m=media):
+            # MinHash banding recall is probabilistic (deterministic per
+            # corpus) — the count is RECORDED for the artifact; the
+            # exact planted assertion rides the aligned leg above
+            fps = audio_fingerprints(m, window_frames=WINDOW_FRAMES)
+            return audio_near_dup_pairs_shifted(
+                fps, max_shift_windows=4
+            ).count()
+
         runs = 2 if factor == 1 else 1
         td = _timed_century(f"audio_decode {n} clips", _decode, runs=runs)
         tp = _timed_century(
@@ -1137,14 +1147,21 @@ def probe_century_audio(spark) -> None:
             if factor == 100 else _pairs,
             runs=runs,
         )
-        legs[factor] = (td, tp)
+        ts = _timed_century(
+            f"audio_near_dup_shifted {n} clips",
+            (lambda f=_shifted: _with_scaled_partitions(spark, f))
+            if factor == 100 else _shifted,
+            runs=runs,
+        )
+        legs[factor] = (td, tp, ts)
         print(f"[century] audio_decode x{factor}: {n / td:.0f} clips/s",
               flush=True)
     for factor in (10, 100):
         print(
             f"[century] audio x{factor} data -> "
             f"decode x{legs[factor][0] / legs[1][0]:.1f} time, "
-            f"near_dup x{legs[factor][1] / legs[1][1]:.1f} time",
+            f"near_dup x{legs[factor][1] / legs[1][1]:.1f} time, "
+            f"shifted x{legs[factor][2] / legs[1][2]:.1f} time",
             flush=True,
         )
 
