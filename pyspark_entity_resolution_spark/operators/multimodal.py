@@ -1247,9 +1247,18 @@ def audio_near_dup_pairs_shifted(
     of ``k * hop_frames`` frames; fingerprint with ``hop_frames <
     window_frames`` to tighten the quantization). Sub-hop shifts and
     resampling remain out of scope. Candidate recall is probabilistic
-    (the standard MinHash-LSH trade-off; raise ``bands`` to trade
-    compute for recall) — unlike the aligned path's pigeonhole
-    completeness guarantee."""
+    (the standard MinHash-LSH trade-off) — unlike the aligned path's
+    pigeonhole completeness guarantee — and falls with MISMATCH
+    density, not just shift: every mismatched window poisons up to
+    ``shingle_windows`` shingles (standard w-shingling), so a pair with
+    two well-separated mismatches in a 24-window clip shares few
+    shingles even though it verifies at 22/24. Measured on the planted
+    probe corpus at the defaults: single-mismatch pairs are found
+    ~97% of the time, double-mismatch pairs usually not (aggregate 475
+    of 600 planted aligned pairs). Raise ``bands`` or shorten
+    ``shingle_windows`` to trade compute/selectivity for recall; for
+    guaranteed-complete SAME-LENGTH dedup use
+    :func:`audio_near_dup_pairs`."""
     if max_shift_windows < 0:
         raise ValueError(
             f"max_shift_windows must be >= 0, got {max_shift_windows}"
