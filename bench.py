@@ -654,6 +654,9 @@ def main(full: bool = False, baseline_ref: str | None = None) -> None:
         "table_rows": tables,
         "query_result_rows": query_rows,
         "er_corpus": er_corpus_meta(),
+        # like er_corpus, this is fixture self-description (generator
+        # params), not a claim the pack ran — the ER and multimodal
+        # rows themselves are headline-mode-only
         "media_corpus": media_corpus_meta(),
         "pack_provenance": PACK_PROVENANCE,
     }
