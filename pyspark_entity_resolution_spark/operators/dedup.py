@@ -607,6 +607,15 @@ def ngram_jaccard_pairs(
         )
 
     # -- prefix strategy --
+    # `base` feeds FOUR subtrees below (the df count, the prefix
+    # ordering, and both verification sides), and without a barrier
+    # each re-runs the tokenize + shingle + dedup projection over the
+    # raw text. Checkpointing the slim (id, blocks, grams, ng) rows
+    # runs the shingle work once — measured (r9) 4.7 -> 2.4 s on the
+    # token-prefix arm at sf0.1 and 12.1 -> 6.3 s at sf1, identical
+    # pair sets (oracle row + property suite unchanged). Same pattern
+    # as minhash_lsh_candidates' staged checkpoints above.
+    base = base.localCheckpoint(eager=False)
     # global document frequency per gram; (df_cnt, gram) structs sort by
     # frequency-then-value, so the struct IS the total order key — no
     # global rank window needed.
