@@ -589,7 +589,14 @@ def ngram_jaccard_pairs(
             pair_cols = F.transform(F.col("grams"), lambda g: F.xxhash64(g))
         else:  # collision fallback (~C(vocab,2)/2^64; forced in tests)
             pair_cols = F.col("grams")
-        verif = base.withColumn("vg", pair_cols)
+        # `verif` feeds both self-join sides: without a barrier each
+        # side re-runs shingle + per-gram hashing over the raw text. A
+        # lazy checkpoint of the slim (id, blocks, hashes, ng) rows runs
+        # it once — measured (r9) 2.4 -> 1.2 s at sf0.1; at sf1 the
+        # O(pairs) verification join dominates and the win is ~10%.
+        verif = base.withColumn("vg", pair_cols).localCheckpoint(
+            eager=False
+        )
         a = verif.select(
             F.col("__id").alias("a_id"), *block_cols,
             F.col("vg").alias("a_grams"), F.col("ng").alias("a_ng"),
