@@ -591,12 +591,16 @@ def ngram_jaccard_pairs(
             pair_cols = F.col("grams")
         # `verif` feeds both self-join sides: without a barrier each
         # side re-runs shingle + per-gram hashing over the raw text. A
-        # lazy checkpoint of the slim (id, blocks, hashes, ng) rows runs
+        # lazy checkpoint of the slim (id, blocks, vg, ng) rows runs
         # it once — measured (r9) 2.4 -> 1.2 s at sf0.1; at sf1 the
         # O(pairs) verification join dominates and the win is ~10%.
-        verif = base.withColumn("vg", pair_cols).localCheckpoint(
-            eager=False
-        )
+        # The select (not withColumn) matters: only vg/ng are consumed
+        # downstream, so checkpointing the projection drops the raw
+        # gram string arrays on the injective path instead of storing
+        # them alongside their hashes (on the fallback vg IS grams).
+        verif = base.select(
+            "__id", *block_cols, "ng", pair_cols.alias("vg")
+        ).localCheckpoint(eager=False)
         a = verif.select(
             F.col("__id").alias("a_id"), *block_cols,
             F.col("vg").alias("a_grams"), F.col("ng").alias("a_ng"),

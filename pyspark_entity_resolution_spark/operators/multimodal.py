@@ -344,9 +344,24 @@ def _jpeg_decode(payload: bytes, max_pixels: int = _JPEG_STDLIB_MAX_PIXELS):
             raise ValueError("truncated JPEG segment stream")
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker expected")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+        # marker id — skip them so legal padding doesn't desync the
+        # length-prefixed parse below.
+        while payload[pos + 1] == 0xFF:
+            pos += 1
+            if pos + 4 > len(payload):
+                raise ValueError("truncated JPEG segment stream")
         marker = payload[pos + 1]
         if marker == 0xD9:
             raise ValueError("EOI before any scan data")
+        if marker == 0x01:  # TEM: standalone, no length field
+            pos += 2
+            continue
+        if 0xD0 <= marker <= 0xD7:  # RSTn outside the entropy stream
+            raise ValueError(
+                f"standalone marker 0x{marker:02x} in the segment "
+                "stream (restart markers belong inside scan data)"
+            )
         seg_len = struct.unpack(">H", payload[pos + 2:pos + 4])[0]
         body = payload[pos + 4:pos + 2 + seg_len]
         if seg_len < 2 or len(body) != seg_len - 2:

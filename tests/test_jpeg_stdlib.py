@@ -187,6 +187,27 @@ def test_guards_fail_loud():
         _jpeg_stdlib_decode(b"\x89PNG...")
 
 
+def test_fill_bytes_and_tem_markers_tolerated():
+    # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+    # id, and TEM (FF01) is a standalone length-less marker — both are
+    # legal in the segment stream and must not desync the parse.
+    ok = _gray(8, 8, {(0, 0): [576] + [0] * 63})
+    _, _, _, want = _jpeg_decode(ok)
+    # inject fill bytes + a TEM marker right after SOI
+    padded = ok[:2] + b"\xff\xff\xff" + b"\xff\x01" + ok[2:]
+    w, h, c, raw = _jpeg_decode(padded)
+    assert (w, h, c) == (8, 8, 1)
+    assert raw == want
+    # fill bytes immediately before a later segment too
+    i = ok.index(b"\xff\xdb")
+    padded2 = ok[:i] + b"\xff\xff" + ok[i:]
+    assert _jpeg_decode(padded2)[3] == want
+    # a stray RSTn in the header stream is a clear error, not a
+    # misparsed length field
+    with pytest.raises(ValueError, match="restart markers belong"):
+        _jpeg_decode(ok[:2] + b"\xff\xd3" + ok[2:])
+
+
 def test_extract_image_features_jpeg_stdlib_spark_e2e(spark):
     import hashlib
 

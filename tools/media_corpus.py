@@ -38,8 +38,12 @@ def clip_levels(media_id: int) -> list[int]:
     """The designed level pattern for one audio id (see module doc)."""
     g, m = divmod(media_id, _GROUP)
     if m < 3:
-        # base seeds are even, unrelated-member seeds odd: disjoint
-        # domains, so no cross-group pattern collision is possible
+        # base seeds are even, unrelated-member seeds odd: the _mix
+        # inputs are distinct across groups, so cross-group pattern
+        # collisions are astronomically unlikely (disjoint seed
+        # domains through a 32-bit mixer) — but not impossible; a
+        # one-in-a-billion exact-planted-pair probe failure would
+        # trace here
         levels = [_mix(2 * g, w) % 8 for w in range(N_WINDOWS)]
         if m:  # near-dup: bump one window, distinct position per member
             pos = (m * 7) % N_WINDOWS
