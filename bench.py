@@ -317,16 +317,20 @@ def _bench_er_pipeline_e2e(spark) -> float:
         shutil.rmtree(dest, ignore_errors=True)
 
 
-def _bench_multimodal(spark) -> float:
-    """Media-family pack over a deterministic synthetic corpus
-    (tools/media_corpus.py: planted near-dup WAV clips, noise PNGs with
-    filter-2 scanlines, coefficient-seeded baseline JPEGs; cached on
-    disk): real stdlib PNG + JPEG pixel decode, real WAV waveform
-    features, and the banded audio near-dup join end-to-end — the
-    perf-regression net the family lacked in r8 (correctness pins only,
-    no bench row). The planted-pair count is asserted after the timed
-    runs so a silent workload change can never masquerade as a perf
-    delta."""
+def multimodal_sections(spark, sf_dir: str | None = None) -> dict:
+    """Per-kernel arms of the media-family pack over a deterministic
+    synthetic corpus (tools/media_corpus.py: planted near-dup WAV
+    clips, noise PNGs with filter-2 scanlines, coefficient-seeded
+    baseline JPEGs; cached on disk): real stdlib PNG + JPEG pixel
+    decode, real GIF frame sampling, real WAV waveform features, and
+    the banded audio near-dup join. ``sf_dir`` is accepted for
+    provider-signature uniformity and ignored — the corpus is
+    scale-independent. The planted-pair tripwire (the media analog of
+    query_result_rows) runs UNTIMED at arm-build time over the exact
+    on-disk parquet every timed arm reads, so a silent workload change
+    can never masquerade as a perf delta (r10: moved here from
+    post-run so headline aggregate and full-mode per-section timing
+    share one guard)."""
     from pyspark.sql import functions as F
 
     from pyspark_entity_resolution_spark.operators.multimodal import (
@@ -350,34 +354,38 @@ def _bench_multimodal(spark) -> float:
     media = spark.read.parquet(path)
     pngs = media.filter(F.col("mime") == "image/png")
     jpgs = media.filter(F.col("mime") == "image/jpeg")
-    best = None
-    for _ in range(3):
-        start = time.perf_counter()
-        extract_image_features(pngs, codec="png-stdlib").write.format(
-            "noop").mode("overwrite").save()
-        extract_image_features(jpgs, codec="jpeg-stdlib").write.format(
-            "noop").mode("overwrite").save()
-        sample_video_frames(
-            media, every_n_seconds=1, codec="gif-stdlib"
-        ).write.format("noop").mode("overwrite").save()
-        extract_audio_features(media).write.format("noop").mode(
-            "overwrite").save()
-        fps = audio_fingerprints(media, window_frames=WINDOW_FRAMES)
-        audio_near_dup_pairs(fps, min_match_fraction=0.9).write.format(
-            "noop").mode("overwrite").save()
-        elapsed = time.perf_counter() - start
-        best = elapsed if best is None else min(best, elapsed)
-    # untimed workload tripwire (the media analog of query_result_rows)
-    n_pairs = audio_near_dup_pairs(
-        audio_fingerprints(media, window_frames=WINDOW_FRAMES),
-        min_match_fraction=0.9,
-    ).count()
+    fps = audio_fingerprints(media, window_frames=WINDOW_FRAMES)
+    pairs = audio_near_dup_pairs(fps, min_match_fraction=0.9)
+    n_pairs = pairs.count()
     want = expected_audio_pairs(n_audio)
     if n_pairs != want:
         raise AssertionError(
             f"multimodal bench corpus drifted: {n_pairs} near-dup pairs, "
             f"expected the planted {want}"
         )
+    return {
+        "png_decode": extract_image_features(pngs, codec="png-stdlib"),
+        "jpeg_decode": extract_image_features(jpgs, codec="jpeg-stdlib"),
+        "gif_frame_sample": sample_video_frames(
+            media, every_n_seconds=1, codec="gif-stdlib"
+        ),
+        "audio_features": extract_audio_features(media),
+        "audio_near_dup_join": pairs,
+    }
+
+
+def _bench_multimodal(spark) -> float:
+    """Headline aggregate over the five multimodal_sections arms —
+    same kernels, same order, same corpus as r9's inline loop (the
+    tripwire now fires inside the provider)."""
+    arms = multimodal_sections(spark)
+    best = None
+    for _ in range(3):
+        start = time.perf_counter()
+        for df in arms.values():
+            df.write.format("noop").mode("overwrite").save()
+        elapsed = time.perf_counter() - start
+        best = elapsed if best is None else min(best, elapsed)
     return round(best, 3)
 
 
@@ -596,6 +604,10 @@ def main(full: bool = False, baseline_ref: str | None = None) -> None:
             ("ann_methods_topk", ann_methods_arms),
             ("dedup_ngram_jaccard", dedup_ngram_sections),
             ("deterministic_sample", deterministic_sample_sections),
+            # r10 (r9 verdict task 4): five kernels shared one headline
+            # number; a JPEG Huffman-stage regression could hide behind
+            # a GIF win. Full mode now times each arm separately.
+            ("multimodal_pack", multimodal_sections),
         ):
             pack_section_sec[pack] = {}
             for arm, df in provider(spark, sf_dir).items():

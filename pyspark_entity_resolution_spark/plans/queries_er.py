@@ -264,6 +264,79 @@ def connected_components_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cc_adaptive_sql(sf_dir: str) -> str:
+    """Scale-aware CC oracle (see QuerySpec.adaptive_sql).
+
+    The static recursive-CTE oracle materializes the full transitive
+    closure — quadratic in component size, and the levenshtein<=1
+    name graph is dense (sf1: ~77k edges per 6.4k-node nation), so the
+    closure would be ~1e9 reach rows. Above gate scale this generator
+    instead computes the SAME edge set with DuckDB's own levenshtein
+    join, labels it with an INDEPENDENT sequential union-find
+    (path-compressed, union-by-min so the root IS the component's
+    minimum custkey — a different algorithm from the engine's
+    distributed alternating-stars), materializes (node, component) to
+    a temp parquet, and returns a SELECT over it. The static SQL stays
+    the driver-contract oracle at gate scale;
+    test_plan_shapes.test_cc_adaptive_oracle_equals_static pins this
+    generator's labels equal to the recursive CTE's there.
+    """
+    import hashlib
+    import os
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/customer.parquet"
+    if os.path.isdir(path):
+        path = f"{path}/*.parquet"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW customer AS SELECT * FROM '{path}'")
+    tbl = con.execute(
+        f"SELECT u, v FROM ({_CC_EDGE_SQL}) WHERE u < v"
+    ).fetch_arrow_table()
+    us = tbl.column("u").to_pylist()
+    vs = tbl.column("v").to_pylist()
+
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for u, v in zip(us, vs):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # union-by-min: both roots are their sets' minima by
+            # induction, so the smaller root is the union's minimum
+            if ru < rv:
+                parent[rv] = ru
+            else:
+                parent[ru] = rv
+    # node set = every edge endpoint, exactly the static oracle's
+    # (its reach CTE seeds from each directed edge's source and the
+    # <>-join emits both directions, so every endpoint is a seed)
+    nodes = sorted(set(us) | set(vs))
+    labels = [find(n) for n in nodes]
+    out = ("/tmp/cc_oracle_"
+           + hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+           + ".parquet")
+    pq.write_table(
+        pa.table({"node": pa.array(nodes, pa.int64()),
+                  "component": pa.array(labels, pa.int64())}),
+        out,
+    )
+    return f"SELECT node, component FROM '{out}'"
+
+
+QUERIES["connected_components_labels"].adaptive_sql = _cc_adaptive_sql
+
+
 # ------------------------------------------------------------ flagship --
 
 @q(

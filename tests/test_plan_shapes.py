@@ -238,6 +238,29 @@ def test_nodistinct_star_round_is_two_exchanges(spark, monkeypatch):
     assert "HashAggregate" in dplan  # the round-final distinct
 
 
+def test_cc_adaptive_oracle_equals_static_at_gate_scale():
+    """The union-find CC oracle (adaptive_sql, used for above-gate
+    spot-checks where the recursive-CTE transitive closure explodes)
+    must produce EXACTLY the static oracle's labels at gate scale —
+    same node set, same min-custkey component ids."""
+    import duckdb
+
+    from pyspark_entity_resolution_spark.plans.queries_er import (
+        _cc_adaptive_sql,
+    )
+
+    spec = all_queries()["connected_components_labels"]
+    assert spec.adaptive_sql is _cc_adaptive_sql
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW customer AS SELECT * FROM '{SF}/customer.parquet'"
+    )
+    static = sorted(con.execute(spec.sql).fetchall())
+    adaptive = sorted(con.execute(_cc_adaptive_sql(SF)).fetchall())
+    assert len(static) > 0
+    assert adaptive == static
+
+
 def test_adaptive_oracle_equals_static_at_gate_scale():
     """The scale-aware oracle generator (QuerySpec.adaptive_sql) must
     reproduce the committed static SQL EXACTLY where the gate runs

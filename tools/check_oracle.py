@@ -100,11 +100,15 @@ def main():
         # (the driver contract itself only sees the static sql)
         adaptive = False
         spec = specs.get(name)
+        rec = report[name] = {}
         if spec is not None and getattr(spec, "adaptive_sql", None):
+            t0 = _time.perf_counter()
             sql = spec.adaptive_sql(sf_dir)
             adaptive = True
-        rec = report[name] = {}
-        if adaptive:
+            # generators may do real work (e.g. the CC oracle's DuckDB
+            # edge join + union-find) — record it so sec_duckdb alone
+            # never understates the oracle's true cost
+            rec["sec_oracle_gen"] = round(_time.perf_counter() - t0, 1)
             rec["oracle"] = "adaptive_sql (regenerated for this sf_dir)"
         try:
             t0 = _time.perf_counter()
