@@ -1674,6 +1674,112 @@ def _gif_decode_frames(
     raise ValueError("GIF stream ended without a trailer")
 
 
+def _avi_mjpeg_frames(payload: bytes):
+    """Parse an AVI (RIFF) container holding ONE MJPEG video stream
+    with the stdlib only: walk the 'hdrl' LIST for the frame clock
+    (strh dwScale/dwRate of the 'vids' stream, falling back to avih
+    dwMicroSecPerFrame) and verify the MJPG fourcc, then locate the
+    'movi' LIST. Returns ``((num, den), frames)`` where frame i's
+    timestamp is ``i * num // den`` microseconds and ``frames`` is a
+    generator of that stream's '##dc'/'##db' chunk payloads — each a
+    complete baseline JPEG that :func:`_jpeg_decode` pixel-decodes.
+
+    Scope (everything else raises ``ValueError``, never a silent wrong
+    parse): exactly one video stream, MJPG handler OR biCompression,
+    self-contained JPEG frames (OpenDML default-Huffman frames without
+    DHT raise inside the JPEG decoder), optional 'rec ' grouping inside
+    movi is walked; idx1 and OpenDML extensions are ignored.
+    """
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI signature")
+
+    def chunks(pos: int, end: int):
+        while pos + 8 <= end:
+            cid = payload[pos:pos + 4]
+            (size,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+            body_start = pos + 8
+            body_end = body_start + size
+            if body_end > end:
+                raise ValueError("truncated AVI chunk")
+            yield cid, body_start, body_end
+            pos = body_end + (size & 1)
+
+    top_end = min(len(payload), 8 + struct.unpack("<I", payload[4:8])[0])
+    usec_per_frame = None
+    scale = rate = None
+    vid_stream = None
+    movi = None
+    stream_idx = -1
+    for cid, s, e in chunks(12, top_end):
+        if cid != b"LIST":
+            continue
+        ltype = payload[s:s + 4]
+        if ltype == b"movi":
+            if movi is not None:
+                raise ValueError("multiple movi lists")
+            movi = (s + 4, e)
+        elif ltype == b"hdrl":
+            for cid2, s2, e2 in chunks(s + 4, e):
+                if cid2 == b"avih":
+                    usec_per_frame = struct.unpack(
+                        "<I", payload[s2:s2 + 4]
+                    )[0]
+                elif cid2 == b"LIST" and payload[s2:s2 + 4] == b"strl":
+                    stream_idx += 1
+                    fcc_type = fcc_handler = compression = None
+                    st_scale = st_rate = 0
+                    for cid3, s3, e3 in chunks(s2 + 4, e2):
+                        if cid3 == b"strh":
+                            fcc_type = payload[s3:s3 + 4]
+                            fcc_handler = payload[s3 + 4:s3 + 8]
+                            st_scale, st_rate = struct.unpack(
+                                "<II", payload[s3 + 20:s3 + 28]
+                            )
+                        elif cid3 == b"strf" and fcc_type == b"vids":
+                            compression = payload[s3 + 16:s3 + 20]
+                    if fcc_type == b"vids":
+                        if vid_stream is not None:
+                            raise ValueError(
+                                "multiple video streams (one MJPEG "
+                                "stream is the supported layout)"
+                            )
+                        if (fcc_handler not in (b"MJPG", b"mjpg")
+                                and compression not in (b"MJPG", b"mjpg")):
+                            raise ValueError(
+                                f"AVI video stream is handler="
+                                f"{fcc_handler!r} compression="
+                                f"{compression!r}, not MJPG — a real "
+                                "codec (ffmpeg) is required"
+                            )
+                        vid_stream = stream_idx
+                        scale, rate = st_scale, st_rate
+    if vid_stream is None:
+        raise ValueError("AVI has no video ('vids') stream")
+    if movi is None:
+        raise ValueError("AVI has no movi list")
+    if scale and rate:
+        clock = (scale * 1_000_000, rate)
+    elif usec_per_frame:
+        clock = (usec_per_frame, 1)
+    else:
+        raise ValueError("AVI has no usable frame clock "
+                         "(strh dwScale/dwRate and avih both zero)")
+    want = {b"%02ddc" % vid_stream, b"%02ddb" % vid_stream}
+
+    def walk(lo: int, hi: int):
+        # strict in-order traversal: frame index == chunk order, so a
+        # 'rec ' group must be drained where it appears, not deferred
+        for cid, s, e in chunks(lo, hi):
+            if cid == b"LIST" and payload[s:s + 4] == b"rec ":
+                yield from walk(s + 4, e)
+            elif cid in want:
+                yield payload[s:e]
+
+    return clock, walk(movi[0], movi[1])
+
+
 def sample_video_frames(
     media: DataFrame, every_n_seconds: int = 10, fake: bool = False,
     codec: str = "ffmpeg",
@@ -1689,19 +1795,29 @@ def sample_video_frames(
     the md5 of the COMPOSITED RGB canvas — pixel-level evidence, not a
     payload hash. Non-GIF payloads raise in-kernel.
 
+    ``codec="mjpeg-stdlib"`` (r10) is a second REAL path: MJPEG-in-AVI
+    containers are RIFF-walked (:func:`_avi_mjpeg_frames`), the frame
+    clock is the stream's own dwRate/dwScale (avih microseconds as the
+    fallback), the sampler keeps the first frame at or after each
+    ``every_n_seconds`` boundary, and each SAMPLED frame — only those —
+    is pixel-decoded by the baseline-JPEG decoder, ``frame_hash`` again
+    the md5 of decoded RGB. Non-AVI / non-MJPG payloads raise
+    in-kernel.
+
     The default ``codec="ffmpeg"`` fails loud at plan build — ffmpeg is
-    not shipped here; ``fake=True`` selects the deterministic stub
-    kernel regardless of codec."""
+    not shipped here (mp4/webm genuinely need it); ``fake=True``
+    selects the deterministic stub kernel regardless of codec."""
     if not fake and codec == "ffmpeg":
         raise NotImplementedError(
-            "real frame sampling of mp4/webm/avi requires ffmpeg, which "
+            "real frame sampling of mp4/webm requires ffmpeg, which "
             "is not installed; pass codec='gif-stdlib' for the "
-            "library-free animated-GIF decoder, or fake=True for the "
-            "deterministic stub kernel"
+            "library-free animated-GIF decoder, codec='mjpeg-stdlib' "
+            "for MJPEG-in-AVI, or fake=True for the deterministic stub "
+            "kernel"
         )
-    if not fake and codec != "gif-stdlib":
-        raise ValueError(f"codec must be 'ffmpeg' or 'gif-stdlib', "
-                         f"got {codec!r}")
+    if not fake and codec not in ("gif-stdlib", "mjpeg-stdlib"):
+        raise ValueError(f"codec must be 'ffmpeg', 'gif-stdlib', or "
+                         f"'mjpeg-stdlib', got {codec!r}")
 
     schema = StructType(
         [
@@ -1746,7 +1862,32 @@ def sample_video_frames(
                 rows, columns=["media_id", "frame_idx", "frame_ts_sec", "frame_hash"]
             )
 
+    def mjpeg_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(payload) if payload is not None else b""
+                (num, den), frames = _avi_mjpeg_frames(payload)
+                next_us = 0
+                for idx, jpeg in enumerate(frames):
+                    # exact rational clock: frame i at i*num//den usec —
+                    # no float drift over long streams
+                    t_us = idx * num // den
+                    if t_us >= next_us:
+                        _, _, _, rgb = _jpeg_decode(jpeg)
+                        rows.append((media_id, idx, int(t_us // 1_000_000),
+                                     hashlib.md5(rgb).hexdigest()))
+                        next_us = t_us + every_n_seconds * 1_000_000
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "frame_ts_sec", "frame_hash"]
+            )
+
     pruned = media.filter(F.col("media_type") == "video").select(
         "media_id", "payload"
     )
-    return pruned.mapInPandas(fake_kernel if fake else gif_kernel, schema)
+    kernel = (fake_kernel if fake
+              else mjpeg_kernel if codec == "mjpeg-stdlib"
+              else gif_kernel)
+    return pruned.mapInPandas(kernel, schema)
