@@ -1230,7 +1230,7 @@ def audio_near_dup_pairs(
 def audio_near_dup_pairs_shifted(
     fps: DataFrame,
     max_shift_windows: int = 4,
-    shingle_windows: int = 8,
+    shingle_windows: int | None = None,
     bands: int = 8,
     min_match_fraction: float = 0.9,
 ) -> DataFrame:
@@ -1265,18 +1265,32 @@ def audio_near_dup_pairs_shifted(
     (the standard MinHash-LSH trade-off) — unlike the aligned path's
     pigeonhole completeness guarantee — and falls with MISMATCH
     density, not just shift: every mismatched window poisons up to
-    ``shingle_windows`` shingles (standard w-shingling), so a pair with
-    two well-separated mismatches in a 24-window clip shares few
-    shingles even though it verifies at 22/24. Measured on the planted
-    probe corpus at the defaults: single-mismatch pairs are found
-    ~97% of the time, double-mismatch pairs usually not (aggregate 475
-    of 600 planted aligned pairs). Raise ``bands`` or shorten
-    ``shingle_windows`` to trade compute/selectivity for recall; for
-    guaranteed-complete SAME-LENGTH dedup use
+    ``shingle_windows`` shingles (standard w-shingling).
+
+    ``shingle_windows=None`` (the default, r10) derives the shingle
+    length from the mismatch budget ``min_match_fraction`` implies: a
+    qualifying pair's mismatch density in the overlap is at most
+    ``d = 1 - min_match_fraction``, so adversarially spread mismatches
+    cut the overlap into clean runs averaging ``~(1-d)/d`` windows;
+    half-run shingles — ``w = floor((1-d) / (2*d))``, clipped to
+    [3, 16] (the floor keeps the shingle alphabet large enough that a
+    repetitive corpus cannot collapse into hot buckets; 16 bounds
+    per-row shingle work) — keep roughly half the shingle mass shared
+    even at full budget. At the defaults (f=0.9 -> w=4, 8 bands) the
+    planted probe corpus measures 90/90 aggregate recall including
+    every double-mismatch pair, vs 74/90 at the old fixed w=8
+    (test_media_corpus pins the >=0.9 floor). Pass an explicit
+    ``shingle_windows`` to trade selectivity against recall manually;
+    for guaranteed-complete SAME-LENGTH dedup use
     :func:`audio_near_dup_pairs`."""
     if max_shift_windows < 0:
         raise ValueError(
             f"max_shift_windows must be >= 0, got {max_shift_windows}"
+        )
+    if shingle_windows is None:
+        d = 1.0 - min_match_fraction
+        shingle_windows = (
+            16 if d <= 0 else max(3, min(16, int((1.0 - d) / (2.0 * d))))
         )
     if shingle_windows < 1:
         raise ValueError(

@@ -119,3 +119,64 @@ def test_synth_gif_samples_via_stdlib_kernel(spark):
     # frames at 0.0/0.5/1.0 s; sampler keeps t=0 and the first frame at
     # or after the 1 s boundary
     assert [r["frame_idx"] for r in got] == [0, 2]
+
+
+def test_shifted_audio_derived_defaults_recall_floor(spark):
+    """r10 (r9 verdict task 3): the shifted path's derived shingle
+    length (min_match_fraction=0.9 -> w=4) must recover >=0.9 of the
+    planted pairs INCLUDING the double-mismatch (m1, m2) pair of every
+    group — the pairs the old fixed w=8 default mostly missed (measured
+    74/90 at w=8 vs 90/90 at the derived w=4 on this corpus)."""
+    from pyspark_entity_resolution_spark.operators.multimodal import (
+        audio_fingerprints,
+        audio_near_dup_pairs_shifted,
+    )
+
+    n_audio = 200
+    path = build_media_corpus(
+        spark, "/tmp/media_recall_floor_corpus.parquet",
+        n_audio=n_audio, n_images=0, n_jpegs=0, n_gifs=0,
+    )
+    fps = audio_fingerprints(
+        spark.read.parquet(path), window_frames=WINDOW_FRAMES
+    )
+    got = {
+        (r.a_id, r.b_id)
+        for r in audio_near_dup_pairs_shifted(
+            fps, min_match_fraction=0.9
+        ).collect()
+    }
+    planted = set()
+    double = set()
+    for g in range(n_audio // 10):
+        base = 10 * g
+        planted |= {(base, base + 1), (base, base + 2),
+                    (base + 1, base + 2)}
+        double.add((base + 1, base + 2))
+    recall = len(got & planted) / len(planted)
+    assert recall >= 0.9, f"aggregate recall {recall:.3f} < 0.9"
+    # the double-mismatch pairs are the hard class the derivation fixes
+    d_recall = len(got & double) / len(double)
+    assert d_recall >= 0.8, f"double-mismatch recall {d_recall:.3f} < 0.8"
+    # no false candidates survive exact verification on this corpus
+    assert got <= planted
+
+
+def test_shifted_audio_shingle_derivation_formula():
+    """Pin the derivation so a silent change shows up here, not as a
+    recall regression three rounds later: w = floor(f / (2*(1-f)))
+    clipped to [3, 16], and f=1.0 (exact match, zero budget) takes the
+    cap."""
+    from pyspark_entity_resolution_spark.operators.multimodal import (
+        audio_near_dup_pairs_shifted,
+    )
+
+    def derived(f):
+        d = 1.0 - f
+        return 16 if d <= 0 else max(3, min(16, int((1.0 - d) / (2.0 * d))))
+
+    assert derived(0.9) == 4
+    assert derived(0.95) == 9
+    assert derived(0.8) == 3      # clipped up from 2
+    assert derived(0.99) == 16    # clipped down from 49
+    assert derived(1.0) == 16
