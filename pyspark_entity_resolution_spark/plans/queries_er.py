@@ -149,39 +149,29 @@ REMOVE_STOPWORDS_SQL = f"""
     "src/similarity.py:65); blocking key = nation",
 )
 def levenshtein_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
-    a = c.select(
-        F.col("c_custkey").alias("a_id"),
-        F.col("c_name").alias("a_name"),
-        F.col("c_nationkey").alias("nk"),
+    # r10: blocked_levenshtein_pairs runs the bounded early-exit DP on
+    # affix-stripped middles (strip_common_affixes: lev is invariant
+    # under the corpus-global shared prefix/suffix, and on this
+    # id-styled corpus that is 13 of 18 chars) — measured 31.2 -> 8.3 s
+    # at sf1 with the identical 17M-row output, flipping the one row
+    # DuckDB used to win (41.7 s) to a ~5x Spark win.
+    # Measured-and-rejected candidate pruning on this dense-match
+    # corpus: SymSpell del-2 neighborhood (r7: 97.9 vs 40.1 s) and
+    # adaptive chunk-banding + del-1 variants + shifted-length keys
+    # (r10: 59.1 vs 31.2 s, identical rows) — ~17M pairs REALLY match,
+    # so candidates cannot undercut the output and the explode/dedup/
+    # re-join machinery only adds cost. The blocked quadratic scan is
+    # the right plan for dense matches; SymSpell stays the win for
+    # SPARSE ed-1 matching (operators/matching.py
+    # deletion_neighborhood_pairs).
+    from ..operators.matching import blocked_levenshtein_pairs
+
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
     )
-    b = c.select(
-        F.col("c_custkey").alias("b_id"),
-        F.col("c_name").alias("b_name"),
-        F.col("c_nationkey").alias("nk"),
-    )
-    return (
-        spread(spark, a).join(b, on="nk")
-        .filter(
-            (F.col("a_id") < F.col("b_id"))
-            # |len(a)-len(b)| <= 2 is implied by lev <= 2: prune the
-            # quadratic candidate set before the expensive distance
-            & (F.abs(F.length("a_name") - F.length("b_name")) <= 2)
-        )
-        # bounded levenshtein (threshold arg): early-exits the DP once the
-        # distance provably exceeds 2 (returns -1), ~30% cheaper than the
-        # unbounded form on this blocked self-join.
-        # Measured-and-rejected (r7): a SymSpell deletion-neighborhood-2
-        # candidate join (exact for lev<=2) read 97.9 s vs 40.1 s for
-        # this plan at sf1 — the corpus's 9-digit name suffixes make
-        # ~17M pairs REALLY match, so candidates cannot undercut the
-        # output and the variant explode + dedup only add cost. The
-        # blocked quadratic scan is the right plan for dense matches;
-        # SymSpell stays the win for SPARSE ed-1 matching
-        # (operators/matching.py deletion_neighborhood_pairs).
-        .withColumn("scores", F.levenshtein("a_name", "b_name", 2).cast("bigint"))
-        .filter(F.col("scores") >= 0)
-        .select("a_id", "b_id", "scores")
+    return blocked_levenshtein_pairs(
+        spread(spark, c), "c_custkey", "c_name",
+        block_cols=["c_nationkey"], max_distance=2,
     )
 
 

@@ -1,0 +1,114 @@
+"""strip_common_affixes + blocked_levenshtein_pairs
+(operators/matching.py, r10): the affix-strip DP must be EXACTLY the
+plain pairwise Levenshtein — pinned against a brute-force python DP on
+corpora with shared affixes, without them, with indels, nulls, and the
+prefix/suffix overlap clamp."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_entity_resolution_spark.operators.matching import (
+    blocked_levenshtein_pairs,
+    strip_common_affixes,
+)
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _brute(rows, max_d=2):
+    out = set()
+    for i, (ia, sa, ba) in enumerate(rows):
+        for ib, sb, bb in rows[i + 1:]:
+            if ba == bb and sa is not None and sb is not None:
+                d = _lev(sa, sb)
+                if d <= max_d:
+                    out.add((min(ia, ib), max(ia, ib), d))
+    return out
+
+
+def _run(spark, rows, max_d=2):
+    df = spark.createDataFrame(rows, "id long, s string, blk long")
+    got = {
+        (r.a_id, r.b_id, r.scores)
+        for r in blocked_levenshtein_pairs(
+            df, "id", "s", block_cols=["blk"], max_distance=max_d
+        ).collect()
+    }
+    assert got == _brute(rows, max_d)
+    return got
+
+
+def test_shared_affix_corpus_matches_bruteforce(spark):
+    # the id-styled shape the optimization targets: long shared prefix
+    rows = [(i, f"Customer#0000{i:05d}", i % 3) for i in range(60)]
+    # plant near pairs: same block, suffix digits 1-2 apart
+    rows += [(100, "Customer#000000007", 1), (101, "Customer#000000907", 1),
+             (102, "Customer#000900907", 1)]
+    got = _run(spark, rows)
+    assert (100, 101, 1) in got and (100, 102, 2) in got
+
+
+def test_no_shared_affix_and_indels(spark):
+    rows = [
+        (1, "kitten", 0), (2, "sitting", 0), (3, "kitte", 0),
+        (4, "itten", 0), (5, "kittenx", 0), (6, "zzz", 0),
+        (7, "kitten", 0), (8, "xyz", 1), (9, "xz", 1), (10, "", 1),
+    ]
+    got = _run(spark, rows)
+    assert (1, 3, 1) in got          # deletion
+    assert (1, 4, 1) in got          # head deletion
+    assert (1, 5, 1) in got          # insertion
+    assert (1, 7, 0) in got          # identical
+    assert (8, 9, 1) in got
+    assert (9, 10, 2) in got         # "" vs "xz"
+    assert not any(p[:2] == (1, 2) for p in got)  # kitten/sitting = 3
+
+
+def test_suffix_strip_and_overlap_clamp(spark):
+    # shared SUFFIX corpus; one string is exactly prefix+suffix overlap
+    rows = [(1, "aaXcc", 0), (2, "aaYcc", 0), (3, "aacc", 0),
+            (4, "aaZZcc", 0)]
+    _run(spark, rows)
+    # all-identical corpus: prefix == whole string, clamp must hold
+    rows2 = [(i, "same", 0) for i in range(5)]
+    got = _run(spark, rows2)
+    assert len(got) == 10 and all(d == 0 for _, _, d in got)
+
+
+def test_nulls_and_empty_corpus(spark):
+    rows = [(1, None, 0), (2, "ab", 0), (3, "ac", 0)]
+    df = spark.createDataFrame(rows, "id long, s string, blk long")
+    got = {
+        (r.a_id, r.b_id, r.scores)
+        for r in blocked_levenshtein_pairs(
+            df, "id", "s", block_cols=["blk"]
+        ).collect()
+    }
+    assert got == {(2, 3, 1)}  # null text never pairs
+    empty = spark.createDataFrame([], "id long, s string, blk long")
+    assert blocked_levenshtein_pairs(
+        empty, "id", "s", block_cols=["blk"]
+    ).count() == 0
+
+
+def test_strip_common_affixes_lengths(spark):
+    df = spark.createDataFrame(
+        [(f"PRE-{i:03d}-POST",) for i in range(150)], "s string"
+    )
+    mid, p, s = strip_common_affixes(df, "s")
+    assert (p, s) == (4, 5)
+    mids = {r[0] for r in df.select(mid).collect()}
+    assert mids == {f"{i:03d}" for i in range(150)}
+    # no shared affix -> untouched
+    df2 = spark.createDataFrame([("abc",), ("xyz",), ("q",)], "s string")
+    _, p2, s2 = strip_common_affixes(df2, "s")
+    assert (p2, s2) == (0, 0)
