@@ -334,8 +334,8 @@ def connected_components(
     - Checkpoint STORAGE LEVEL is memory-aware: above
       ``disk_only_above_edges`` edges the MEASURED footprint of the
       materialized edge checkpoint is compared against the JVM heap,
-      and only when the loop's ~4 resident copies (all_nodes + previous
-      + current round, with headroom for large-star expansion) would
+      and only when the loop's ~3 resident copies (previous + current
+      round, with headroom for large-star expansion) would
       crowd the unified memory region do the per-round checkpoints
       demote to DISK_ONLY (the rounds re-read each checkpoint a handful
       of times; the OS page cache absorbs most of it). Measured both
@@ -358,8 +358,8 @@ def connected_components(
       the session's configured value (a session width below the usual
       floor is honored as-is).
     """
-    # materialize the caller's edge plan ONCE: all_nodes and the working
-    # edge set both derive from the checkpointed raw list, so an
+    # materialize the caller's edge plan ONCE: the self-loop-only set and
+    # the working edge set both derive from the checkpointed raw list, so an
     # expensive upstream candidate join (blocked self-join, LSH band
     # join, deletion-neighborhood join...) is never evaluated twice.
     # An explicit ``checkpoint_storage`` applies HERE too, not only to
@@ -395,9 +395,10 @@ def connected_components(
     if level is None and n_edges >= disk_only_above_edges:
         # memory-aware demotion: `raw` is materialized, so its real
         # block footprint is readable from the storage manager. The
-        # loop keeps at most ~3 full-size checkpoints resident
-        # (all_nodes + previous + current round — superseded ones are
-        # released eagerly); 4x buffers large-star's transient
+        # loop keeps at most ~2 full-size checkpoints resident
+        # (previous + current round — superseded ones are released
+        # eagerly; r10 removed the resident all-nodes table); 4x still
+        # buffers large-star's transient
         # expansion. Demote only when that working set would not fit
         # beside execution in the unified region (~60% of heap, half
         # of it eviction-protected storage). Unknown heap or footprint
@@ -453,12 +454,26 @@ def _connected_components_loop(
     global LAST_RUN_ROUND_STATS
     round_stats: list = []
     LAST_RUN_ROUND_STATS = round_stats
-    all_nodes = (
-        raw.select(F.col("u").alias("node"))
-        .union(raw.select(F.col("v").alias("node")))
+    # Singleton recovery needs only the SELF-LOOP-ONLY nodes, not the
+    # full node set (r10): every node with at least one non-self-loop
+    # edge is preserved through the star rounds — a node that is the
+    # minimum of some neighborhood survives as the rewired target m,
+    # any other node keeps an edge toward a smaller neighbor and
+    # survives as a source, and the alternating-stars connectivity
+    # invariant (Kiveris et al.) keeps every size->=2 component's nodes
+    # in the edge set through convergence — so the final labeling
+    # already covers them, and the old 2|E|-row all-nodes distinct
+    # (checkpointed and held resident through the WHOLE loop: at the
+    # 100M-edge probe a 50M-row table squatting in the storage region
+    # the rounds compete for) only ever contributed nodes whose every
+    # edge was a self-loop. Those come from a near-free filter instead.
+    self_only = (
+        raw.filter(F.col("u") == F.col("v"))
+        .select(F.col("u").alias("node"))
         .distinct()
         .localCheckpoint(storageLevel=level)
     )
+    n_self = self_only.count()
     e = (
         raw.filter(F.col("u") != F.col("v"))
         .distinct()
@@ -592,14 +607,22 @@ def _connected_components_loop(
     children = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
     roots = e.select(F.col("v").alias("node"), F.col("v").alias("component"))
     labeled = children.union(roots).distinct()
-    singletons = all_nodes.join(labeled, on="node", how="left_anti").select(
-        "node", F.col("node").alias("component")
-    )
+    # self-loop-only nodes label themselves; nodes that ALSO carried a
+    # real edge are already in `labeled` (the anti-join dedups them).
+    # The empty-selfs fast path skips the anti-join's full reshuffle of
+    # `labeled` — the common case for candidate-pair inputs, which are
+    # a != b by construction.
+    if n_self == 0:
+        singletons = labeled.filter(F.lit(False))
+    else:
+        singletons = self_only.join(
+            labeled, on="node", how="left_anti"
+        ).select("node", F.col("node").alias("component"))
     # eager: materialize the labeling inside the caller's narrowed
     # shuffle-width window (see connected_components) and hand consumers
     # a checkpointed table — entity resolution joins it twice downstream
     result = labeled.union(singletons).localCheckpoint(storageLevel=level)
-    for superseded in (e, all_nodes):
+    for superseded in (e, self_only):
         _release_checkpoint(superseded)
     return result
 

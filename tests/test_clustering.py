@@ -275,3 +275,28 @@ def test_round_stats_diagnostic_records_every_round(spark):
         spark.createDataFrame([(1, 2)], "src long, dst long")
     ).count()
     assert clustering.LAST_RUN_ROUND_STATS is not stats
+
+
+def test_self_loop_only_nodes_label_as_singletons(spark):
+    """r10: singleton recovery switched from an all-nodes anti-join to
+    the self-loop-only set — nodes whose EVERY edge is a self-loop must
+    still come back as their own component, nodes with both a self-loop
+    and a real edge must not be double-labeled, and a pure
+    no-self-loop input must cover every node (the empty-selfs fast
+    path)."""
+    from pyspark_entity_resolution_spark.operators.clustering import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (900, 900), (900, 900), (901, 901), (3, 3)],
+        ["src", "dst"],
+    )
+    got = {(r.node, r.component)
+           for r in connected_components(edges).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (900, 900), (901, 901)}
+    # empty-selfs fast path: all nodes labeled, no singleton branch
+    edges2 = spark.createDataFrame([(1, 2), (4, 5)], ["src", "dst"])
+    got2 = {(r.node, r.component)
+            for r in connected_components(edges2).collect()}
+    assert got2 == {(1, 1), (2, 1), (4, 4), (5, 4)}
