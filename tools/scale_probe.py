@@ -26,7 +26,9 @@ Probe D (``century``): TWO measured decades (x100) for MinHash-LSH,
          ingest-time serving paths: fixed arriving batch vs a x100
          persisted index) ``century-labelstore`` ``century-winnow``
          ``century-audio`` (planted near-dup WAV clips: Arrow decode
-         throughput + banded audio dedup, exact pair-count assertion).
+         throughput + banded audio dedup, exact pair-count assertion)
+         ``century-image`` (PNG/JPEG pixel decode + GIF frame sampling
+         through the stdlib kernels, row-count tripwires per leg).
 
 Usage: python tools/scale_probe.py [trio|ann|winnow|century|century-<family>]
 """
@@ -289,6 +291,7 @@ def _with_scaled_partitions(spark, fn, factor=8):
 
 CENTURY_FAMILIES = (
     "century-minhash", "century-substring", "century-ngram", "century-cc",
+    "century-image",
     "century-er", "century-ingest", "century-labelstore", "century-winnow",
     "century-audio",
 )
@@ -1166,6 +1169,77 @@ def probe_century_audio(spark) -> None:
         )
 
 
+def probe_century_image(spark) -> None:
+    """Image-decode family at x1/x10/x100 (r10, r9 verdict task 6):
+    PNG + baseline-JPEG full pixel decode and GIF frame sampling
+    through the stdlib kernels over the deterministic
+    tools/media_corpus.py images. Each leg carries an untimed
+    row-count tripwire (decode rows == corpus size; GIF rows == 2
+    sampled frames per 3-frame 0.5s-clocked clip at
+    every_n_seconds=1), so a silent workload change can never read as
+    a perf delta. Per-payload Arrow kernels are expected LINEAR in
+    clip count; the x10 leg usually reads sublinear (fixed-overhead
+    amortization)."""
+    from pyspark.sql import functions as F
+
+    from pyspark_entity_resolution_spark.operators.multimodal import (
+        extract_image_features,
+        sample_video_frames,
+    )
+    from tools.media_corpus import build_media_corpus
+
+    base = 1_000
+    legs = {}
+    for factor in (1, 10, 100):
+        n = base * factor
+        media = spark.read.parquet(
+            build_media_corpus(
+                spark, f"/tmp/scale_image_x{factor}.parquet",
+                n_audio=0, n_images=n, n_jpegs=n, n_gifs=n // 2,
+            )
+        )
+        pngs = media.filter(F.col("mime") == "image/png")
+        jpgs = media.filter(F.col("mime") == "image/jpeg")
+
+        def _png(m=pngs, nn=n):
+            got = extract_image_features(m, codec="png-stdlib").count()
+            if got != nn:
+                raise AssertionError(f"png leg: {got} rows, corpus {nn}")
+            return got
+
+        def _jpeg(m=jpgs, nn=n):
+            got = extract_image_features(m, codec="jpeg-stdlib").count()
+            if got != nn:
+                raise AssertionError(f"jpeg leg: {got} rows, corpus {nn}")
+            return got
+
+        def _gif(m=media, nn=n // 2):
+            got = sample_video_frames(
+                m, every_n_seconds=1, codec="gif-stdlib"
+            ).count()
+            if got != 2 * nn:
+                raise AssertionError(
+                    f"gif leg: {got} frames, expected {2 * nn}"
+                )
+            return got
+
+        runs = 2 if factor == 1 else 1
+        tp = _timed_century(f"png_decode {n} images", _png, runs=runs)
+        tj = _timed_century(f"jpeg_decode {n} images", _jpeg, runs=runs)
+        tg = _timed_century(f"gif_frames {n // 2} clips", _gif, runs=runs)
+        legs[factor] = (tp, tj, tg)
+        print(f"[century] png_decode x{factor}: {n / tp:.0f} images/s",
+              flush=True)
+    for factor in (10, 100):
+        print(
+            f"[century] image x{factor} data -> "
+            f"png x{legs[factor][0] / legs[1][0]:.1f} time, "
+            f"jpeg x{legs[factor][1] / legs[1][1]:.1f} time, "
+            f"gif x{legs[factor][2] / legs[1][2]:.1f} time",
+            flush=True,
+        )
+
+
 def probe_century_winnow(spark) -> None:
     """Winnowing fingerprints + overlap pairs TWO decades up: sf0.1
     (5k docs) vs the x100 affine-mapped corpus (500k docs) — output
@@ -1304,6 +1378,8 @@ def main() -> None:
         probe_century_winnow(spark)
     elif "century-audio" in sys.argv[1:]:
         probe_century_audio(spark)
+    elif "century-image" in sys.argv[1:]:
+        probe_century_image(spark)
     else:
         probe_er(spark)
         probe_cc(spark)
