@@ -702,6 +702,17 @@ def main(full: bool = False, baseline_ref: str | None = None) -> None:
                 rows=[] if full else None,
                 queries=sorted(specs) if full else None,
                 runs=1 if full else None,
+                # full mode is min-of-1 per JVM, so a 2-pass A-B-B-A
+                # window puts one ref on both EDGE slots — r10's first
+                # full artifact read a fake 1.30x regression when a
+                # mid-window spike landed on HEAD's slots while the
+                # boundary sat stable between them. Three passes
+                # (A B | B A | A B) straddle any single spike; headline
+                # mode keeps 2 passes (min-of-2 inside each JVM already
+                # absorbs one bad run).
+                # an explicit $SPARK_GRAFT_BASELINE_PASSES still wins
+                passes=(None if os.environ.get("SPARK_GRAFT_BASELINE_PASSES")
+                        else 3 if full else None),
             )
             if baseline:
                 workload["baseline_same_host_interleaved"] = baseline
