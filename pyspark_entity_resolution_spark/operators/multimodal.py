@@ -1737,6 +1737,8 @@ def _avi_mjpeg_frames(payload: bytes):
         elif ltype == b"hdrl":
             for cid2, s2, e2 in chunks(s + 4, e):
                 if cid2 == b"avih":
+                    if s2 + 4 > e2:
+                        raise ValueError("truncated avih header")
                     usec_per_frame = struct.unpack(
                         "<I", payload[s2:s2 + 4]
                     )[0]
@@ -1746,6 +1748,8 @@ def _avi_mjpeg_frames(payload: bytes):
                     st_scale = st_rate = 0
                     for cid3, s3, e3 in chunks(s2 + 4, e2):
                         if cid3 == b"strh":
+                            if s3 + 28 > e3:
+                                raise ValueError("truncated strh header")
                             fcc_type = payload[s3:s3 + 4]
                             fcc_handler = payload[s3 + 4:s3 + 8]
                             st_scale, st_rate = struct.unpack(

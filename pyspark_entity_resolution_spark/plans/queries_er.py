@@ -271,7 +271,6 @@ def _cc_adaptive_sql(sf_dir: str) -> str:
     test_plan_shapes.test_cc_adaptive_oracle_equals_static pins this
     generator's labels equal to the recursive CTE's there.
     """
-    import hashlib
     import os
 
     import duckdb
@@ -313,9 +312,22 @@ def _cc_adaptive_sql(sf_dir: str) -> str:
     # <>-join emits both directions, so every endpoint is a seed)
     nodes = sorted(set(us) | set(vs))
     labels = [find(n) for n in nodes]
-    out = ("/tmp/cc_oracle_"
-           + hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
-           + ".parquet")
+    # fresh mkstemp path in a per-user 0700 dir, never a fixed
+    # predictable /tmp name: on a shared host a fixed path can be
+    # pre-created/squatted by another user, and two concurrent check
+    # runs against different data at the same sf_dir would race on one
+    # file. The file is small (|nodes| rows) and intentionally not
+    # cleaned up — the returned SQL reads it after this function exits.
+    import tempfile
+
+    tmpdir = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_cc_oracle_{os.getuid()}"
+    )
+    os.makedirs(tmpdir, mode=0o700, exist_ok=True)
+    fd, out = tempfile.mkstemp(
+        prefix="cc_oracle_", suffix=".parquet", dir=tmpdir
+    )
+    os.close(fd)
     pq.write_table(
         pa.table({"node": pa.array(nodes, pa.int64()),
                   "component": pa.array(labels, pa.int64())}),

@@ -143,3 +143,25 @@ def test_truncated_jpeg_frame_fails_inside_decoder(spark):
     out = sample_video_frames(df, every_n_seconds=1, codec="mjpeg-stdlib")
     with pytest.raises(Exception, match="EOI|truncated|exhausted"):
         out.collect()
+
+
+def test_truncated_strh_and_avih_raise_valueerror_not_struct_error():
+    """The parser's stated contract is 'everything else raises
+    ValueError, never a silent wrong parse' — a strh shorter than its
+    28 header bytes (or an avih shorter than 4) must raise ValueError,
+    not leak struct.error (r10 ADVICE)."""
+    from tools.avi_fixture import _chunk, _list
+
+    def riff(hdrl_body: bytes) -> bytes:
+        body = (b"AVI "
+                + _list(b"hdrl", hdrl_body)
+                + _list(b"movi", _chunk(b"00dc", b"\xff\xd8\xff\xd9")))
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    short_strh = _list(b"strl", _chunk(b"strh", b"vids" + b"\x00" * 6))
+    with pytest.raises(ValueError, match="truncated strh"):
+        _avi_mjpeg_frames(riff(short_strh))
+
+    short_avih = _chunk(b"avih", b"\x00\x00")
+    with pytest.raises(ValueError, match="truncated avih"):
+        _avi_mjpeg_frames(riff(short_avih))

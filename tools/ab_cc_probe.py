@@ -57,10 +57,19 @@ print(json.dumps({"row": f"cc_{n_edges}", "sec": sec, "components": n}),
 
 
 def _worktree(ref: str) -> str:
-    path = f"/tmp/ab_cc_{ref.replace('/', '_')}"
+    """Detached worktree cached by COMMIT SHA, never by ref name: a
+    movable ref (branch, HEAD) cached by name would silently reuse the
+    checkout from a PREVIOUS invocation after the ref moved — the exact
+    stale-measurement failure this A/B tooling exists to prevent (same
+    rule as tools/ab_bench.ensure_worktree)."""
+    sha = subprocess.run(
+        ["git", "rev-parse", "--verify", f"{ref}^{{commit}}"],
+        cwd=REPO, check=True, capture_output=True, text=True,
+    ).stdout.strip()
+    path = f"/tmp/ab_cc_{sha[:16]}"
     if not os.path.isdir(path):
         subprocess.run(
-            ["git", "worktree", "add", "--detach", path, ref],
+            ["git", "worktree", "add", "--detach", path, sha],
             cwd=REPO, check=True, capture_output=True,
         )
     return path
