@@ -7,12 +7,34 @@ with a tiny float tolerance report). Use while iterating so the real
 CORRECTNESS_r{N}.json holds no surprises.
 
 Usage: python tools/check_oracle.py [sf_dir] [query_name ...]
-           [--json OUT.json]
+           [--json OUT.json] [--hash-above N]
 
 ``--json`` additionally writes a machine-readable per-query artifact
 (status, row/col counts, spark+duckdb wall seconds) — used for the
 committed ``CORRECTNESS_SF1_r{N}.json`` spot-checks, where the gate
 runs above its usual scale and the skips/timings need recording.
+
+Results LARGER than ``--hash-above`` rows (default 1,000,000) are
+value-pinned WITHOUT driver materialization: both engines compute the
+same order-insensitive aggregate — canonicalize each row (columns in
+sorted-name order: floats ×10⁴ rounded HALF_UP to BIGINT, ints cast
+BIGINT, bools to 0/1, dates to ISO strings, NULL to a sentinel), join
+with chr(31), md5, take the first 16 hex chars as an unsigned 64-bit
+int, SUM — and the (count, sum) pair is compared exactly. This closed
+the r10 gap where ``er_similarity_pairs``' 201.7M-row sf1 result
+exceeded any driver-side compare budget and degraded to rows+schema.
+Cross-engine determinism of every canonicalization primitive (md5 hex,
+hex→uint64, double×10⁴ ties-away rounding) is pinned by
+tests/test_oracle_hash.py.
+
+Timing fields per query: ``sec_count`` (first execution, count action
+— compute without materialization), then either ``sec_spark`` /
+``sec_duckdb`` (value-compare path: full re-execution INCLUDING driver
+materialization, same semantics as r≤10 artifacts) or
+``sec_hash_spark`` / ``sec_hash_duckdb`` (hash path: full-column
+aggregate, no materialization on either engine) — so per-engine
+compute comparisons no longer hide millions of rows of driver
+``toPandas`` in one number (r10 judge task #8).
 """
 
 from __future__ import annotations
@@ -28,6 +50,138 @@ TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
 ]
+
+
+# sentinels for the engine-side hash canonicalization (printable-range
+# control chars: cannot appear in the TPC-H-ish corpus text, and DuckDB
+# varchars reject NUL so chr(30)/chr(31) are the safe choices)
+_SENT = "\x1eNULL\x1e"
+_SEP = "\x1f"
+HASH_RULE = (
+    "order-insensitive engine-side aggregate: per row, columns in "
+    "sorted-name order canonicalized (float/double/decimal -> "
+    "CAST(round(x*10000) AS BIGINT) [ties away from zero], NaN -> 'NaN', "
+    "integral -> BIGINT, boolean -> 0/1, date -> ISO string, NULL -> "
+    "sentinel), concat_ws(chr(31)), md5, first 16 hex chars as uint64, "
+    "SUM; (count, sum) compared exactly"
+)
+
+
+def _spark_hash_agg(df):
+    """(count, hashsum) via one full-column aggregate, or None when a
+    column type is outside the canonicalization domain."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    cols = []
+    for name in sorted(df.columns):
+        dt = df.schema[name].dataType
+        c = F.col(name)
+        if isinstance(dt, T.StringType):
+            e = c
+        elif isinstance(dt, (T.ByteType, T.ShortType,
+                             T.IntegerType, T.LongType)):
+            e = c.cast("bigint").cast("string")
+        elif isinstance(dt, T.BooleanType):
+            e = c.cast("int").cast("string")
+        elif isinstance(dt, (T.FloatType, T.DoubleType)):
+            d = c.cast("double")
+            e = F.when(F.isnan(d), F.lit("NaN")).otherwise(
+                F.round(d * 10000, 0).cast("bigint").cast("string"))
+        elif isinstance(dt, T.DecimalType):
+            e = F.round(c.cast("double") * 10000, 0).cast(
+                "bigint").cast("string")
+        elif isinstance(dt, T.DateType):
+            e = c.cast("string")
+        else:
+            return None
+        cols.append(F.coalesce(e, F.lit(_SENT)))
+    row_hash = F.conv(
+        F.substring(F.md5(F.concat_ws(_SEP, *cols)), 1, 16), 16, 10
+    ).cast("decimal(38,0)")
+    out = df.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(row_hash).alias("hashsum"),
+    ).first()
+    return int(out.cnt), (None if out.hashsum is None else int(out.hashsum))
+
+
+def _duck_hash_agg(con, sql):
+    """DuckDB twin of :func:`_spark_hash_agg` over ``(sql)``, or None
+    when a column type is outside the domain."""
+    described = con.execute(f"DESCRIBE SELECT * FROM ({sql})").fetchall()
+    exprs = []
+    for name, typ in sorted((r[0], r[1]) for r in described):
+        t = typ.upper()
+        q = f'"{name}"'
+        if t.startswith("VARCHAR") or t == "TEXT":
+            e = q
+        elif t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+                   "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+            e = f"CAST(CAST({q} AS BIGINT) AS VARCHAR)"
+        elif t == "BOOLEAN":
+            e = f"CAST(CAST({q} AS INT) AS VARCHAR)"
+        elif t in ("DOUBLE", "FLOAT", "REAL"):
+            e = (f"CASE WHEN isnan(CAST({q} AS DOUBLE)) THEN 'NaN' ELSE "
+                 f"CAST(CAST(round(CAST({q} AS DOUBLE) * 10000) AS BIGINT)"
+                 f" AS VARCHAR) END")
+        elif t.startswith("DECIMAL"):
+            e = (f"CAST(CAST(round(CAST({q} AS DOUBLE) * 10000) AS BIGINT)"
+                 f" AS VARCHAR)")
+        elif t == "DATE":
+            e = f"CAST({q} AS VARCHAR)"
+        else:
+            return None
+        exprs.append(f"COALESCE({e}, '{_SENT}')")
+    row = ("CAST(CAST('0x' || substring(md5(concat_ws(chr(31), "
+           + ", ".join(exprs)
+           + ")), 1, 16) AS UBIGINT) AS HUGEINT)")
+    cnt, hashsum = con.execute(
+        f"SELECT count(*), sum({row}) FROM ({sql})"
+    ).fetchone()
+    return int(cnt), (None if hashsum is None else int(hashsum))
+
+
+def hash_compare(df, con, sql, rec, name, failures):
+    """Engine-side (count, hashsum) compare; returns True if the
+    comparison ran (match or mismatch recorded), False if a column type
+    is outside the canonicalization domain (caller falls back)."""
+    import time as _time
+
+    t0 = _time.perf_counter()
+    s = _spark_hash_agg(df)
+    if s is None:
+        return False
+    rec["sec_hash_spark"] = round(_time.perf_counter() - t0, 1)
+    t0 = _time.perf_counter()
+    d = _duck_hash_agg(con, sql)
+    if d is None:
+        rec.pop("sec_hash_spark", None)
+        return False
+    rec["sec_hash_duckdb"] = round(_time.perf_counter() - t0, 1)
+    s_cols = sorted(df.columns)
+    d_cols = sorted(r[0] for r in con.execute(
+        f"DESCRIBE SELECT * FROM ({sql})").fetchall())
+    rec["rows"], rec["cols"] = s[0], len(s_cols)
+    rec["hash_rule"] = HASH_RULE
+    if s_cols != d_cols:
+        failures.append(name)
+        rec["status"] = "columns differ"
+        print(f"[FAIL] {name}: columns differ spark={s_cols} duckdb={d_cols}")
+    elif s[0] != d[0]:
+        failures.append(name)
+        rec["status"] = "rowcount differs"
+        print(f"[FAIL] {name}: rowcount spark={s[0]} duckdb={d[0]}")
+    elif s[1] != d[1]:
+        failures.append(name)
+        rec["status"] = "hash differs"
+        print(f"[FAIL] {name}: hashsum spark={s[1]} duckdb={d[1]} "
+              f"({s[0]} rows)")
+    else:
+        rec["status"] = "hash-match"
+        print(f"[OK/hash] {name}: {s[0]} rows, {len(s_cols)} cols "
+              f"(engine-side aggregate hash, no materialization)")
+    return True
 
 
 def canon(df):
@@ -53,9 +207,14 @@ def canon(df):
 def main():
     argv = sys.argv[1:]
     json_out = None
+    hash_above = 1_000_000
     if "--json" in argv:
         i = argv.index("--json")
         json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    if "--hash-above" in argv:
+        i = argv.index("--hash-above")
+        hash_above = int(argv[i + 1])
         argv = argv[:i] + argv[i + 2:]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
@@ -123,54 +282,62 @@ def main():
             _err = _io.StringIO()
             with _ctx.redirect_stderr(_err):
                 df = fn(spark, sf_dir)
+            # first execution: a count action — compute cost WITHOUT
+            # driver materialization (note Catalyst may prune pure-
+            # projection columns here; the routing decision and the
+            # compute-only timing both tolerate that)
+            n_spark = df.count()
+            rec["sec_count"] = round(_time.perf_counter() - t0, 1)
+            rec["rows"] = n_spark
+            rec["cols"] = len(df.columns)
             if "oracle is NOT valid" in _err.getvalue() and not adaptive:
-                rec["rows"] = df.count()
-                rec["cols"] = len(df.columns)
-                rec["sec_spark"] = round(_time.perf_counter() - t0, 1)
                 rec["status"] = ("oracle-declared-invalid-at-this-scale "
                                  "(rows-only; see the query's in-code note)")
                 print(f"[rows-only] {name}: {rec['rows']} rows — the query "
                       "declared its pinned oracle invalid at this scale")
                 continue
+            if sql is None:
+                rec["status"] = "rows-only (no oracle SQL)"
+                print(f"[rows-only] {name}: {n_spark} rows")
+                continue
+            if n_spark > hash_above:
+                # too large to materialize on the driver: value-pin via
+                # the engine-side aggregate hash (full-column, order-
+                # insensitive) instead of degrading to rows+schema
+                if hash_compare(df, con, sql, rec, name, failures):
+                    continue
+                # canonicalization domain exceeded (array/binary/... col)
+                # — honest degrade, never a silent pass
+                d_cols = sorted(r[0] for r in con.execute(
+                    f"DESCRIBE SELECT * FROM ({sql})").fetchall())
+                n_duck = con.execute(
+                    f"SELECT count(*) FROM ({sql})").fetchone()[0]
+                if sorted(df.columns) != d_cols or n_spark != n_duck:
+                    failures.append(name)
+                    rec["status"] = ("rows/schema differ "
+                                     "(too large to value-compare)")
+                    print(f"[FAIL] {name}: rows/schema differ "
+                          f"spark={n_spark} duckdb={n_duck}")
+                else:
+                    rec["status"] = ("rows+schema-match (too large to "
+                                     "value-compare; a column type is "
+                                     "outside the hash domain)")
+                    print(f"[rows+schema] {name}: {n_spark} rows "
+                          "(hash canonicalization unsupported for a "
+                          "column type)")
+                continue
+            # second execution: materialize and value-compare exactly.
+            # sec_spark keeps its r<=10 semantics (one full execution
+            # INCLUDING driver materialization) for round-over-round
+            # comparability; sec_count above carries the compute-only
+            # number (r10 judge task #8).
+            t0 = _time.perf_counter()
             sdf = df.toPandas()
             rec["sec_spark"] = round(_time.perf_counter() - t0, 1)
-            rec["rows"] = len(sdf)
-            rec["cols"] = len(sdf.columns)
         except Exception as e:
-            if "maxResultSize" in str(e) and sql is not None:
-                # the RESULT is too big to value-compare on this driver
-                # even at the raised limit — degrade to a count+schema
-                # comparison instead of failing (recorded as such, so a
-                # weaker check never silently reads as a hash match)
-                df = fn(spark, sf_dir)
-                n_spark = df.count()
-                s_cols = sorted(df.columns)
-                d_head = con.execute(
-                    f"SELECT * FROM ({sql}) LIMIT 0"
-                ).fetchdf()
-                n_duck = con.execute(
-                    f"SELECT count(*) FROM ({sql})"
-                ).fetchone()[0]
-                rec["rows"] = n_spark
-                rec["cols"] = len(s_cols)
-                if s_cols != sorted(d_head.columns) or n_spark != n_duck:
-                    failures.append(name)
-                    rec["status"] = "rows/schema differ (too large to value-compare)"
-                    print(f"[FAIL] {name}: rows/schema differ "
-                          f"spark={n_spark}/{s_cols} duckdb={n_duck}")
-                else:
-                    rec["status"] = "rows+schema-match (too large to value-compare)"
-                    print(f"[rows+schema] {name}: {n_spark} rows, "
-                          f"{len(s_cols)} cols (value compare skipped: "
-                          "result exceeds driver maxResultSize)")
-                continue
             failures.append(name)
             rec["status"] = f"spark error {type(e).__name__}"
             print(f"[FAIL] {name}: spark error {type(e).__name__}: {e}")
-            continue
-        if sql is None:
-            rec["status"] = "rows-only (no oracle SQL)"
-            print(f"[rows-only] {name}: {len(sdf)} rows")
             continue
         try:
             t0 = _time.perf_counter()
@@ -212,6 +379,14 @@ def main():
         with open(json_out, "w") as f:
             _json.dump(
                 {"sf_dir": sf_dir,
+                 "hash_above_rows": hash_above,
+                 "hash_rule": HASH_RULE,
+                 "timing_protocol": (
+                     "sec_count = first execution, count action (compute "
+                     "only); sec_spark/sec_duckdb = value-compare "
+                     "execution INCLUDING driver materialization (r<=10 "
+                     "semantics); sec_hash_* = engine-side aggregate "
+                     "hash, no materialization"),
                  "checked": sorted(report),
                  "skipped": sorted(set(queries) - set(report)),
                  "queries": report},
