@@ -104,9 +104,9 @@ def deletion_neighborhood_pairs(
             ),
         ),
     )
-    # r10: build the neighborhood over affix-stripped middles — lev<=1
-    # is invariant under the corpus-global shared prefix/suffix (see
-    # strip_common_affixes), and on id-styled corpora the strip cuts
+    # r10 (per-block since r11): build the neighborhood over
+    # affix-stripped middles — lev<=1 is invariant under the block's
+    # shared prefix/suffix, and on id-styled corpora the strip cuts
     # both the variant count (len+1 per row, e.g. 19 -> 6) and every
     # variant's key size. Strip AFTER the max_length truncation so the
     # truncated-prefix semantics documented above are unchanged.
@@ -115,10 +115,20 @@ def deletion_neighborhood_pairs(
         F.col(text_col).substr(1, max_length).alias("__raw"),
         *block_cols,
     )
-    mid, _p, _sx = strip_common_affixes(pre, "__raw")
-    base = pre.select(
+    # r11: the strip is per-BLOCK when blocked (heterogeneous id styles
+    # in different blocks each strip their own affixes; the global form
+    # would see prefix 0 across styles), global otherwise. Exactness is
+    # per-pair: a pair shares a block, hence its block's affixes.
+    if block_cols:
+        stripped = strip_common_affixes_by_block(
+            pre, "__raw", block_cols, out_col="__s"
+        )
+    else:
+        mid, _p, _sx = strip_common_affixes(pre, "__raw")
+        stripped = pre.withColumn("__s", mid)
+    base = stripped.select(
         "__id",
-        mid.alias("__s"),
+        "__s",
         *block_cols,
     ).select(
         "__id",
@@ -168,12 +178,20 @@ def strip_common_affixes(
 
     One scalar aggregation (min/max of the column and its reverse plus
     the min length — the same driver-side plan-build collect class as
-    mix_sources' K-row rates). The affix lengths are clamped so
-    ``prefix + suffix <= min(length)``: the middle expression is then
-    in range for every row. Returns ``(middle_col, prefix_len,
-    suffix_len)``; an empty or all-null corpus returns the column
-    unstripped.
+    mix_sources' K-row rates). NOTE for callers: that aggregation is an
+    EAGER plan-build action, so the input's upstream plan is evaluated
+    one extra time before the real job — cache/materialize ``df`` first
+    when its plan is expensive. A streaming DataFrame cannot run the
+    aggregate at build time and is returned unstripped (the strip is an
+    optimization, never a semantics change). The affix lengths are
+    clamped so ``prefix + suffix <= min(length)``: the middle
+    expression is then in range for every row. Returns ``(middle_col,
+    prefix_len, suffix_len)``; an empty or all-null corpus returns the
+    column unstripped. For corpora whose id style varies BY BLOCK, see
+    :func:`strip_common_affixes_by_block`.
     """
+    if df.isStreaming:
+        return F.col(text_col), 0, 0
 
     def _lcp(x: str, y: str) -> int:
         n = 0
@@ -205,6 +223,85 @@ def strip_common_affixes(
     )
 
 
+def strip_common_affixes_by_block(
+    df: DataFrame,
+    text_col: str,
+    block_cols: list[str],
+    out_col: str = "__mid",
+    max_affix: int = 4096,
+) -> DataFrame:
+    """Per-BLOCK shared prefix/suffix strip: ``out_col`` holds
+    ``text_col`` with its block's common prefix/suffix removed.
+
+    The corpus-global :func:`strip_common_affixes` degrades to a no-op
+    on corpora mixing id styles (``Customer#...`` in one block,
+    ``Supplier#...`` in another: global prefix 0). Blocked pair scans
+    only ever compare WITHIN a block, and Levenshtein is invariant
+    under the pair's shared affixes, so the strip may be per-block: one
+    ``groupBy(block_cols).agg(min/max, min/max of reverse, min length)``
+    (map-side partial, |blocks| result rows) instead of the global
+    scalar aggregate, the per-block LCPs computed as column expressions
+    over that tiny result (no driver round-trip per block), and the
+    |blocks|-row affix table broadcast-joined back onto the rows.
+
+    The affix table is eagerly ``localCheckpoint``-ed: the self-joins
+    downstream reference this relation on BOTH sides, and without the
+    barrier each side would re-run the groupBy scan (same eager
+    plan-build action class as the global strip's ``.first()`` — see
+    its docstring). A streaming input is returned unstripped (the
+    strip is an optimization, never a semantics change). Rows whose
+    block key is NULL are dropped — they can never appear in a blocked
+    pair, which is exactly how every blocked join downstream treats
+    them. ``max_affix`` caps the per-block LCP probe (claiming a
+    shorter-than-true shared prefix is always safe; the clamp
+    ``p + s <= min(length)`` keeps the middle in range for every row).
+    """
+    if df.isStreaming:
+        return df.withColumn(out_col, F.col(text_col))
+    if not block_cols:
+        mid, _p, _s = strip_common_affixes(df, text_col)
+        return df.withColumn(out_col, mid)
+
+    def _lcp(a: Column, b: Column) -> Column:
+        ml = F.least(F.least(F.length(a), F.length(b)), F.lit(max_affix))
+        first_diff = F.array_min(
+            F.filter(
+                F.sequence(F.lit(1), ml),
+                lambda i: a.substr(i, F.lit(1)) != b.substr(i, F.lit(1)),
+            )
+        )
+        return F.when(ml <= 0, F.lit(0)).otherwise(
+            F.coalesce(first_diff - 1, ml)
+        )
+
+    agg = df.groupBy(*block_cols).agg(
+        F.min(text_col).alias("__mn"),
+        F.max(text_col).alias("__mx"),
+        F.min(F.reverse(F.col(text_col))).alias("__rmn"),
+        F.max(F.reverse(F.col(text_col))).alias("__rmx"),
+        F.min(F.length(text_col)).alias("__lmin"),
+    )
+    p0 = F.coalesce(_lcp(F.col("__mn"), F.col("__mx")), F.lit(0))
+    s0 = F.coalesce(_lcp(F.col("__rmn"), F.col("__rmx")), F.lit(0))
+    lm = F.coalesce(F.col("__lmin"), F.lit(0))
+    s1 = F.when(p0 + s0 > lm, F.greatest(F.lit(0), lm - p0)).otherwise(s0)
+    aff = agg.select(
+        *block_cols, p0.alias("__affix_p"), s1.alias("__affix_s")
+    ).localCheckpoint(eager=True)
+    ln = F.length(text_col)
+    return (
+        df.join(F.broadcast(aff), on=block_cols)
+        .withColumn(
+            out_col,
+            F.col(text_col).substr(
+                F.col("__affix_p") + 1,
+                ln - F.col("__affix_p") - F.col("__affix_s"),
+            ),
+        )
+        .drop("__affix_p", "__affix_s")
+    )
+
+
 def blocked_levenshtein_pairs(
     df: DataFrame,
     id_col: str,
@@ -215,8 +312,10 @@ def blocked_levenshtein_pairs(
     """All pairs within ``max_distance`` Levenshtein distance inside
     each block: the blocked self-join with a length-band prune and a
     bounded early-exit DP, running the DP on affix-stripped middles
-    (:func:`strip_common_affixes`) — exact distances, identical pair
-    set, and on id-styled corpora most of the per-pair DP work gone.
+    (per-block :func:`strip_common_affixes_by_block` when blocked,
+    corpus-global :func:`strip_common_affixes` otherwise) — exact
+    distances, identical pair set, and on id-styled corpora most of
+    the per-pair DP work gone.
 
     Plan shape: one equi-join on the block keys; the length band
     (``|len(a) - len(b)| <= max_distance``, implied by the distance
@@ -234,13 +333,26 @@ def blocked_levenshtein_pairs(
     ``scores`` the exact full-string distance.
     """
     block_cols = list(block_cols or [])
-    mid, _p, _s = strip_common_affixes(df, text_col)
-    base = df.select(
-        F.col(id_col).alias("__id"),
-        mid.alias("__t"),
-        F.length(text_col).alias("__len"),
-        *block_cols,
-    )
+    # r11: per-block strip when blocked (see deletion_neighborhood_pairs
+    # — a pair always shares its block's affixes), global otherwise
+    if block_cols:
+        base = strip_common_affixes_by_block(
+            df.select(
+                F.col(id_col).alias("__id"),
+                F.col(text_col).alias("__raw"),
+                F.length(text_col).alias("__len"),
+                *block_cols,
+            ),
+            "__raw", block_cols, out_col="__t",
+        ).select("__id", "__t", "__len", *block_cols)
+    else:
+        mid, _p, _s = strip_common_affixes(df, text_col)
+        base = df.select(
+            F.col(id_col).alias("__id"),
+            mid.alias("__t"),
+            F.length(text_col).alias("__len"),
+            *block_cols,
+        )
     a = base.select(
         F.col("__id").alias("a_id"), F.col("__t").alias("a_t"),
         F.col("__len").alias("a_len"), *block_cols,

@@ -112,3 +112,62 @@ def test_strip_common_affixes_lengths(spark):
     df2 = spark.createDataFrame([("abc",), ("xyz",), ("q",)], "s string")
     _, p2, s2 = strip_common_affixes(df2, "s")
     assert (p2, s2) == (0, 0)
+
+
+def test_per_block_strip_two_id_styles_matches_bruteforce(spark):
+    """r11: heterogeneous corpus — 'Customer#...' ids in block 0,
+    'Supplier#...' ids in block 1. The corpus-GLOBAL strip sees prefix
+    0 here; the per-block strip must find each block's own affixes AND
+    the pair set must stay exactly the brute force's."""
+    rows = [(i, f"Customer#0000{i:05d}", 0) for i in range(40)]
+    rows += [(100 + i, f"Supplier#XYZ{i:04d}unit", 1) for i in range(40)]
+    # planted near pairs in each block
+    rows += [(900, "Customer#000000003", 0),   # d=0 vs id 3's string? no: plant explicit
+             (901, "Customer#000090003", 0),
+             (902, "Supplier#XYZ0007unit", 1),
+             (903, "Supplier#XYZ9007unit", 1)]
+    got = _run(spark, rows)
+    assert any(a == 901 or b == 901 for a, b, _ in got)
+    assert any(a == 903 or b == 903 for a, b, _ in got)
+
+
+def test_strip_by_block_nonzero_in_each_block(spark):
+    from pyspark_entity_resolution_spark.operators.matching import (
+        strip_common_affixes_by_block,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"Customer#{i:03d}", 0) for i in range(20)]
+        + [(100 + i, f"Supplier#XYZ{i:03d}unit", 1) for i in range(20)],
+        "id long, s string, blk long",
+    )
+    out = strip_common_affixes_by_block(df, "s", ["blk"], out_col="mid")
+    mids = {(r.blk, r.mid) for r in out.collect()}
+    # block 0: 'Customer#0' stripped (the shared hundreds digit joins
+    # the prefix); block 1: prefix 'Supplier#XYZ0' AND suffix 'unit'
+    # stripped — both blocks reduce to the 2 varying digits
+    assert {(0, f"{i:02d}") for i in range(20)} <= mids
+    assert {(1, f"{i:02d}") for i in range(20)} <= mids
+    # global strip on the same corpus: zero prefix (C vs S at char 1)
+    _, p, s = strip_common_affixes(df, "s")
+    assert p == 0
+
+
+def test_strip_by_block_degenerate_blocks(spark):
+    from pyspark_entity_resolution_spark.operators.matching import (
+        strip_common_affixes_by_block,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None, 0), (2, None, 0),        # all-null block
+         (3, "same", 1), (4, "same", 1),    # identical strings: clamp
+         (5, "", 2), (6, "x", 2),           # empty-string min length 0
+         (7, "lonely", 3)],                 # singleton block
+        "id long, s string, blk long",
+    )
+    out = {(r.id, r.mid) for r in strip_common_affixes_by_block(
+        df, "s", ["blk"], out_col="mid").collect()}
+    assert (1, None) in out and (2, None) in out
+    assert {(3, ""), (4, "")} <= out        # whole string is the prefix
+    assert {(5, ""), (6, "x")} <= out       # lmin=0 -> p=s=0
+    assert (7, "") in out                   # p clamps to len, middle empty
