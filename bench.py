@@ -128,8 +128,15 @@ PACK_PROVENANCE: dict[str, dict[str, list[str]]] = {
             "sample_video_frames gif-stdlib (r9)",
             "extract_audio_features wav-stdlib (r9)",
             "audio_fingerprints + audio_near_dup_pairs (r9)",
+            # r11 widened this entry (corpus v3 -> v4, +400 MJPEG-AVI
+            # clips): the sixth arm RIFF-walks each AVI and
+            # JPEG-decodes only the SAMPLED frames, with an untimed
+            # sampled-frame-count tripwire at arm build. Headline
+            # multimodal_pack totals are therefore not comparable to
+            # r<=10 without subtracting the new arm's section time.
+            "sample_video_frames mjpeg-stdlib (r11)",
         ],
-        "renamed_from": [],
+        "renamed_from": ["multimodal_pack (5 kernels, corpus v3, r9-r10)"],
     },
     "dedup_minhash_lsh": {
         # r3 switched this entry from label-blocked to UNBLOCKED LSH
@@ -321,9 +328,10 @@ def multimodal_sections(spark, sf_dir: str | None = None) -> dict:
     """Per-kernel arms of the media-family pack over a deterministic
     synthetic corpus (tools/media_corpus.py: planted near-dup WAV
     clips, noise PNGs with filter-2 scanlines, coefficient-seeded
-    baseline JPEGs; cached on disk): real stdlib PNG + JPEG pixel
-    decode, real GIF frame sampling, real WAV waveform features, and
-    the banded audio near-dup join. ``sf_dir`` is accepted for
+    baseline JPEGs, MJPEG-AVI clips; cached on disk): real stdlib PNG
+    + JPEG pixel decode, real GIF frame sampling, real MJPEG-in-AVI
+    sampled-frame decode (r11), real WAV waveform features, and the
+    banded audio near-dup join. ``sf_dir`` is accepted for
     provider-signature uniformity and ignored — the corpus is
     scale-independent. The planted-pair tripwire (the media analog of
     query_result_rows) runs UNTIMED at arm-build time over the exact
@@ -344,16 +352,20 @@ def multimodal_sections(spark, sf_dir: str | None = None) -> dict:
         WINDOW_FRAMES,
         build_media_corpus,
         expected_audio_pairs,
+        expected_mjpeg_frames,
     )
 
-    n_audio = n_images = n_jpegs = n_gifs = 400
+    n_audio = n_images = n_jpegs = n_gifs = n_avis = 400
     path = build_media_corpus(
-        spark, "/tmp/media_bench_corpus_v3.parquet",
+        spark, "/tmp/media_bench_corpus_v4.parquet",
         n_audio=n_audio, n_images=n_images, n_jpegs=n_jpegs, n_gifs=n_gifs,
+        n_avis=n_avis,
     )
     media = spark.read.parquet(path)
     pngs = media.filter(F.col("mime") == "image/png")
     jpgs = media.filter(F.col("mime") == "image/jpeg")
+    gifs = media.filter(F.col("mime") == "image/gif")
+    avis = media.filter(F.col("mime") == "video/x-msvideo")
     fps = audio_fingerprints(media, window_frames=WINDOW_FRAMES)
     pairs = audio_near_dup_pairs(fps, min_match_fraction=0.9)
     n_pairs = pairs.count()
@@ -363,21 +375,30 @@ def multimodal_sections(spark, sf_dir: str | None = None) -> dict:
             f"multimodal bench corpus drifted: {n_pairs} near-dup pairs, "
             f"expected the planted {want}"
         )
+    mjpeg = sample_video_frames(avis, every_n_seconds=1,
+                                codec="mjpeg-stdlib")
+    n_frames = mjpeg.count()
+    want_frames = expected_mjpeg_frames(n_avis)
+    if n_frames != want_frames:
+        raise AssertionError(
+            f"multimodal bench corpus drifted: {n_frames} sampled MJPEG "
+            f"frames, expected the planted {want_frames}"
+        )
     return {
         "png_decode": extract_image_features(pngs, codec="png-stdlib"),
         "jpeg_decode": extract_image_features(jpgs, codec="jpeg-stdlib"),
         "gif_frame_sample": sample_video_frames(
-            media, every_n_seconds=1, codec="gif-stdlib"
+            gifs, every_n_seconds=1, codec="gif-stdlib"
         ),
         "audio_features": extract_audio_features(media),
         "audio_near_dup_join": pairs,
+        "mjpeg_frame_sample": mjpeg,
     }
 
 
 def _bench_multimodal(spark) -> float:
-    """Headline aggregate over the five multimodal_sections arms —
-    same kernels, same order, same corpus as r9's inline loop (the
-    tripwire now fires inside the provider)."""
+    """Headline aggregate over the six multimodal_sections arms (r11:
+    +mjpeg_frame_sample; the tripwires fire inside the provider)."""
     arms = multimodal_sections(spark)
     best = None
     for _ in range(3):

@@ -180,3 +180,55 @@ def test_shifted_audio_shingle_derivation_formula():
     assert derived(0.8) == 3      # clipped up from 2
     assert derived(0.99) == 16    # clipped down from 49
     assert derived(1.0) == 16
+
+
+def test_synth_mjpeg_avi_samples_via_stdlib_kernel(spark):
+    from pyspark_entity_resolution_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        _avi_mjpeg_frames,
+        sample_video_frames,
+    )
+    from tools.media_corpus import (
+        MJPEG_FPS,
+        MJPEG_FRAMES,
+        expected_mjpeg_frames,
+        synth_mjpeg_avi,
+    )
+
+    avi = synth_mjpeg_avi(5)
+    assert synth_mjpeg_avi(5) == avi != synth_mjpeg_avi(6)
+    (num, den), frames = _avi_mjpeg_frames(avi)
+    assert (num, den) == (1_000_000, MJPEG_FPS)
+    jpegs = list(frames)
+    assert len(jpegs) == MJPEG_FRAMES
+    assert len(set(jpegs)) == MJPEG_FRAMES  # frames differ
+
+    media = spark.createDataFrame(
+        [(1, "video", avi, "video/x-msvideo", "s")], MEDIA_SCHEMA)
+    got = sample_video_frames(
+        media, every_n_seconds=1, codec="mjpeg-stdlib").collect()
+    # 6 frames at 2 fps: keep t=0.0, 1.0, 2.0 -> frames 0, 2, 4
+    assert [r["frame_idx"] for r in got] == [0, 2, 4]
+    assert len(got) == expected_mjpeg_frames(1) == 3
+    assert len({r["frame_hash"] for r in got}) == 3
+
+
+def test_build_media_corpus_with_avis(spark, tmp_path):
+    from tools.media_corpus import expected_mjpeg_frames
+
+    path = build_media_corpus(
+        spark, str(tmp_path / "media.parquet"),
+        n_audio=0, n_gifs=4, n_avis=6,
+    )
+    media = spark.read.parquet(path)
+    assert media.filter("mime = 'video/x-msvideo'").count() == 6
+    assert media.filter("mime = 'image/gif'").count() == 4
+    from pyspark_entity_resolution_spark.operators.multimodal import (
+        sample_video_frames,
+    )
+    from pyspark.sql import functions as F
+
+    avis = media.filter(F.col("mime") == "video/x-msvideo")
+    got = sample_video_frames(
+        avis, every_n_seconds=1, codec="mjpeg-stdlib").count()
+    assert got == expected_mjpeg_frames(6)

@@ -158,6 +158,56 @@ def synth_gif(img_id: int, size: int = 16, frames: int = 3) -> bytes:
     return bytes(out)
 
 
+MJPEG_FRAMES = 6
+MJPEG_FPS = 2
+
+
+def synth_mjpeg_avi(vid_id: int, frames: int = MJPEG_FRAMES,
+                    fps: int = MJPEG_FPS, size: int = 16) -> bytes:
+    """MJPEG-in-AVI clip: ``frames`` coefficient-seeded grayscale
+    baseline JPEGs at ``fps`` (hand-rolled tools/avi_fixture muxer +
+    tools/jpeg_fixture encoder). At ``every_n_seconds=1`` the sampler
+    keeps every other frame at 2 fps, so the kernel demonstrates its
+    key property — only SAMPLED frames pay the JPEG decode."""
+    import numpy as np
+
+    from tools.avi_fixture import mux_mjpeg_avi
+    from tools.jpeg_fixture import encode_jpeg
+
+    nb = size // 8
+    jpegs = []
+    for f in range(frames):
+        rng = np.random.RandomState((vid_id * 131 + f * 31 + 11) % (2 ** 31 - 1))
+        blocks = {}
+        for by in range(nb):
+            for bx in range(nb):
+                coeffs = [0] * 64
+                coeffs[0] = int(rng.randint(-400, 401))
+                for idx in (1, 8, 9):
+                    coeffs[idx] = int(rng.randint(-60, 61))
+                blocks[(by, bx)] = coeffs
+        comps = [{"id": 1, "h": 1, "v": 1, "tq": 0, "blocks": blocks}]
+        jpegs.append(encode_jpeg(size, size, comps, {0: [4] + [2] * 63}))
+    return mux_mjpeg_avi(jpegs, size, size, rate=fps, scale=1)
+
+
+def expected_mjpeg_frames(n_avis: int, frames: int = MJPEG_FRAMES,
+                          fps: int = MJPEG_FPS,
+                          every_n_seconds: int = 1) -> int:
+    """Sampled-frame tripwire: replay of the sampler's exact rational
+    clock (frame i at ``i * 1e6 * scale // rate`` microseconds, keep
+    the first frame at or after each boundary) over one clip, times
+    ``n_avis``."""
+    num, den = 1_000_000, fps
+    next_us = kept = 0
+    for i in range(frames):
+        t = i * num // den
+        if t >= next_us:
+            kept += 1
+            next_us = t + every_n_seconds * 1_000_000
+    return kept * n_avis
+
+
 def expected_audio_pairs(n_audio: int) -> int:
     """Qualifying near-dup pairs the generator plants: 3 per full group
     of 10 (plus the partial-group tail, which the callers avoid by
@@ -169,13 +219,14 @@ def expected_audio_pairs(n_audio: int) -> int:
 
 def build_media_corpus(spark, path: str, n_audio: int,
                        n_images: int = 0, n_jpegs: int = 0,
-                       n_gifs: int = 0) -> str:
+                       n_gifs: int = 0, n_avis: int = 0) -> str:
     """Write (once, cached) a MEDIA_SCHEMA parquet of ``n_audio`` WAV
     clips + ``n_images`` PNGs + ``n_jpegs`` JPEGs + ``n_gifs`` animated
-    GIFs (media_type 'video') at ``path``; returns the path. Generation
-    is distributed — each task synthesizes its own id range. Callers
-    changing the size mix must change the path (the cache is keyed on
-    nothing else)."""
+    GIFs + ``n_avis`` MJPEG-AVI clips (GIFs and AVIs both media_type
+    'video' — kernel callers select by MIME) at ``path``; returns the
+    path. Generation is distributed — each task synthesizes its own id
+    range. Callers changing the size mix must change the path (the
+    cache is keyed on nothing else)."""
     import os
 
     if os.path.exists(path + "/_SUCCESS"):
@@ -201,13 +252,17 @@ def build_media_corpus(spark, path: str, n_audio: int,
                 elif i < n_audio + n_images + n_jpegs:
                     rows.append((i, "image", synth_jpeg(i),
                                  "image/jpeg", f"synth://image/{i}.jpg"))
-                else:
+                elif i < n_audio + n_images + n_jpegs + n_gifs:
                     rows.append((i, "video", synth_gif(i),
                                  "image/gif", f"synth://video/{i}.gif"))
+                else:
+                    rows.append((i, "video", synth_mjpeg_avi(i),
+                                 "video/x-msvideo",
+                                 f"synth://video/{i}.avi"))
             yield pd.DataFrame(
                 rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
 
-    total = n_audio + n_images + n_jpegs + n_gifs
+    total = n_audio + n_images + n_jpegs + n_gifs + n_avis
     n_part = max(8, total // 2000)
     (spark.range(total, numPartitions=n_part)
      .mapInPandas(kernel, MEDIA_SCHEMA)

@@ -1170,23 +1170,25 @@ def probe_century_audio(spark) -> None:
 
 
 def probe_century_image(spark) -> None:
-    """Image-decode family at x1/x10/x100 (r10, r9 verdict task 6):
-    PNG + baseline-JPEG full pixel decode and GIF frame sampling
-    through the stdlib kernels over the deterministic
-    tools/media_corpus.py images. Each leg carries an untimed
+    """Image-decode family at x1/x10/x100 (r10, r9 verdict task 6;
+    r11: +MJPEG-AVI sampled-frame decode): PNG + baseline-JPEG full
+    pixel decode, GIF frame sampling, and MJPEG-in-AVI sampled-frame
+    decode through the stdlib kernels over the deterministic
+    tools/media_corpus.py payloads. Each leg carries an untimed
     row-count tripwire (decode rows == corpus size; GIF rows == 2
-    sampled frames per 3-frame 0.5s-clocked clip at
+    sampled frames per 3-frame 0.5s-clocked clip; MJPEG rows ==
+    expected_mjpeg_frames' replayed rational clock at
     every_n_seconds=1), so a silent workload change can never read as
     a perf delta. Per-payload Arrow kernels are expected LINEAR in
     clip count; the x10 leg usually reads sublinear (fixed-overhead
-    amortization)."""
+    amortization). Corpus cache is v2 (+AVIs) since r11."""
     from pyspark.sql import functions as F
 
     from pyspark_entity_resolution_spark.operators.multimodal import (
         extract_image_features,
         sample_video_frames,
     )
-    from tools.media_corpus import build_media_corpus
+    from tools.media_corpus import build_media_corpus, expected_mjpeg_frames
 
     base = 1_000
     legs = {}
@@ -1194,12 +1196,15 @@ def probe_century_image(spark) -> None:
         n = base * factor
         media = spark.read.parquet(
             build_media_corpus(
-                spark, f"/tmp/scale_image_x{factor}.parquet",
+                spark, f"/tmp/scale_image_v2_x{factor}.parquet",
                 n_audio=0, n_images=n, n_jpegs=n, n_gifs=n // 2,
+                n_avis=n // 2,
             )
         )
         pngs = media.filter(F.col("mime") == "image/png")
         jpgs = media.filter(F.col("mime") == "image/jpeg")
+        gifs = media.filter(F.col("mime") == "image/gif")
+        avis = media.filter(F.col("mime") == "video/x-msvideo")
 
         def _png(m=pngs, nn=n):
             got = extract_image_features(m, codec="png-stdlib").count()
@@ -1213,7 +1218,7 @@ def probe_century_image(spark) -> None:
                 raise AssertionError(f"jpeg leg: {got} rows, corpus {nn}")
             return got
 
-        def _gif(m=media, nn=n // 2):
+        def _gif(m=gifs, nn=n // 2):
             got = sample_video_frames(
                 m, every_n_seconds=1, codec="gif-stdlib"
             ).count()
@@ -1223,11 +1228,24 @@ def probe_century_image(spark) -> None:
                 )
             return got
 
+        def _mjpeg(m=avis, nn=n // 2):
+            got = sample_video_frames(
+                m, every_n_seconds=1, codec="mjpeg-stdlib"
+            ).count()
+            want = expected_mjpeg_frames(nn)
+            if got != want:
+                raise AssertionError(
+                    f"mjpeg leg: {got} frames, expected {want}"
+                )
+            return got
+
         runs = 2 if factor == 1 else 1
         tp = _timed_century(f"png_decode {n} images", _png, runs=runs)
         tj = _timed_century(f"jpeg_decode {n} images", _jpeg, runs=runs)
         tg = _timed_century(f"gif_frames {n // 2} clips", _gif, runs=runs)
-        legs[factor] = (tp, tj, tg)
+        tm = _timed_century(f"mjpeg_frames {n // 2} clips", _mjpeg,
+                            runs=runs)
+        legs[factor] = (tp, tj, tg, tm)
         print(f"[century] png_decode x{factor}: {n / tp:.0f} images/s",
               flush=True)
     for factor in (10, 100):
@@ -1235,7 +1253,8 @@ def probe_century_image(spark) -> None:
             f"[century] image x{factor} data -> "
             f"png x{legs[factor][0] / legs[1][0]:.1f} time, "
             f"jpeg x{legs[factor][1] / legs[1][1]:.1f} time, "
-            f"gif x{legs[factor][2] / legs[1][2]:.1f} time",
+            f"gif x{legs[factor][2] / legs[1][2]:.1f} time, "
+            f"mjpeg x{legs[factor][3] / legs[1][3]:.1f} time",
             flush=True,
         )
 
