@@ -21,10 +21,12 @@ ffmpeg (not probed here). Where the codec is absent this raises
   from the verified pixel stream, and non-PNG / palette / interlaced /
   oversized payloads raise rather than mis-decode.
 - ``codec="jpeg-stdlib"`` — a TRUE pixel decode for baseline-sequential
-  JPEGs with numpy + the stdlib (:func:`_jpeg_decode`: canonical
-  Huffman, DC prediction, AC run-length, restart markers, dequant,
-  float64 IDCT, chroma replication upsample, JFIF YCbCr->RGB);
-  progressive/arithmetic/lossless JPEGs raise rather than mis-decode.
+  AND progressive (r11) JPEGs with numpy + the stdlib
+  (:func:`_jpeg_decode`: canonical Huffman, DC prediction, AC
+  run-length, T.81 G.1.2 spectral-selection / successive-approximation
+  scans, restart markers, dequant, float64 IDCT, chroma replication
+  upsample, JFIF YCbCr->RGB); arithmetic/lossless JPEGs raise rather
+  than mis-decode.
 - ``fake=True`` — a deterministic md5-derived stand-in that exercises
   the full Spark-side plumbing (schema, batching, partitioning) with
   real data flow and an output shape identical to the real kernel's.
@@ -305,27 +307,36 @@ def _jpeg_extend(v: int, t: int) -> int:
 
 
 def _jpeg_decode(payload: bytes, max_pixels: int = _JPEG_STDLIB_MAX_PIXELS):
-    """TRUE pixel decode of a baseline-sequential JFIF JPEG with numpy +
-    the stdlib: parse the segment stream (DQT/DHT/SOF0/DRI/SOS), decode
-    the interleaved entropy-coded scan (canonical Huffman, DC
-    prediction with EXTEND, AC run-length with ZRL/EOB, restart-marker
-    resets), dequantize in zigzag order, inverse-DCT each 8x8 block
-    (float64 ``A.T @ B @ A`` with the T.81 basis), then per component:
-    round + clip to [0, 255], crop to the component resolution, and
-    replicate-upsample subsampled chroma before the JFIF YCbCr->RGB
-    convert (itself rounded + clipped). Returns ``(width, height,
-    channels, raw)`` with ``raw`` row-major interleaved pixel bytes.
+    """TRUE pixel decode of a baseline-sequential (SOF0) or PROGRESSIVE
+    (SOF2, r11) JFIF JPEG with numpy + the stdlib: parse the segment
+    stream (DQT/DHT/SOF/DRI/SOS), entropy-decode every scan into
+    per-component quantized-coefficient grids — baseline: one
+    interleaved scan (canonical Huffman, DC prediction with EXTEND, AC
+    run-length with ZRL/EOB, restart resets); progressive: the full
+    ITU T.81 G.1.2 successive-approximation machinery (DC first scans
+    shifted by Al, DC refinement bits, per-component spectral-selection
+    AC first scans with EOB-run decoding, AC refinement scans with
+    correction bits, restart resets of predictors AND the EOB run) —
+    then dequantize in zigzag order, inverse-DCT all blocks (float64
+    ``A.T @ B @ A`` with the T.81 basis, batched einsum), and per
+    component: round + clip to [0, 255], crop to the component
+    resolution, replicate-upsample subsampled chroma, JFIF YCbCr->RGB
+    (rounded + clipped). Returns ``(width, height, channels, raw)``
+    with ``raw`` row-major interleaved pixel bytes.
 
     Scope (everything else raises ``ValueError`` — the documented
-    guard, never a silent wrong decode): SOF0 baseline sequential only
-    (progressive SOF2, arithmetic SOF9+, lossless, and hierarchical
-    raise), 8-bit precision, 1 (grayscale) or 3 (YCbCr) components in
-    one interleaved scan, sampling factors where hmax/vmax divide each
-    component's factor, at most ``max_pixels`` pixels, and the entropy
-    stream must cover every MCU — a truncated scan is an error even
-    when the headers parse. Chroma upsampling is nearest-neighbor
-    replication (pinned by the tests); decoders with smoothing
-    interpolators differ on subsampled images by design.
+    guard, never a silent wrong decode): SOF0 + SOF2 only (arithmetic
+    SOF9+, lossless, and hierarchical raise), 8-bit precision, 1
+    (grayscale) or 3 (YCbCr) components, baseline must be ONE
+    interleaved scan covering every component, progressive AC scans
+    must be single-component (the T.81 rule; their block raster runs
+    over the component's own ceil(cw/8) x ceil(ch/8) grid, NOT the
+    MCU-padded grid), sampling factors where hmax/vmax divide each
+    component's factor, at most ``max_pixels`` pixels, and each scan's
+    entropy stream must cover every coded unit — a truncated scan is
+    an error even when the headers parse. Chroma upsampling is
+    nearest-neighbor replication (pinned by the tests); decoders with
+    smoothing interpolators differ on subsampled images by design.
     """
     import struct
 
@@ -337,10 +348,242 @@ def _jpeg_decode(payload: bytes, max_pixels: int = _JPEG_STDLIB_MAX_PIXELS):
     qt: dict[int, "np.ndarray"] = {}
     huff: dict[tuple, dict] = {}
     sof = None
-    scan = None
+    progressive = False
     restart_interval = 0
-    while scan is None:
-        if pos + 4 > len(payload):
+    comps: list = []
+    byid: dict[int, dict] = {}
+    coeffs: dict[int, "np.ndarray"] = {}
+    w = h = hmax = vmax = mcus_x = mcus_y = 0
+    n_scans = 0
+
+    def read_entropy(i):
+        """Entropy-coded bytes from ``i`` to the next true marker:
+        (segments split on RSTn with FF00 unstuffed, index of the
+        terminating 0xFF). The terminator is NOT consumed — for the
+        last scan it is EOI; between scans it is the next segment."""
+        segments = [bytearray()]
+        while i < len(payload):
+            byte = payload[i]
+            if byte != 0xFF:
+                segments[-1].append(byte)
+                i += 1
+                continue
+            if i + 1 >= len(payload):
+                raise ValueError("truncated JPEG entropy stream")
+            m = payload[i + 1]
+            if m == 0x00:
+                segments[-1].append(0xFF)
+            elif 0xD0 <= m <= 0xD7:
+                segments.append(bytearray())
+            else:
+                return segments, i
+            i += 2
+        raise ValueError("JPEG stream ended without EOI")
+
+    def baseline_block(zz, bits, dc_tab, ac_tab, preds, cid):
+        t = bits.decode(dc_tab)
+        if t > 11:
+            raise ValueError(f"invalid DC category {t}")
+        diff = _jpeg_extend(bits.read_bits(t), t) if t else 0
+        preds[cid] += diff
+        zz[0] = preds[cid]
+        k = 1
+        while k < 64:
+            rs = bits.decode(ac_tab)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r == 15:  # ZRL: sixteen zeros
+                    k += 16
+                    continue
+                break        # EOB
+            k += r
+            if k > 63:
+                raise ValueError("AC run past the block end")
+            zz[k] = _jpeg_extend(bits.read_bits(s), s)
+            k += 1
+
+    def dc_first_block(zz, bits, dc_tab, preds, cid, al):
+        t = bits.decode(dc_tab)
+        if t > 11:
+            raise ValueError(f"invalid DC category {t}")
+        diff = _jpeg_extend(bits.read_bits(t), t) if t else 0
+        preds[cid] += diff
+        zz[0] = preds[cid] << al
+
+    def dc_refine_block(zz, bits, al):
+        # one magnitude bit per block: OR into the two's-complement
+        # value (first-scan values are floor-shifted, so the OR is the
+        # exact T.81 reconstruction for negatives too)
+        if bits.read_bit():
+            zz[0] = int(zz[0]) | (1 << al)
+
+    def ac_first_block(zz, bits, ac_tab, ss, se, al, state):
+        # T.81 G.1.2.2: EOBn codes a run of all-zero bands
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = bits.decode(ac_tab)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                state["eobrun"] = (1 << r) - 1
+                if r:
+                    state["eobrun"] += bits.read_bits(r)
+                break
+            k += r
+            if k > se:
+                raise ValueError("AC run past the band end")
+            zz[k] = _jpeg_extend(bits.read_bits(s), s) << al
+            k += 1
+
+    def ac_refine_block(zz, bits, ac_tab, ss, se, al, state):
+        # T.81 G.1.2.3 correction-bit pass (the libjpeg formulation):
+        # run lengths count only ZERO-HISTORY positions; every nonzero-
+        # history coefficient passed on the way reads one correction bit
+        p1 = 1 << al
+        m1 = -p1
+        k = ss
+        if state["eobrun"] == 0:
+            while k <= se:
+                rs = bits.decode(ac_tab)
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r != 15:
+                        state["eobrun"] = 1 << r
+                        if r:
+                            state["eobrun"] += bits.read_bits(r)
+                        break
+                    newval = 0  # ZRL: skip 16 zero-history positions
+                else:
+                    if s != 1:
+                        raise ValueError(
+                            "invalid AC refinement magnitude (must be 1)")
+                    newval = p1 if bits.read_bit() else m1
+                while k <= se:
+                    if zz[k] != 0:
+                        if bits.read_bit() and (int(zz[k]) & p1) == 0:
+                            zz[k] += p1 if zz[k] > 0 else m1
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if s:
+                    if k > se:
+                        raise ValueError(
+                            "AC refinement run past the band end")
+                    zz[k] = newval
+                k += 1
+        if state["eobrun"] > 0:
+            while k <= se:
+                if zz[k] != 0:
+                    if bits.read_bit() and (int(zz[k]) & p1) == 0:
+                        zz[k] += p1 if zz[k] > 0 else m1
+                k += 1
+            state["eobrun"] -= 1
+
+    def decode_scan(order, sel, ss, se, ah, al, segments):
+        scomps = []
+        for cid in order:
+            if cid not in byid:
+                raise ValueError(
+                    f"scan references unknown component {cid}")
+            scomps.append(byid[cid])
+        if not progressive:
+            if n_scans:
+                raise ValueError(
+                    "multi-scan baseline JPEGs are out of scope")
+            if len(scomps) != len(comps):
+                raise ValueError(
+                    "non-interleaved JPEG scan (one scan covering every "
+                    "component is the supported layout)"
+                )
+            if (ss, se, ah, al) != (0, 63, 0, 0):
+                raise ValueError("bad baseline scan header (Ss/Se/Ah/Al)")
+        else:
+            if ss == 0 and se != 0:
+                raise ValueError(
+                    "bad progressive scan header: a DC scan (Ss=0) "
+                    "must have Se=0")
+            if ss > 0 and len(scomps) != 1:
+                raise ValueError(
+                    "progressive AC scans must be single-component "
+                    "(T.81 B.2.3)")
+            if not (ss <= se <= 63) or al > 13 or (ah and ah != al + 1):
+                raise ValueError("bad progressive scan header")
+        need_dc = ss == 0 and (ah == 0 or not progressive)
+        need_ac = (not progressive) or ss > 0
+        for c in scomps:
+            dc_id, ac_id = sel[c["id"]]
+            if c["tq"] not in qt:
+                raise ValueError(f"missing quantization table {c['tq']}")
+            if need_dc and (0, dc_id) not in huff:
+                raise ValueError(
+                    "missing Huffman table for a scan component")
+            if need_ac and (1, ac_id) not in huff:
+                raise ValueError(
+                    "missing Huffman table for a scan component")
+        interleaved = len(scomps) > 1
+        nbx = nby = 0
+        if interleaved:
+            n_units = mcus_x * mcus_y
+        else:
+            c0 = scomps[0]
+            cw = -(-w * c0["h"] // hmax)
+            ch = -(-h * c0["v"] // vmax)
+            nbx = -(-cw // 8)
+            nby = -(-ch // 8)
+            n_units = nbx * nby
+        seg_idx = 0
+        bits = _JpegBits(bytes(segments[0]))
+        preds = {c["id"]: 0 for c in scomps}
+        state = {"eobrun": 0}
+
+        def one_block(zz, c):
+            dc_id, ac_id = sel[c["id"]]
+            if not progressive:
+                baseline_block(zz, bits, huff[(0, dc_id)],
+                               huff[(1, ac_id)], preds, c["id"])
+            elif ss == 0 and ah == 0:
+                dc_first_block(zz, bits, huff[(0, dc_id)], preds,
+                               c["id"], al)
+            elif ss == 0:
+                dc_refine_block(zz, bits, al)
+            elif ah == 0:
+                ac_first_block(zz, bits, huff[(1, ac_id)], ss, se, al,
+                               state)
+            else:
+                ac_refine_block(zz, bits, huff[(1, ac_id)], ss, se, al,
+                                state)
+
+        for unit in range(n_units):
+            if restart_interval and unit and unit % restart_interval == 0:
+                seg_idx += 1
+                if seg_idx >= len(segments):
+                    raise ValueError("missing JPEG restart marker")
+                bits = _JpegBits(bytes(segments[seg_idx]))
+                preds = {c["id"]: 0 for c in scomps}
+                state["eobrun"] = 0
+            if interleaved:
+                my, mx = divmod(unit, mcus_x)
+                for c in scomps:
+                    for bv in range(c["v"]):
+                        for bh in range(c["h"]):
+                            one_block(
+                                coeffs[c["id"]][my * c["v"] + bv,
+                                                mx * c["h"] + bh],
+                                c,
+                            )
+            else:
+                by, bx = divmod(unit, nbx)
+                one_block(coeffs[scomps[0]["id"]][by, bx], scomps[0])
+
+    while True:
+        if pos + 2 > len(payload):
             raise ValueError("truncated JPEG segment stream")
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker expected")
@@ -349,11 +592,13 @@ def _jpeg_decode(payload: bytes, max_pixels: int = _JPEG_STDLIB_MAX_PIXELS):
         # length-prefixed parse below.
         while payload[pos + 1] == 0xFF:
             pos += 1
-            if pos + 4 > len(payload):
+            if pos + 2 > len(payload):
                 raise ValueError("truncated JPEG segment stream")
         marker = payload[pos + 1]
-        if marker == 0xD9:
-            raise ValueError("EOI before any scan data")
+        if marker == 0xD9:  # EOI terminates the stream after the scans
+            if n_scans == 0:
+                raise ValueError("EOI before any scan data")
+            break
         if marker == 0x01:  # TEM: standalone, no length field
             pos += 2
             continue
@@ -362,6 +607,8 @@ def _jpeg_decode(payload: bytes, max_pixels: int = _JPEG_STDLIB_MAX_PIXELS):
                 f"standalone marker 0x{marker:02x} in the segment "
                 "stream (restart markers belong inside scan data)"
             )
+        if pos + 4 > len(payload):
+            raise ValueError("truncated JPEG segment stream")
         seg_len = struct.unpack(">H", payload[pos + 2:pos + 4])[0]
         body = payload[pos + 4:pos + 2 + seg_len]
         if seg_len < 2 or len(body) != seg_len - 2:
@@ -392,7 +639,10 @@ def _jpeg_decode(payload: bytes, max_pixels: int = _JPEG_STDLIB_MAX_PIXELS):
                     raise ValueError("truncated Huffman symbol list")
                 huff[(tc, th)] = _jpeg_huff_table(counts, symbols)
                 i += 17 + n
-        elif marker == 0xC0:  # SOF0: baseline sequential
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            if sof is not None:
+                raise ValueError("multiple SOF segments")
+            progressive = marker == 0xC2
             if body[0] != 8:
                 raise ValueError(
                     f"unsupported JPEG precision {body[0]} (8-bit only)"
@@ -405,7 +655,7 @@ def _jpeg_decode(payload: bytes, max_pixels: int = _JPEG_STDLIB_MAX_PIXELS):
                     "only; CMYK needs a real codec)"
                 )
             if w == 0 or h == 0 or len(body) < 6 + 3 * nc:
-                raise ValueError("bad SOF0 frame header")
+                raise ValueError("bad SOF frame header")
             if w * h > max_pixels:
                 raise ValueError(
                     f"{w}x{h} exceeds the stdlib decoder's "
@@ -416,140 +666,82 @@ def _jpeg_decode(payload: bytes, max_pixels: int = _JPEG_STDLIB_MAX_PIXELS):
                  "v": body[7 + 3 * c] & 15, "tq": body[8 + 3 * c]}
                 for c in range(nc)
             ]
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            for c in comps:
+                if (c["h"] < 1 or c["v"] < 1 or hmax % c["h"]
+                        or vmax % c["v"]):
+                    raise ValueError(
+                        f"unsupported sampling factors "
+                        f"{c['h']}x{c['v']} (hmax={hmax}, vmax={vmax} "
+                        "must divide evenly)"
+                    )
+            mcus_x = -(-w // (8 * hmax))
+            mcus_y = -(-h // (8 * vmax))
+            coeffs = {
+                c["id"]: np.zeros(
+                    (mcus_y * c["v"], mcus_x * c["h"], 64),
+                    dtype=np.int64,
+                )
+                for c in comps
+            }
+            byid = {c["id"]: c for c in comps}
             sof = (w, h, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"unsupported JPEG SOF type 0x{marker:02x} "
-                "(progressive/arithmetic/lossless/hierarchical); the "
-                "stdlib decoder handles baseline sequential SOF0 only"
+                "(arithmetic/lossless/hierarchical); the stdlib decoder "
+                "handles baseline sequential SOF0 and progressive SOF2"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", body[:2])[0]
         elif marker == 0xDA:  # SOS
             if sof is None:
-                raise ValueError("SOS before SOF0")
+                raise ValueError("SOS before SOF")
             ns = body[0]
-            if ns != len(sof[2]):
-                raise ValueError(
-                    "non-interleaved JPEG scan (one scan covering every "
-                    "component is the supported layout)"
-                )
+            if len(body) < 1 + 2 * ns + 3:
+                raise ValueError("truncated SOS header")
             sel = {}
+            order = []
             for c in range(ns):
                 cs, tt = body[1 + 2 * c], body[2 + 2 * c]
                 sel[cs] = (tt >> 4, tt & 15)
-            scan = (sel, pos + 2 + seg_len)
+                order.append(cs)
+            ss_, se_ = body[1 + 2 * ns], body[2 + 2 * ns]
+            aa = body[3 + 2 * ns]
+            segments, end = read_entropy(pos + 2 + seg_len)
+            decode_scan(order, sel, ss_, se_, aa >> 4, aa & 15, segments)
+            n_scans += 1
+            pos = end
+            continue
         pos += 2 + seg_len  # APPn / COM / others: skipped
-    sel, entropy_start = scan
     w, h, comps = sof
 
-    # entropy data: unstuff FF00, split on restart markers, stop at EOI
-    segments = [bytearray()]
-    i = entropy_start
-    saw_eoi = False
-    while i < len(payload):
-        byte = payload[i]
-        if byte != 0xFF:
-            segments[-1].append(byte)
-            i += 1
-            continue
-        if i + 1 >= len(payload):
-            raise ValueError("truncated JPEG entropy stream")
-        m = payload[i + 1]
-        if m == 0x00:
-            segments[-1].append(0xFF)
-        elif 0xD0 <= m <= 0xD7:
-            segments.append(bytearray())
-        elif m == 0xD9:
-            saw_eoi = True
-            break
-        else:
-            raise ValueError(
-                f"unexpected marker 0x{m:02x} inside the entropy stream "
-                "(multi-scan JPEGs are out of scope)"
-            )
-        i += 2
-    if not saw_eoi:
-        raise ValueError("JPEG stream ended without EOI")
-
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    for c in comps:
-        if (c["h"] < 1 or c["v"] < 1 or hmax % c["h"] or vmax % c["v"]):
-            raise ValueError(
-                f"unsupported sampling factors {c['h']}x{c['v']} "
-                f"(hmax={hmax}, vmax={vmax} must divide evenly)"
-            )
-        if c["tq"] not in qt:
-            raise ValueError(f"missing quantization table {c['tq']}")
-        if c["id"] not in sel:
-            raise ValueError(f"scan does not cover component {c['id']}")
-        dc_id, ac_id = sel[c["id"]]
-        if (0, dc_id) not in huff or (1, ac_id) not in huff:
-            raise ValueError("missing Huffman table for a scan component")
-    mcus_x = -(-w // (8 * hmax))
-    mcus_y = -(-h // (8 * vmax))
-    planes = {
-        c["id"]: np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8))
-        for c in comps
-    }
-    # T.81 A.3.3 IDCT basis: A[u, x] = c(u)/2 * cos((2x+1) u pi / 16)
+    # dequantize + IDCT every accumulated block in one batched einsum
+    # per component. T.81 A.3.3 basis: A[u, x] = c(u)/2 cos((2x+1)u pi/16)
     u = np.arange(8).reshape(8, 1)
     x = np.arange(8).reshape(1, 8)
     basis = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16)
     basis[0, :] *= 1 / np.sqrt(2)
-
-    seg_idx = 0
-    bits = _JpegBits(bytes(segments[0]))
-    preds = {c["id"]: 0 for c in comps}
-    for mcu in range(mcus_x * mcus_y):
-        if restart_interval and mcu and mcu % restart_interval == 0:
-            seg_idx += 1
-            if seg_idx >= len(segments):
-                raise ValueError("missing JPEG restart marker")
-            bits = _JpegBits(bytes(segments[seg_idx]))
-            preds = {c["id"]: 0 for c in comps}
-        my, mx = divmod(mcu, mcus_x)
-        for c in comps:
-            dc_tab = huff[(0, sel[c["id"]][0])]
-            ac_tab = huff[(1, sel[c["id"]][1])]
-            for bv in range(c["v"]):
-                for bh in range(c["h"]):
-                    zz = np.zeros(64, dtype=np.int64)
-                    t = bits.decode(dc_tab)
-                    if t > 11:
-                        raise ValueError(f"invalid DC category {t}")
-                    diff = _jpeg_extend(bits.read_bits(t), t) if t else 0
-                    preds[c["id"]] += diff
-                    zz[0] = preds[c["id"]]
-                    k = 1
-                    while k < 64:
-                        rs = bits.decode(ac_tab)
-                        r, s = rs >> 4, rs & 15
-                        if s == 0:
-                            if r == 15:  # ZRL: sixteen zeros
-                                k += 16
-                                continue
-                            break        # EOB
-                        k += r
-                        if k > 63:
-                            raise ValueError("AC run past the block end")
-                        zz[k] = _jpeg_extend(bits.read_bits(s), s)
-                        k += 1
-                    natural = np.zeros(64)
-                    natural[list(_JPEG_ZIGZAG)] = zz * qt[c["tq"]]
-                    block = natural.reshape(8, 8)
-                    spatial = basis.T @ block @ basis + 128.0
-                    py = (my * c["v"] + bv) * 8
-                    px = (mx * c["h"] + bh) * 8
-                    planes[c["id"]][py:py + 8, px:px + 8] = spatial
+    zig = list(_JPEG_ZIGZAG)
 
     out_planes = []
     for c in comps:
+        if c["tq"] not in qt:
+            raise ValueError(f"missing quantization table {c['tq']}")
+        grid = coeffs[c["id"]]
+        nby, nbx = grid.shape[:2]
+        deq = np.zeros((nby, nbx, 64))
+        deq[:, :, zig] = grid * qt[c["tq"]]
+        blocks = deq.reshape(nby, nbx, 8, 8)
+        spatial = np.einsum(
+            "ij,abjk,kl->abil", basis.T, blocks, basis, optimize=True
+        ) + 128.0
+        plane = spatial.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
         cw = -(-w * c["h"] // hmax)
         ch = -(-h * c["v"] // vmax)
-        p = np.clip(np.round(planes[c["id"]][:ch, :cw]), 0, 255)
+        p = np.clip(np.round(plane[:ch, :cw]), 0, 255)
         p = np.repeat(np.repeat(p, vmax // c["v"], axis=0),
                       hmax // c["h"], axis=1)
         out_planes.append(p[:h, :w])
@@ -622,8 +814,8 @@ def extract_image_features(
       PNGs; non-PNG payloads and exotic/oversized PNGs raise in-kernel.
     - ``"jpeg-stdlib"``: no library needed — a TRUE pixel decode
       (Huffman + dequant + IDCT + YCbCr, :func:`_jpeg_decode`) for
-      baseline-sequential JPEGs; non-JPEG payloads and
-      progressive/arithmetic/oversized JPEGs raise in-kernel.
+      baseline-sequential and progressive (r11) JPEGs; non-JPEG
+      payloads and arithmetic/oversized JPEGs raise in-kernel.
 
     ``fake=True`` selects the deterministic stub kernel regardless of
     codec (clearly-fabricated features for plumbing tests).

@@ -166,10 +166,15 @@ def test_guards_fail_loud():
     ok = _gray(8, 8, {(0, 0): [576] + [0] * 63})
     with pytest.raises(ValueError, match="SOI"):
         _jpeg_decode(b"\x89PNG not a jpeg")
-    # progressive: rewrite the SOF0 marker to SOF2
+    # SOF2 is SUPPORTED since r11 — a baseline stream re-marked SOF2
+    # must still fail loud, now on its progressive-invalid scan header
+    # (a DC scan with Se=63), never silently mis-decode
     i = ok.index(b"\xff\xc0")
-    with pytest.raises(ValueError, match="baseline sequential"):
+    with pytest.raises(ValueError, match="DC scan .Ss=0. must have Se=0"):
         _jpeg_decode(ok[:i] + b"\xff\xc2" + ok[i + 2:])
+    # arithmetic coding (SOF9) keeps the codec-absent guard
+    with pytest.raises(ValueError, match="arithmetic"):
+        _jpeg_decode(ok[:i] + b"\xff\xc9" + ok[i + 2:])
     # 12-bit precision
     with pytest.raises(ValueError, match="precision"):
         _jpeg_decode(ok[:i + 4] + bytes([12]) + ok[i + 5:])

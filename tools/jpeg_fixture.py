@@ -233,3 +233,243 @@ def reference_pixels(
                            - 0.714136 * (cr - 128.0)))
             out.append(rnd(yy + 1.772 * (cb - 128.0)))
     return bytes(out)
+
+
+def _flush_eobrun(bw: _BitWriter, st: dict) -> None:
+    """Emit a pending EOBn symbol (n = floor(log2(run)), n low bits of
+    the run as the extension) followed by the correction bits buffered
+    across the run's blocks (refinement scans only)."""
+    if st["eobrun"]:
+        n = st["eobrun"].bit_length() - 1
+        _write_coeff(bw, _AC_CODES, n << 4, 0, 0)
+        if n:
+            bw.write(st["eobrun"] & ((1 << n) - 1), n)
+        st["eobrun"] = 0
+    for b in st["pend_old"]:
+        bw.write(b, 1)
+    st["pend_old"] = []
+
+
+def _pt_ac(v: int, al: int) -> int:
+    """AC point transform: divide by 2^Al rounding TOWARD ZERO
+    (T.81 G.1.2.2 — unlike DC's arithmetic shift)."""
+    return -((-v) >> al) if v < 0 else v >> al
+
+
+def _ac_first_block(bw: _BitWriter, zz: list, ss: int, se: int,
+                    al: int, st: dict) -> None:
+    r = 0
+    for k in range(ss, se + 1):
+        v = _pt_ac(zz[k], al)
+        if v == 0:
+            r += 1
+            continue
+        _flush_eobrun(bw, st)
+        while r > 15:
+            _write_coeff(bw, _AC_CODES, 0xF0, 0, 0)
+            r -= 16
+        s = _category(v)
+        _write_coeff(bw, _AC_CODES, (r << 4) | s, v, s)
+        r = 0
+    if r > 0:
+        st["eobrun"] += 1
+        if st["eobrun"] == 0x7FFF:
+            _flush_eobrun(bw, st)
+
+
+def _ac_refine_block(bw: _BitWriter, zz: list, ss: int, se: int,
+                     al: int, st: dict) -> None:
+    """T.81 G.1.2.3 refinement encoding (the libjpeg formulation):
+    newly-nonzero coefficients (|v| == 1 at this precision) are coded
+    as (zero-history-run, 1) + sign bit; coefficients already nonzero
+    get one buffered correction bit emitted after the next symbol;
+    trailing runs fold into the EOB run, their correction bits buffered
+    until the EOBn flush."""
+    absv = [abs(zz[k]) >> al for k in range(ss, se + 1)]
+    eobpos = ss - 1
+    for k in range(ss, se + 1):
+        if absv[k - ss] == 1:
+            eobpos = k
+    r = 0
+    cur: list = []
+    for k in range(ss, se + 1):
+        t = absv[k - ss]
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eobpos:
+            _flush_eobrun(bw, st)
+            _write_coeff(bw, _AC_CODES, 0xF0, 0, 0)
+            r -= 16
+            for b in cur:
+                bw.write(b, 1)
+            cur = []
+        if t > 1:
+            cur.append(t & 1)
+            continue
+        _flush_eobrun(bw, st)
+        _write_coeff(bw, _AC_CODES, (r << 4) | 1, 0, 0)
+        bw.write(1 if zz[k] > 0 else 0, 1)
+        for b in cur:
+            bw.write(b, 1)
+        cur = []
+        r = 0
+    if r > 0 or cur:
+        st["eobrun"] += 1
+        st["pend_old"].extend(cur)
+        if st["eobrun"] == 0x7FFF:
+            _flush_eobrun(bw, st)
+
+
+def encode_jpeg_progressive(
+    width: int,
+    height: int,
+    components: list,
+    qtables: dict,
+    scans: list | None = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """Progressive (SOF2) JFIF bytes from the same chosen quantized
+    coefficients as :func:`encode_jpeg` — the independent oracle for
+    the decoder's progressive path: both encodings carry IDENTICAL
+    coefficients, so their decodes must be byte-identical pixels.
+
+    ``scans``: list of ``{"comps": [ids], "ss", "se", "ah", "al"}``
+    dicts; the default script is a typical full successive-
+    approximation ladder (DC first at Al=1, per-component AC bands
+    1-5 / 6-63 at Al=2, AC refinements Al=1 then Al=0, DC refinement).
+    Fixture limits (T.81 allows more): DC scans cover ALL components
+    (interleaved, frame MCU order) or exactly one; AC scans exactly
+    one component — coded over the component's ceil(cw/8) x
+    ceil(ch/8) grid (NOT the MCU-padded grid), so tests combining
+    subsampling with partial MCUs must keep AC coefficients out of
+    MCU-padding blocks. ``restart_interval`` applies per scan (units =
+    MCUs for interleaved scans, blocks otherwise), flushing the EOB
+    run and buffered correction bits at each boundary as the spec
+    requires.
+    """
+    hmax = max(c["h"] for c in components)
+    vmax = max(c["v"] for c in components)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    ids = [c["id"] for c in components]
+    by_id = {c["id"]: c for c in components}
+    if scans is None:
+        scans = (
+            [{"comps": list(ids), "ss": 0, "se": 0, "ah": 0, "al": 1}]
+            + [{"comps": [i], "ss": 1, "se": 5, "ah": 0, "al": 2}
+               for i in ids]
+            + [{"comps": [i], "ss": 6, "se": 63, "ah": 0, "al": 2}
+               for i in ids]
+            + [{"comps": [i], "ss": 1, "se": 63, "ah": 2, "al": 1}
+               for i in ids]
+            + [{"comps": list(ids), "ss": 0, "se": 0, "ah": 1, "al": 0}]
+            + [{"comps": [i], "ss": 1, "se": 63, "ah": 1, "al": 0}
+               for i in ids]
+        )
+
+    def zz_of(c: dict, by: int, bx: int) -> list:
+        blk = c["blocks"].get((by, bx), [0] * 64)
+        return [blk[ZIGZAG[k]] for k in range(64)]
+
+    out = bytearray(b"\xff\xd8")
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xe0" + struct.pack(">H", 2 + len(app0)) + app0
+    for tq, tab in sorted(qtables.items()):
+        body = bytes([tq]) + bytes(tab[ZIGZAG[k]] for k in range(64))
+        out += b"\xff\xdb" + struct.pack(">H", 2 + len(body)) + body
+    dc_counts = [0] * 16
+    dc_counts[3] = len(DC_SYMBOLS)
+    ac_counts = [0] * 16
+    ac_counts[7] = len(AC_SYMBOLS)
+    body = (bytes([0x00]) + bytes(dc_counts) + bytes(DC_SYMBOLS)
+            + bytes([0x10]) + bytes(ac_counts) + bytes(AC_SYMBOLS))
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    body = bytes([8]) + struct.pack(">HH", height, width) \
+        + bytes([len(components)])
+    for c in components:
+        body += bytes([c["id"], (c["h"] << 4) | c["v"], c["tq"]])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(body)) + body
+
+    for sc in scans:
+        comp_list = [by_id[i] for i in sc["comps"]]
+        ss, se, ah, al = sc["ss"], sc["se"], sc["ah"], sc["al"]
+        if ss == 0 and se != 0:
+            raise ValueError("DC scan must have se == 0")
+        if ss > 0 and len(comp_list) != 1:
+            raise ValueError("AC scans must cover exactly one component")
+        if ss == 0 and len(comp_list) not in (1, len(components)):
+            raise ValueError(
+                "fixture DC scans cover all components or exactly one")
+        body = bytes([len(comp_list)])
+        for c in comp_list:
+            body += bytes([c["id"], 0x00])
+        body += bytes([ss, se, (ah << 4) | al])
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
+
+        interleaved = len(comp_list) > 1
+        if interleaved:
+            n_units = mcus_x * mcus_y
+        else:
+            c0 = comp_list[0]
+            if ss == 0:
+                # fixture single-component DC scans use the same
+                # non-interleaved raster the decoder does
+                pass
+            cw = -(-width * c0["h"] // hmax)
+            ch = -(-height * c0["v"] // vmax)
+            nbx = -(-cw // 8)
+            nby = -(-ch // 8)
+            n_units = nbx * nby
+        bw = _BitWriter()
+        preds = {c["id"]: 0 for c in comp_list}
+        st = {"eobrun": 0, "pend_old": []}
+        rst = 0
+        for unit in range(n_units):
+            if restart_interval and unit and unit % restart_interval == 0:
+                _flush_eobrun(bw, st)
+                bw.flush()
+                out += bw.out
+                bw = _BitWriter()
+                out += bytes([0xFF, 0xD0 + rst % 8])
+                rst += 1
+                preds = {c["id"]: 0 for c in comp_list}
+                st = {"eobrun": 0, "pend_old": []}
+
+            def dc_block(zz, cid):
+                if ah == 0:
+                    v = zz[0] >> al  # DC: arithmetic shift (G.1.2.1)
+                    diff = v - preds[cid]
+                    preds[cid] = v
+                    t = _category(diff)
+                    _write_coeff(bw, _DC_CODES, t, diff, t)
+                else:
+                    bw.write((zz[0] >> al) & 1, 1)
+
+            if interleaved:
+                my, mx = divmod(unit, mcus_x)
+                for c in comp_list:
+                    for bv in range(c["v"]):
+                        for bh in range(c["h"]):
+                            dc_block(
+                                zz_of(c, my * c["v"] + bv,
+                                      mx * c["h"] + bh),
+                                c["id"],
+                            )
+            else:
+                c0 = comp_list[0]
+                by, bx = divmod(unit, nbx)
+                zz = zz_of(c0, by, bx)
+                if ss == 0:
+                    dc_block(zz, c0["id"])
+                elif ah == 0:
+                    _ac_first_block(bw, zz, ss, se, al, st)
+                else:
+                    _ac_refine_block(bw, zz, ss, se, al, st)
+        _flush_eobrun(bw, st)
+        bw.flush()
+        out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
