@@ -28,7 +28,10 @@ Probe D (``century``): TWO measured decades (x100) for MinHash-LSH,
          ``century-audio`` (planted near-dup WAV clips: Arrow decode
          throughput + banded audio dedup, exact pair-count assertion)
          ``century-image`` (PNG/JPEG pixel decode + GIF frame sampling
-         through the stdlib kernels, row-count tripwires per leg).
+         + MJPEG-AVI sampled-frame decode through the stdlib kernels,
+         row-count tripwires per leg) ``century-lev`` (the affix-strip
+         dense pair scan + ed-1 deletion-neighborhood edges over
+         per-block-salted id corpora, exact-linearity tripwires).
 
 Usage: python tools/scale_probe.py [trio|ann|winnow|century|century-<family>]
 """
@@ -291,7 +294,7 @@ def _with_scaled_partitions(spark, fn, factor=8):
 
 CENTURY_FAMILIES = (
     "century-minhash", "century-substring", "century-ngram", "century-cc",
-    "century-image",
+    "century-image", "century-lev",
     "century-er", "century-ingest", "century-labelstore", "century-winnow",
     "century-audio",
 )
@@ -1259,6 +1262,99 @@ def probe_century_image(spark) -> None:
         )
 
 
+def probe_century_lev(spark) -> None:
+    """Affix-strip Levenshtein family at x1/x10/x100 (r11, r10 verdict
+    task 4): the dense blocked pair scan (``blocked_levenshtein_pairs``,
+    ed<=2) and the sparse ed-1 edge generation
+    (``deletion_neighborhood_pairs``) over an id-styled corpus whose
+    blocks carry HETEROGENEOUS affixes ('Cust00007#000123': the
+    corpus-global strip sees only 'Cust', the r11 per-block strip
+    removes 13 of 17 chars), so these legs exercise the per-block path
+    end to end at the scale where the strip is the win. Every block
+    holds the IDENTICAL member population (000000-000999 behind its own
+    salt), so the output is exactly linear in block count — the
+    tripwire asserts pairs-per-block equals the x1 leg's figure with
+    zero remainder. Scaling adds blocks at constant block size, which
+    is how a blocked pair scan actually grows at 100 TB (more blocks,
+    not bigger ones)."""
+    from pyspark.sql import functions as F
+
+    from pyspark_entity_resolution_spark.operators.matching import (
+        blocked_levenshtein_pairs,
+        deletion_neighborhood_pairs,
+    )
+
+    base_blocks = 4
+    per_block: dict[str, int] = {}
+
+    def corpus(n_blocks):
+        blk = (F.col("id") / 1000).cast("long")
+        return spark.range(n_blocks * 1000).select(
+            F.col("id"),
+            blk.alias("blk"),
+            F.concat(
+                F.format_string("Cust%05d#", blk),
+                F.format_string("%06d", F.col("id") % 1000),
+            ).alias("s"),
+        )
+
+    def _tripwire(op, got, nb):
+        if got % nb:
+            raise AssertionError(
+                f"{op} leg: {got} pairs not divisible by {nb} blocks")
+        p = got // nb
+        want = per_block.setdefault(op, p)
+        if p != want:
+            raise AssertionError(
+                f"{op} leg: {p} pairs/block, x1 leg had {want}")
+        return got
+
+    legs = {}
+    for factor in (1, 10, 100):
+        nb = base_blocks * factor
+        df = corpus(nb)
+
+        def _dense(d=df, n=nb):
+            return _tripwire(
+                "dense",
+                blocked_levenshtein_pairs(
+                    d, "id", "s", block_cols=["blk"], max_distance=2
+                ).count(),
+                n,
+            )
+
+        def _ed1(d=df, n=nb):
+            return _tripwire(
+                "ed1",
+                deletion_neighborhood_pairs(
+                    d, "id", "s", block_cols=["blk"]
+                ).count(),
+                n,
+            )
+
+        runs = 2 if factor == 1 else 1
+        if factor == 100:
+            td = _timed_century(
+                f"blocked_lev_pairs {nb} blocks (x100)",
+                lambda: _with_scaled_partitions(spark, _dense), runs=1)
+            te = _timed_century(
+                f"ed1_neighborhood {nb} blocks (x100)",
+                lambda: _with_scaled_partitions(spark, _ed1), runs=1)
+        else:
+            td = _timed_century(
+                f"blocked_lev_pairs {nb} blocks", _dense, runs=runs)
+            te = _timed_century(
+                f"ed1_neighborhood {nb} blocks", _ed1, runs=runs)
+        legs[factor] = (td, te)
+    for factor in (10, 100):
+        print(
+            f"[century] lev x{factor} data -> "
+            f"dense x{legs[factor][0] / legs[1][0]:.1f} time, "
+            f"ed1 x{legs[factor][1] / legs[1][1]:.1f} time",
+            flush=True,
+        )
+
+
 def probe_century_winnow(spark) -> None:
     """Winnowing fingerprints + overlap pairs TWO decades up: sf0.1
     (5k docs) vs the x100 affine-mapped corpus (500k docs) — output
@@ -1399,6 +1495,8 @@ def main() -> None:
         probe_century_audio(spark)
     elif "century-image" in sys.argv[1:]:
         probe_century_image(spark)
+    elif "century-lev" in sys.argv[1:]:
+        probe_century_lev(spark)
     else:
         probe_er(spark)
         probe_cc(spark)
