@@ -499,13 +499,29 @@ def _connected_components_loop(
     # gating below (a pre-converged input gets probed in round 0); the
     # scan over the just-materialized checkpoint is trivial
     prev_count = e.count()
-    for _ in range(max_iterations):
+    # r11 experiment knob: SPARK_GRAFT_CC_ROUND1=small-only runs the
+    # FIRST round as small-star alone (no large-star). Correctness is
+    # unaffected by construction: every star application preserves the
+    # component structure, and ONLY the fixed-point probe below ever
+    # declares convergence — a skipped star can at worst cost an extra
+    # round. Exists for the ab_cc_probe A/B of the round-1 spike
+    # (round 1 measures ~1.8x round 2 at the same edge volume).
+    import os as _os_r1
+
+    _round1_small_only = (
+        _os_r1.environ.get("SPARK_GRAFT_CC_ROUND1", "") == "small-only"
+    )
+    for _round_idx in range(max_iterations):
         _round_t0 = _time.perf_counter()
         prev = e
         # lazy checkpoint: the count below is the action that
         # materializes it, so each round runs ONE heavy job instead of
         # an eager-checkpoint job followed by a probe job
-        e = _round_step(e, pin).localCheckpoint(
+        if _round_idx == 0 and _round1_small_only:
+            stepped = _small_star_window(e)
+        else:
+            stepped = _round_step(e, pin)
+        e = stepped.localCheckpoint(
             eager=False, storageLevel=level
         )
         count = e.count()

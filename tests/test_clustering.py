@@ -300,3 +300,26 @@ def test_self_loop_only_nodes_label_as_singletons(spark):
     got2 = {(r.node, r.component)
             for r in connected_components(edges2).collect()}
     assert got2 == {(1, 1), (2, 1), (4, 4), (5, 4)}
+
+
+def test_round1_small_only_knob_matches_default(spark, monkeypatch):
+    """SPARK_GRAFT_CC_ROUND1=small-only (r11 experiment knob, measured-
+    and-rejected as default) runs the first round as small-star alone.
+    Labels must be identical: every star application preserves the
+    component partition and only the fixed-point probe declares
+    convergence, so the knob can cost rounds, never correctness."""
+    import random
+
+    rng = random.Random(123)
+    n_nodes, n_edges = 400, 900
+    raw = [
+        (rng.randrange(n_nodes), rng.randrange(n_nodes))
+        for _ in range(n_edges)
+    ] + [(3, 3), (8, 8), (11, 30), (11, 30)]
+    edges = spark.createDataFrame(raw, ["src", "dst"])
+
+    monkeypatch.delenv("SPARK_GRAFT_CC_ROUND1", raising=False)
+    baseline = _components_as_partitions(connected_components(edges).collect())
+    monkeypatch.setenv("SPARK_GRAFT_CC_ROUND1", "small-only")
+    skipped = _components_as_partitions(connected_components(edges).collect())
+    assert skipped == baseline
