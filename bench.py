@@ -411,11 +411,13 @@ def _bench_multimodal(spark) -> float:
 
 
 def media_corpus_meta(n_audio: int = 400, n_images: int = 400,
-                      n_jpegs: int = 400, n_gifs: int = 400) -> dict:
+                      n_jpegs: int = 400, n_gifs: int = 400,
+                      n_avis: int = 400) -> dict:
     from tools.media_corpus import (
         N_WINDOWS,
         WINDOW_FRAMES,
         expected_audio_pairs,
+        expected_mjpeg_frames,
     )
 
     return {
@@ -424,9 +426,11 @@ def media_corpus_meta(n_audio: int = 400, n_images: int = 400,
         "n_images_png": n_images,
         "n_images_jpeg": n_jpegs,
         "n_gifs": n_gifs,
+        "n_avis": n_avis,
         "windows_per_clip": N_WINDOWS,
         "window_frames": WINDOW_FRAMES,
         "planted_near_dup_pairs": expected_audio_pairs(n_audio),
+        "planted_mjpeg_sampled_frames": expected_mjpeg_frames(n_avis),
     }
 
 
