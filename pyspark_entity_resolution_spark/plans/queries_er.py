@@ -12,7 +12,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import cleaning as C
-from ..functions.similarity import token_jaccard
 from ..operators.clustering import connected_components
 from .common import QuerySpec, load, spread
 
@@ -439,20 +438,31 @@ def er_flagship_doc_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
 def er_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.similarity import match_rule
 
+    # r11: tokenize ONCE PER ROW before the join (array_distinct of the
+    # token_jaccard split) and recover the set-union size per pair from
+    # the per-row distinct counts — |A∪B| = |A|+|B|-|A∩B| — so each of
+    # the 201.7M sf1 pairs pays ONE array_intersect instead of two
+    # regex splits + intersect + union (the er_flagship_doc_matching
+    # trick; identical doubles — same integer numerator and
+    # denominator). First-ever timing of this row in
+    # CORRECTNESS_SF1_r11 read Spark 296.5 s vs DuckDB 138.6 s; this
+    # closes that gap from the per-pair kernel side.
     p = load(spark, sf_dir, "part").select(
-        "p_partkey", "p_brand", "p_name", "p_type",
+        "p_partkey", "p_brand", "p_type",
+        F.array_distinct(F.split("p_name", r"\s+")).alias("toks"),
         F.size(F.split("p_name", " ")).cast("bigint").alias("n_auth"),
-    )
+    ).withColumn("nd", F.size("toks"))
     a = p.select(
         F.col("p_partkey").alias("a_id"), F.col("p_brand").alias("brand"),
-        F.col("p_name").alias("a_name"), F.col("p_type").alias("a_type"),
-        F.col("n_auth").alias("a_n"),
+        F.col("toks").alias("a_toks"), F.col("nd").alias("a_nd"),
+        F.col("p_type").alias("a_type"), F.col("n_auth").alias("a_n"),
     )
     b = p.select(
         F.col("p_partkey").alias("b_id"), F.col("p_brand").alias("brand"),
-        F.col("p_name").alias("b_name"), F.col("p_type").alias("b_type"),
-        F.col("n_auth").alias("b_n"),
+        F.col("toks").alias("b_toks"), F.col("nd").alias("b_nd"),
+        F.col("p_type").alias("b_type"), F.col("n_auth").alias("b_n"),
     )
+    inter = F.size(F.array_intersect("a_toks", "b_toks"))
     pairs = (
         spread(spark, a).join(b, on="brand")
         .filter(F.col("a_id") < F.col("b_id"))
@@ -460,7 +470,9 @@ def er_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # 0 <= lev < 10, so distances > 9 can report -1 without changing
         # any surviving row
         .withColumn("lev", F.levenshtein("a_type", "b_type", 9).cast("bigint"))
-        .withColumn("jac", token_jaccard("a_name", "b_name"))
+        .withColumn(
+            "jac", inter / (F.col("a_nd") + F.col("b_nd") - inter)
+        )
     )
     # ONE pass over the blocked pairs: a plain union of the two rule
     # branches re-evaluates the brand join + levenshtein + jaccard per
