@@ -5,6 +5,17 @@ Determinism note: folds run in element order with a 0.0 initial value, so
 the result is bit-identical to any engine that folds left in order
 (DuckDB's ``list_reduce`` after the 0+x1 == x1 identity). Elements are
 cast float->double (exact) before multiplication.
+
+Construction-cost note (r11): when the operands are plain column NAMES,
+each builder emits its whole expression through ONE ``F.expr`` call
+instead of composing higher-order functions py4j-call by py4j-call.
+The SQL text parses to the IDENTICAL Catalyst expressions (same folds,
+same 0.0D init, same operand order — pinned by
+``tests/test_vectors_sql.py``), but a ``paired_cosine`` build drops
+from ~60 driver round-trips to 1. The ANN/PQ/k-means family builds
+hundreds of these per query plan; the py4j chatter was 2.6 s of
+``ann_methods_topk``'s 3.2 s plan-construction time (profiled, r11).
+Column-typed operands keep the original composed path.
 """
 
 from __future__ import annotations
@@ -17,8 +28,27 @@ def _col(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
+def _sql_ident(name: str) -> str:
+    """Backquoted SQL identifier (column names here are simple, but
+    quote anyway so ``__vnrm``-style names never collide with keywords)."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _sql_as_double(name: str) -> str:
+    return f"transform({_sql_ident(name)}, x -> cast(x as double))"
+
+
+def _sql_dot(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({_sql_as_double(a)}, {_sql_as_double(b)}, "
+        f"(x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+    )
+
+
 def as_double(v: Column | str) -> Column:
     """Element-wise cast of a numeric array to double."""
+    if isinstance(v, str):
+        return F.expr(_sql_as_double(v))
     return F.transform(_col(v), lambda x: x.cast("double"))
 
 
@@ -28,11 +58,18 @@ def _fold_sum(arr: Column) -> Column:
 
 def dot(a: Column | str, b: Column | str) -> Column:
     """Dot product via zip_with + ordered left fold (deterministic)."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(_sql_dot(a, b))
     return _fold_sum(F.zip_with(as_double(a), as_double(b), lambda x, y: x * y))
 
 
 def l2_norm(v: Column | str) -> Column:
     """Euclidean norm via the same ordered fold as :func:`dot`."""
+    if isinstance(v, str):
+        return F.expr(
+            f"sqrt(aggregate(transform({_sql_as_double(v)}, x -> x * x), "
+            f"0.0D, (acc, x) -> acc + x))"
+        )
     return F.sqrt(_fold_sum(F.transform(as_double(v), lambda x: x * x)))
 
 
@@ -58,6 +95,11 @@ def paired_cosine(
     per candidate pair. On pair-quadratic verify stages (ANN, embedding
     near-dup) that removes two thirds of the per-pair array-fold work
     (measured 1.7x end-to-end on the x10 probe corpus)."""
+    if all(isinstance(c, str) for c in (a_vec, b_vec, a_norm, b_norm)):
+        return F.expr(
+            f"try_divide({_sql_dot(a_vec, b_vec)}, "
+            f"{_sql_ident(a_norm)} * {_sql_ident(b_norm)})"
+        )
     return F.try_divide(dot(a_vec, b_vec), _col(a_norm) * _col(b_norm))
 
 

@@ -28,11 +28,16 @@ from pyspark.sql import functions as F
 from ..functions.vectors import as_double
 
 
-def _sq_dist(vec, centroid_literal) -> "F.Column":
-    return F.aggregate(
-        F.zip_with(as_double(vec), F.lit(centroid_literal), lambda x, c: (x - c) * (x - c)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+def _sq_dist(vec_sql: str, centroid_literal) -> "F.Column":
+    # ONE F.expr call instead of dim lit() round-trips + two lambda
+    # handshakes per centroid — identical parsed expression (same
+    # zip_with/aggregate fold, same 0.0 init; see functions/vectors.py
+    # r11 construction-cost note). k centroids x iterations made the
+    # composed form ~half of this operator's driver-side build time.
+    arr = "array(" + ", ".join(f"{v!r}D" for v in centroid_literal) + ")"
+    return F.expr(
+        f"aggregate(zip_with(transform({vec_sql}, x -> cast(x as double)), "
+        f"{arr}, (x, c) -> (x - c) * (x - c)), 0.0D, (acc, x) -> acc + x)"
     )
 
 
@@ -73,7 +78,7 @@ def kmeans(
 
     assignments = None
     for _ in range(max_iterations):
-        dists = F.array(*[_sq_dist(F.col("__v"), c) for c in centroids])
+        dists = F.array(*[_sq_dist("`__v`", c) for c in centroids])
         assignments = work.select(
             F.col(id_col),
             F.col("__v"),

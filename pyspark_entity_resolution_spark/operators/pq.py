@@ -80,13 +80,17 @@ def _unwrap_books(codebooks, expected: str, caller: str):
     return codebooks
 
 
-def _sq_dist(vec: Column, centroid: list[float]) -> Column:
+def _sq_dist(vec_sql: str, centroid: list[float]) -> Column:
     """Ordered-fold squared distance to a literal centroid (the kmeans
-    expression, reused for the sub-space folds)."""
-    return F.aggregate(
-        F.zip_with(vec, F.lit(centroid), lambda x, c: (x - c) * (x - c)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    expression, reused for the sub-space folds). Built as ONE ``F.expr``
+    call — the composed ``F.lit(centroid)`` form cost sub_dim lit()
+    round-trips + two lambda handshakes per centroid, and PQ builds
+    m x k of these per plan (see functions/vectors.py r11 note); the
+    parsed SQL is the identical expression tree."""
+    arr = "array(" + ", ".join(f"{v!r}D" for v in centroid) + ")"
+    return F.expr(
+        f"aggregate(zip_with({vec_sql}, {arr}, (x, c) -> (x - c) * (x - c)), "
+        f"0.0D, (acc, x) -> acc + x)"
     )
 
 
@@ -132,7 +136,7 @@ def _lloyd_codebook(
     for it in range(max_iterations):
         if it == max_iterations - 1:
             break  # the last pass would only re-assign; codes do that
-        dists = F.array(*[_sq_dist(F.col("__v"), c) for c in centroids])
+        dists = F.array(*[_sq_dist("`__v`", c) for c in centroids])
         assigned = work.select(
             F.col("__v"),
             F.array_position(dists, F.array_min(dists)).cast("bigint").alias("cluster"),
@@ -210,7 +214,7 @@ def pq_train(
             break  # the last pass would only re-assign; pq_assign does that
         cluster_cols = []
         for b, (start, s) in enumerate(bounds):
-            sl = F.slice("__v", start, s)
+            sl = f"slice(`__v`, {start}, {s})"
             dists = F.array(*[_sq_dist(sl, c) for c in books[b]])
             cluster_cols.append(
                 F.array_position(dists, F.array_min(dists))
@@ -280,7 +284,7 @@ def pq_assign(
     work = _quantized(df, id_col, vec_col, quantize, extra_cols=extra_cols)
     cols = [F.col(id_col)] + [F.col(c) for c in extra_cols]
     for b, (start, sub) in enumerate(_block_bounds(dim, m)):
-        sl = F.slice("__v", start, sub)
+        sl = f"slice(`__v`, {start}, {sub})"
         dists = F.array(*[_sq_dist(sl, c) for c in codebooks[b]])
         cols.append(
             F.array_position(dists, F.array_min(dists))
@@ -332,7 +336,7 @@ def _lut_cols(codebooks: list[list[list[float]]], dim: int) -> list[Column]:
     order, naming) used by every caller, plain or residual."""
     return [
         F.array(
-            *[_sq_dist(F.slice("__v", start, sub), c) for c in codebooks[b]]
+            *[_sq_dist(f"slice(`__v`, {start}, {sub})", c) for c in codebooks[b]]
         ).alias(f"__lut_{b + 1}")
         for b, (start, sub) in enumerate(_block_bounds(dim, len(codebooks)))
     ]
