@@ -164,6 +164,28 @@ def minhash_lsh_candidates(
       full shuffle (same trick as the ER blocking join, operators/
       blocking.py).
     """
+    banded = minhash_banded(df, id_col, text_col, num_hashes, bands)
+    return candidates_from_banded(banded, id_col, bands)
+
+
+def minhash_banded(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    bands: int = 3,
+) -> DataFrame:
+    """The banded projection feeding every MinHash-LSH consumer:
+    ``(id_col, k0..k{bands-1}, band_idx, band_key)`` — one exploded row
+    per (document, band) carrying ALL of the document's band keys as
+    flattened scalars for first-colliding-band admission — eagerly
+    ``localCheckpoint``-ed. r11 split this out of
+    :func:`minhash_lsh_candidates` (identical plan, identical rows) so
+    one computation can serve the pair self-join AND the ingest paths:
+    an accepted-subset filter of these rows IS ``minhash_corpus_index``
+    of that subset (band keys are per-document), and an arriving-subset
+    filter is the probe side — previously each re-ran the whole
+    signature pipeline."""
     rows_per_band = num_hashes // bands
     # lazy checkpoints as PROJECTION BARRIERS: without them Catalyst's
     # CollapseProject folds the three stages into one and re-inlines
@@ -193,11 +215,19 @@ def minhash_lsh_candidates(
     keyed = with_sig.select(F.col(id_col), keys.alias("keys")).localCheckpoint(
         eager=False
     )
-    banded = keyed.select(
+    return keyed.select(
         F.col(id_col),
         *[F.element_at("keys", j + 1).alias(f"k{j}") for j in range(bands)],
         F.posexplode("keys").alias("band_idx", "band_key"),
     ).localCheckpoint()
+
+
+def candidates_from_banded(
+    banded: DataFrame, id_col: str = "doc_id", bands: int = 3
+) -> DataFrame:
+    """The self equi-join + first-colliding-band admission over a
+    :func:`minhash_banded` projection (split from
+    :func:`minhash_lsh_candidates`, identical plan and rows)."""
     a = banded.select(
         F.col(id_col).alias("a_id"),
         *[F.col(f"k{j}").alias(f"a_k{j}") for j in range(bands)],
@@ -224,6 +254,26 @@ def minhash_lsh_candidates(
     )
 
 
+def jaccard_profile(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hashed: bool | None = None,
+) -> DataFrame:
+    """Per-document distinct-token verification profile ``(id_col, toks,
+    nt)`` — the projection :func:`verify_token_jaccard` builds
+    internally, exposed (r11) so a pack computing SEVERAL verification
+    stages over one corpus (pair verify + ingest verify) tokenizes each
+    document once instead of once per stage. ``hashed=None`` runs the
+    :func:`_hash_injective` certificate and stores 64-bit token hashes
+    when it holds (provably the same jaccard downstream)."""
+    toks = F.array_distinct(tokens(F.col(text_col)))
+    if hashed is None:
+        hashed = _hash_injective(df, toks)
+    vt = F.transform(toks, lambda t: F.xxhash64(t)) if hashed else toks
+    return df.select(F.col(id_col), vt.alias("toks"), F.size(vt).alias("nt"))
+
+
 def verify_token_jaccard(
     candidates: DataFrame,
     df: DataFrame,
@@ -231,6 +281,7 @@ def verify_token_jaccard(
     text_col: str = "text",
     threshold: float = 0.5,
     hashed: bool | None = None,
+    profile: DataFrame | None = None,
 ) -> DataFrame:
     """Join candidate pairs back to texts and keep pairs whose exact
     distinct-token Jaccard clears the threshold.
@@ -247,14 +298,16 @@ def verify_token_jaccard(
     provably the same jaccard, about half the per-pair cost (measured on
     the x10 probe corpus). Pass False to force string verification, or
     True when the caller has already certified this corpus's vocabulary.
+
+    ``profile=`` (r11): pass a :func:`jaccard_profile` of ``df`` to
+    reuse one tokenization across several verification stages (the
+    caller owns any checkpoint barrier on it); ``df``/``text_col``/
+    ``hashed`` are then ignored for side-building.
     """
-    toks = F.array_distinct(tokens(F.col(text_col)))
-    if hashed is None:
-        hashed = _hash_injective(df, toks)
-    vt = (
-        F.transform(toks, lambda t: F.xxhash64(t)) if hashed else toks
+    sides = (
+        profile if profile is not None
+        else jaccard_profile(df, id_col, text_col, hashed)
     )
-    sides = df.select(F.col(id_col), vt.alias("toks"), F.size(vt).alias("nt"))
     a = sides.select(
         F.col(id_col).alias("a_id"), F.col("toks").alias("a_toks"),
         F.col("nt").alias("a_nt"),
@@ -752,10 +805,23 @@ def incremental_minhash_matches(
     num_hashes: int = 12,
     bands: int = 3,
     threshold: float = 0.5,
+    arriving_banded: DataFrame | None = None,
+    arriving_profile: DataFrame | None = None,
 ) -> DataFrame:
     """Verified near-duplicate matches of arriving documents against an
     accepted corpus: ``(doc_id, accepted_id, jaccard)``, exactly one row
     per matching (arriving, accepted) pair.
+
+    ``arriving_banded``/``arriving_profile`` (r11, batch-only, pass both
+    or neither): a caller that already holds a :func:`minhash_banded`
+    projection and a :func:`jaccard_profile` covering the arriving rows
+    (e.g. the pack that bands its WHOLE corpus once and filters subsets
+    for the ingest sections) passes them here to skip this function's
+    own signature pipeline and tokenization — identical candidates
+    (band keys are per-document), identical admission, identical
+    jaccard (profile tokens may be injectively hashed; the intersection
+    and sizes are provably unchanged). Pinned by
+    tests/test_minhash_shared.py.
 
     The MinHash twin of ``incremental_exact_dedup``'s anti-join: band
     keys of each arriving doc equi-join the corpus band index
@@ -776,6 +842,36 @@ def incremental_minhash_matches(
     first-colliding-band trick (both sides carry their band-key
     scalars), so no dedup shuffle on the inflated candidate stream.
     """
+    if (arriving_banded is None) != (arriving_profile is None):
+        raise ValueError(
+            "pass arriving_banded and arriving_profile together (both "
+            "derived from the same minhash_banded/jaccard_profile run) "
+            "or neither"
+        )
+    if arriving_banded is not None:
+        if arriving.isStreaming:
+            raise ValueError(
+                "arriving_banded reuse is batch-only (minhash_banded "
+                "checkpoints eagerly); over a stream let this function "
+                "build its own stages"
+            )
+        arr = arriving_banded.select(
+            F.col(id_col).alias("__arr_id"),
+            *[F.col(f"k{j}").alias(f"__arr_k{j}") for j in range(bands)],
+            "band_idx", "band_key",
+            # same salting as the built-in path below
+            F.explode(F.array(*[F.lit(sa) for sa in range(_BAND_SALTS)])).alias(
+                "__salt"
+            ),
+        )
+        arr_verify = arriving_profile.select(
+            F.col(id_col).alias("__arr_id"),
+            F.col("toks").alias("__arr_toks"),
+            F.col("nt").alias("__arr_nt"),
+        )
+        return _match_candidates_verify(
+            arr, arr_verify, index, profile, id_col, bands, threshold
+        )
     rows_per_band = num_hashes // bands
     toks = F.array_distinct(tokens(F.col(text_col)))
     staged = arriving.select(
@@ -827,6 +923,31 @@ def incremental_minhash_matches(
             "__salt"
         ),
     )
+    arr_verify = (
+        None if arriving.isStreaming
+        else staged2.select("__arr_id", "__arr_toks", "__arr_nt")
+    )
+    return _match_candidates_verify(
+        arr, arr_verify, index, profile, id_col, bands, threshold
+    )
+
+
+def _match_candidates_verify(
+    arr: DataFrame,
+    arr_verify: DataFrame | None,
+    index: DataFrame,
+    profile: DataFrame,
+    id_col: str,
+    bands: int,
+    threshold: float,
+) -> DataFrame:
+    """Salted band join + first-colliding-band admission + exact-jaccard
+    verification — the second half of :func:`incremental_minhash_matches`
+    (split r11 so the pre-banded bypass and the self-built path share
+    one join/verify implementation). ``arr`` carries the exploded salted
+    arriving band rows; ``arr_verify`` the (id, toks, nt) verification
+    rows on the batch path (None when streaming — tokens ride in
+    ``arr``)."""
     acc = index.select(
         F.col("id").alias("__acc_id"),
         *[F.element_at("keys", j + 1).alias(f"__acc_k{j}") for j in range(bands)],
@@ -870,14 +991,11 @@ def incremental_minhash_matches(
         .filter(~earlier_band_collides)
         .drop("__salt")
     )
-    if not arriving.isStreaming:
+    if arr_verify is not None:
         # post-candidate verification join: admitted pairs are
         # exactly-once, so this equi-join attaches each arriving doc's
         # token profile to exactly its candidate rows
-        cands = cands.join(
-            staged2.select("__arr_id", "__arr_toks", "__arr_nt"),
-            on="__arr_id",
-        )
+        cands = cands.join(arr_verify, on="__arr_id")
     prof = profile.select(
         F.col("id").alias("__acc_id"), F.col("toks").alias("__acc_toks"),
         F.col("nt").alias("__acc_nt"),

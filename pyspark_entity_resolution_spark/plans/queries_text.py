@@ -244,27 +244,47 @@ _SIG_SQL = (
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(spark, load(spark, sf_dir, "documents"))
-    pairs = D.minhash_lsh_dedup(
-        d, num_hashes=_NUM_HASHES, bands=_BANDS, threshold=0.5
+    # r11: ONE banded projection + ONE verification profile over the
+    # full corpus serve all three sections. Previously the pack ran the
+    # signature pipeline three times (full corpus for 'pairs',
+    # minhash_corpus_index over accepted, the arriving staged chain) and
+    # tokenized documents four more times across the verify stages; band
+    # keys and token profiles are per-document, so an accepted/arriving
+    # FILTER of the shared projections is exactly the index/probe the
+    # ingest operators built themselves (equality pinned by
+    # tests/test_minhash_shared.py). The profile stores injectively
+    # hashed tokens when the corpus certificate holds — same jaccard on
+    # every section (the 'pairs' verify already did this).
+    banded = D.minhash_banded(d, num_hashes=_NUM_HASHES, bands=_BANDS)
+    prof = D.jaccard_profile(d).localCheckpoint(eager=False)
+    cands = D.candidates_from_banded(banded, bands=_BANDS)
+    pairs = D.verify_token_jaccard(
+        cands, d, threshold=0.5, profile=prof
     ).select(
         F.lit("pairs").alias("section"),
         F.col("a_id").cast("bigint").alias("a_id"),
         F.col("b_id").cast("bigint").alias("b_id"),
         "jaccard",
     )
-    accepted = d.filter(F.col("doc_id") % 10 == 0)
     arriving = d.filter(F.col("doc_id") % 10 == 1)
-    idx = D.minhash_corpus_index(
-        accepted, num_hashes=_NUM_HASHES, bands=_BANDS
+    acc_banded = banded.filter(F.col("doc_id") % 10 == 0)
+    idx = acc_banded.select(
+        F.col("doc_id").alias("id"),
+        F.array(*[F.col(f"k{j}") for j in range(_BANDS)]).alias("keys"),
+        "band_idx", "band_key",
     )
-    prof = D.token_profile(accepted)
+    prof_acc = prof.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("id"), "toks", "nt"
+    )
     # the match rows feed BOTH the 'ingest_match' section and the
     # 'ingest_kept' anti-join; checkpoint them once so the band join +
     # verification run once (r7: the kept section previously recomputed
     # the full matches plan inside incremental_minhash_dedup)
     raw_matches = D.incremental_minhash_matches(
-        arriving, idx, prof, num_hashes=_NUM_HASHES, bands=_BANDS,
+        arriving, idx, prof_acc, num_hashes=_NUM_HASHES, bands=_BANDS,
         threshold=0.5,
+        arriving_banded=banded.filter(F.col("doc_id") % 10 == 1),
+        arriving_profile=prof.filter(F.col("doc_id") % 10 == 1),
     ).localCheckpoint(eager=False)
     matches = raw_matches.select(
         F.lit("ingest_match").alias("section"),
@@ -273,7 +293,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "jaccard",
     )
     kept = D.incremental_minhash_dedup(
-        arriving, idx, prof, num_hashes=_NUM_HASHES, bands=_BANDS,
+        arriving, idx, prof_acc, num_hashes=_NUM_HASHES, bands=_BANDS,
         threshold=0.5, within_batch=False, matches=raw_matches,
     ).select(
         F.lit("ingest_kept").alias("section"),

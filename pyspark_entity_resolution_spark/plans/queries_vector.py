@@ -472,7 +472,12 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # clear message instead of a mystery hash-mismatch.
     e = load(spark, sf_dir, "embeddings")
     ee = spread(spark, e)
-    n = ee.count()
+    # r11: the plane-count input is the table's row count — read it from
+    # the parquet footers (the same metadata the oracle's adaptive_sql
+    # already uses, exactly equal to ee.count()) instead of running a
+    # full scan+repartition Spark job at plan-build time. One less job
+    # per invocation; identical n, identical plan downstream.
+    n = _embeddings_rowcount(sf_dir)
     planes = A.choose_num_planes(n)
     if n <= 16 * A.TARGET_BUCKET_SIZE and planes != 4:
         # inside the band the oracle depends on, a non-4 answer means

@@ -263,7 +263,13 @@ def build_media_corpus(spark, path: str, n_audio: int,
                 rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
 
     total = n_audio + n_images + n_jpegs + n_gifs + n_avis
-    n_part = max(8, total // 2000)
+    # r11: file count floors at the session parallelism — the bench's
+    # 2000-row corpus wrote 8 files, so every downstream Arrow decode
+    # kernel scanned on 8 of 32 cores (payload rows can't be re-split
+    # below the file count without shuffling the binary blobs, which
+    # measured SLOWER than the lost parallelism). Row content is
+    # id-deterministic and partition-independent.
+    n_part = max(8, spark.sparkContext.defaultParallelism, total // 2000)
     (spark.range(total, numPartitions=n_part)
      .mapInPandas(kernel, MEDIA_SCHEMA)
      .write.mode("overwrite").parquet(path))
