@@ -47,6 +47,23 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+def table_rowcount(sf_dir: str, table: str) -> int:
+    """Row count of a testdata table from its parquet footers — exactly
+    the n a ``load(...).count()`` job returns, without running a Spark
+    job (r11: query builders that need a planning-time scalar count —
+    LSH plane sizing, the TF-IDF n_docs — read it here instead of
+    paying a full scan per plan build)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/{table}.parquet"
+    files = (sorted(glob.glob(f"{path}/*.parquet"))
+             if os.path.isdir(path) else [path])
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
+
 def spread(spark: SparkSession, df: DataFrame, factor: int = 1) -> DataFrame:
     """Repartition to cluster parallelism.
 

@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from ..functions import text as T
 from ..operators import dedup as D
-from .common import QuerySpec, load, spread
+from .common import QuerySpec, load, spread, table_rowcount
 
 QUERIES: dict[str, QuerySpec] = {}
 
@@ -868,7 +868,9 @@ def text_vector_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import tokens as tokenize
 
     d = spread(spark, load(spark, sf_dir, "documents"))
-    n_docs = d.count()  # tiny driver scalar; at scale use a broadcast agg
+    # tiny driver scalar from parquet footers (== d.count(), no Spark
+    # job at plan build); at scale use a broadcast agg
+    n_docs = table_rowcount(sf_dir, "documents")
     toks = d.select(
         "doc_id", "lang", "source", F.explode(tokenize(F.col("text"))).alias("token")
     )

@@ -420,15 +420,9 @@ def _near_dup_oracle_sql(pairs_planes: int = 4, acc_planes: int = 4) -> str:
 def _embeddings_rowcount(sf_dir: str) -> int:
     """Row count from parquet footers (no Spark/DuckDB job) — the same
     n the engine's df.count() sees, for plane-count agreement."""
-    import glob
-    import os
+    from .common import table_rowcount
 
-    import pyarrow.parquet as pq
-
-    path = f"{sf_dir}/embeddings.parquet"
-    files = (sorted(glob.glob(f"{path}/*.parquet"))
-             if os.path.isdir(path) else [path])
-    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    return table_rowcount(sf_dir, "embeddings")
 
 
 def _near_dup_adaptive_sql(sf_dir: str) -> str:
