@@ -72,6 +72,7 @@ def winnow_fingerprints(
     k: int = 8,
     w: int = 8,
     hash: str = "md5",
+    mode: str = "array",
 ) -> DataFrame:
     """Winnowed fingerprints per document: ``(id_col, fp_pos, fp_hash)``.
 
@@ -109,21 +110,41 @@ def winnow_fingerprints(
     no representable row can trip it; the filter exists to pin the
     lpad-truncation assumption rather than to handle a live case.
 
-    Plan shape: explode to one row per k-gram position (~len(text) rows
-    per document, the same expansion class as substring dedup), ONE
-    hash-partition shuffle on the document id for the window sort, two
-    window expressions over the same spec (min-select + lag-dedup, no
-    re-shuffle, no re-sort), then a projection. No UDFs, no distinct.
+    Plan shape (``mode="array"``, the default, r11): the whole
+    selection is PER-DOCUMENT-LOCAL, so it runs as array expressions
+    inside one projection pipeline — build the (hash, pos) key per
+    k-gram position with ``transform`` over ``sequence``, take each
+    full window's minimum with ``least`` over ``w`` O(1) ``get`` s,
+    dedup consecutive equal selections with an indexed ``filter``, and
+    only then ``explode`` the ~2/(w+1)-density survivors. ZERO
+    shuffles, zero sorts, no UDFs, no distinct — where the legacy
+    ``mode="window"`` shape exploded one row per POSITION through a
+    hash-partition Exchange + per-document Sort just to run the same
+    O(n*w) sliding min as window functions. Removing that exchange is
+    a guide-§2.4 structural win: at 100 TB it was a full shuffle of
+    ~(42 + id) bytes per text CHARACTER. The composite key is
+    ``struct(h, p)`` whose min is lexicographic (hash, pos) — the
+    identical total order the window path's ``h || lpad(pos)`` string
+    key induces, so both modes select the same fingerprints (pinned by
+    ``test_winnowing.py::test_array_mode_equals_window_mode``).
+    Per-row transient memory is O(len(text)) structs; callers with
+    pathological multi-GB single rows can fall back to
+    ``mode="window"``, which streams positions through the shuffle
+    instead.
     """
     from ..functions.text import WS_CLASS
 
     if hash not in _HASH_LEN:
         raise ValueError(f"hash must be one of {sorted(_HASH_LEN)}, got {hash!r}")
+    if mode not in ("array", "window"):
+        raise ValueError(f"mode must be 'array' or 'window', got {mode!r}")
     txt = F.trim(
         F.regexp_replace(
             F.coalesce(F.col(text_col), F.lit("")), WS_CLASS + "+", " "
         )
     )
+    if mode == "array":
+        return _winnow_array(df, id_col, txt, k, w, hash)
     n_pos = F.greatest(F.lit(1), F.length(txt) - F.lit(k - 1))
     gram = F.col("__txt").substr(F.col("pos"), F.lit(k))
     if hash == "md5":
@@ -167,6 +188,74 @@ def winnow_fingerprints(
         id_col,
         F.substring("__sel", hlen + 1, _POS_PAD).cast("bigint").alias("fp_pos"),
         F.substring("__sel", 1, hlen).alias("fp_hash"),
+    )
+
+
+def _winnow_array(
+    df: DataFrame, id_col: str, txt, k: int, w: int, hash: str
+) -> DataFrame:
+    """Shuffle-free winnowing: the sliding-min selection and the
+    consecutive-run dedup both live entirely inside one document row,
+    so they run as array expressions — no Exchange, no Sort.
+
+    Stage layout (three projections, each alias referenced several
+    times downstream so CollapseProject provably cannot re-inline the
+    expensive expression into every consumer — the same staging rule
+    as substring dedup's token barrier):
+
+    1. ``__keys``: one ``struct(h, p)`` per k-gram position (the hash
+       is computed ONCE per position here),
+    2. ``__sel``: per full window ``i``, ``least`` over the ``w``
+       members ``get(__keys, i-1+j)`` — ``get`` is O(1) and returns
+       NULL past the array end, which ``least`` skips, so the one
+       shrunk window of a short document (n_pos < w) falls out of the
+       same expression,
+    3. keep ``__sel[i]`` where ``i == 0`` or it differs from
+       ``__sel[i-1]`` (selections of one key form one consecutive run;
+       see the module docstring), then explode survivors only.
+    """
+    if hash == "md5":
+        def gram_hash(g):
+            return F.md5(g)
+    else:
+        def gram_hash(g):
+            return F.lpad(F.hex(F.xxhash64(g)), _HASH_LEN["xx64"], "0")
+
+    n_pos = F.greatest(F.lit(1), F.length("__txt") - F.lit(k - 1))
+    keys = F.transform(
+        F.sequence(F.lit(1), n_pos),
+        lambda p: F.struct(
+            gram_hash(F.col("__txt").substr(p, F.lit(k))).alias("h"),
+            p.alias("p"),
+        ),
+    )
+    staged = df.filter(
+        (F.length(txt) > 0) & (F.length(txt) <= _MAX_DOC_LEN)
+    ).select(F.col(id_col), txt.alias("__txt"))
+    keyed = staged.select(id_col, keys.alias("__keys"))
+    # number of FULL windows (one shrunk window when the doc is short)
+    n_sel = F.greatest(F.lit(1), F.size(F.col("__keys")) - F.lit(w - 1))
+    if w == 1:
+        sel = F.col("__keys")
+    else:
+        sel = F.transform(
+            F.sequence(F.lit(1), n_sel),
+            lambda i: F.least(
+                *[F.get(F.col("__keys"), i + F.lit(j - 1)) for j in range(w)]
+            ),
+        )
+    selected = keyed.select(id_col, sel.alias("__sel"))
+    # consecutive dedup: get(sel, i-1) is NULL exactly at i == 0 (the
+    # first element, always kept); sel elements themselves are never
+    # NULL, so the isNull test is unambiguous
+    prev = lambda i: F.get(F.col("__sel"), i - F.lit(1))  # noqa: E731
+    uniq = F.filter(
+        F.col("__sel"), lambda x, i: prev(i).isNull() | (x != prev(i))
+    )
+    return selected.select(id_col, F.explode(uniq).alias("__fp")).select(
+        id_col,
+        F.col("__fp.p").cast("bigint").alias("fp_pos"),
+        F.col("__fp.h").alias("fp_hash"),
     )
 
 

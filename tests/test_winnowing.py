@@ -214,3 +214,40 @@ def test_lag_dedup_equals_distinct(spark):
     )
     out = winnow_fingerprints(df, k=K, w=W)
     assert out.count() == out.distinct().count()
+
+
+def test_array_mode_equals_window_mode(spark):
+    """The r11 shuffle-free array path must select the IDENTICAL
+    fingerprint set as the legacy window-function path — same composite
+    (hash, pos) order, same full-window set, same consecutive dedup —
+    across short (< w positions), empty, null, single-char and long
+    random docs, for both hash functions and several (k, w)."""
+    rng = random.Random(47)
+    texts = (
+        ["", None, "x", "abc", "ab " * 3]
+        + ["".join(rng.choice("abcd ") for _ in range(n)) for n in (5, 9, 40, 200)]
+        + ["tile" * 30]  # heavy in-window hash runs
+    )
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    for k, w in ((K, W), (3, 1), (2, 9), (5, 50)):
+        for h in ("md5", "xx64"):
+            arr = winnow_fingerprints(df, k=k, w=w, hash=h, mode="array")
+            win = winnow_fingerprints(df, k=k, w=w, hash=h, mode="window")
+            assert sorted(map(tuple, arr.collect())) == sorted(
+                map(tuple, win.collect())
+            ), (k, w, h)
+    with pytest.raises(ValueError, match="mode must be"):
+        winnow_fingerprints(df, mode="sorted")
+
+
+def test_array_mode_plan_has_no_exchange(spark):
+    """The point of the array path: fingerprint selection adds NO
+    shuffle — the physical plan up to the fingerprint rows must contain
+    zero Exchange and zero Sort nodes (the window path had one of
+    each)."""
+    df = spark.createDataFrame([(1, "abcdef" * 10)], "doc_id long, text string")
+    plan = winnow_fingerprints(df, k=K, w=W)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Sort" not in plan, plan
