@@ -369,32 +369,33 @@ def simhash_signatures(
     toks = df.select(
         F.col(id_col), F.explode_outer(tokens(F.col(text_col))).alias("tok")
     )
-    h = F.md5("tok")
-    nibbles = [
-        F.conv(F.substring(h, j + 1, 1), 16, 10).cast("int") for j in range(16)
-    ]
-    contribs = []
-    for p in range(64):
-        bit = F.shiftright(nibbles[p // 4], 3 - p % 4).bitwiseAND(F.lit(1))
-        contribs.append((bit * 2 - 1).cast("bigint"))
+    # one F.expr parse per aggregate (and ONE for the whole final
+    # projection) instead of composing ~9,000 py4j calls column-by-
+    # column: the SQL text parses to the identical Catalyst tree (same
+    # conv/shiftright/CASE shapes), measured 1.4-1.8 s -> ~0.2 s of
+    # plan-build per call at sf0.1 (r11; the same batching the vector
+    # builders in functions/vectors.py got)
+    def _contrib_sql(p: int) -> str:
+        nib = (f"cast(conv(substring(md5(tok), {p // 4 + 1}, 1), 16, 10) "
+               "as int)")
+        return (f"sum(cast((((shiftright({nib}, {3 - p % 4}) & 1) * 2) - 1) "
+                f"as bigint)) AS s{p}")
 
     sums = toks.groupBy(id_col).agg(
-        *[F.sum(c).alias(f"s{p}") for p, c in enumerate(contribs)]
+        F.expr(_contrib_sql(0)), *[F.expr(_contrib_sql(p)) for p in range(1, 64)]
     )
 
-    bits = [
-        F.when(F.col(f"s{p}") > 0, F.lit(1)).otherwise(F.lit(0)) for p in range(64)
-    ]
+    def _bit_sql(p: int) -> str:
+        return f"(CASE WHEN s{p} > 0 THEN 1 ELSE 0 END)"
+
     hex_chars = [
-        F.substring(
-            F.lit(HEX),
-            (bits[4 * i] * 8 + bits[4 * i + 1] * 4 + bits[4 * i + 2] * 2
-             + bits[4 * i + 3] + 1).cast("int"),
-            1,
-        )
+        f"substring('{HEX}', cast(({_bit_sql(4 * i)} * 8 + {_bit_sql(4 * i + 1)}"
+        f" * 4 + {_bit_sql(4 * i + 2)} * 2 + {_bit_sql(4 * i + 3)} + 1) as int),"
+        " 1)"
         for i in range(16)
     ]
-    return sums.select(F.col(id_col), F.concat(*hex_chars).alias("simhash"))
+    simhash = F.expr(f"concat({', '.join(hex_chars)})").alias("simhash")
+    return sums.select(F.col(id_col), simhash)
 
 
 def simhash_candidates(
