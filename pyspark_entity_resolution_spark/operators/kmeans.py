@@ -72,9 +72,15 @@ def kmeans(
         )
     else:
         work = df.select(id_col, as_double(vec_col).alias("__v"))
+    # the quantized working set feeds the init collect, every Lloyd
+    # iteration's mean job, and the returned assignment plan — without a
+    # barrier each of those re-scans the source and re-quantizes (r11:
+    # max_iterations + 2 full corpus re-reads saved per call)
+    work = work.localCheckpoint(eager=False)
 
     init = work.orderBy(id_col).limit(k).select("__v").collect()
     centroids: list[list[float]] = [[float(x) for x in row["__v"]] for row in init]
+    dims = max((len(c) for c in centroids), default=0)
 
     assignments = None
     for _ in range(max_iterations):
@@ -85,26 +91,40 @@ def kmeans(
             F.array_position(dists, F.array_min(dists)).cast("bigint").alias("cluster"),
             F.array_min(dists).alias("sq_dist"),
         )
-        # recompute centroids: per-cluster elementwise mean via posexplode.
-        # Quantized mode: __v holds integer-valued doubles, so sum() is
-        # exact in any order and sum/count is ONE deterministic division.
-        exploded = assignments.select(
-            "cluster", F.posexplode("__v").alias("dim", "val")
-        )
-        means = (
-            exploded.groupBy("cluster", "dim")
-            .agg((F.sum("val") / F.count(F.lit(1))).alias("m"))
-            .groupBy("cluster")
-            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dims"))
-            .select(
-                "cluster", F.transform("dims", lambda s: s["m"]).alias("centroid")
+        # recompute centroids: per-cluster elementwise mean as ONE
+        # hash aggregate of `dims` per-dim sum/count columns — map-side
+        # partial aggregation, one k-row shuffle. (The previous
+        # posexplode shape pushed rows x dims exploded rows through TWO
+        # shuffles per iteration just to reassemble the same k·dims
+        # means.) `sum(get(__v, d)) / count(get(__v, d))` is the exact
+        # per-dim division the exploded form computed: quantized
+        # components are integer-valued doubles (exact, order-free sum)
+        # and count(get(...)) counts the same rows count(lit(1)) did.
+        # Fixed-dim embeddings are asserted (loudly) below — the old
+        # shape silently averaged ragged corpora per-dim; this one
+        # refuses them instead of guessing.
+        stats = (
+            assignments.groupBy("cluster")
+            .agg(
+                F.expr("min(size(__v)) AS __mn"),
+                F.expr("max(size(__v)) AS __mx"),
+                *[
+                    F.expr(f"sum(get(__v, {d})) / count(get(__v, {d})) AS m{d}")
+                    for d in range(dims)
+                ],
             )
-            .orderBy("cluster")
             .collect()
         )
         new_centroids = list(centroids)
-        for row in means:
-            new_centroids[row["cluster"] - 1] = [float(x) for x in row["centroid"]]
+        for row in stats:
+            if row["__mn"] != dims or row["__mx"] != dims:
+                raise ValueError(
+                    "kmeans requires fixed-dimension embeddings: saw sizes "
+                    f"{row['__mn']}..{row['__mx']} vs init dim {dims}"
+                )
+            new_centroids[row["cluster"] - 1] = [
+                float(row[f"m{d}"]) for d in range(dims)
+            ]
         if new_centroids == centroids:
             break
         centroids = new_centroids

@@ -37,3 +37,13 @@ def test_kmeans_uses_all_clusters_on_separated_data(spark):
     assert len(by_cluster) == 2
     sizes = sorted(len(v) for v in by_cluster.values())
     assert sizes == [20, 20]
+
+
+def test_kmeans_refuses_ragged_embeddings(spark):
+    """The r11 column-aggregate mean requires fixed-dim vectors; ragged
+    corpora must fail loudly instead of silently averaging per-dim (the
+    old posexplode shape's behavior)."""
+    rows = [(1, [1.0, 2.0]), (2, [3.0, 4.0]), (3, [5.0, 6.0, 7.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    with pytest.raises(Exception, match="fixed-dimension"):
+        kmeans(df, k=2, max_iterations=1, quantize=6).collect()
