@@ -64,17 +64,68 @@ def table_rowcount(sf_dir: str, table: str) -> int:
     return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
 
 
-def spread(spark: SparkSession, df: DataFrame, factor: int = 1) -> DataFrame:
-    """Repartition to cluster parallelism.
+def table_bytes(sf_dir: str, table: str) -> int:
+    """On-disk bytes of a testdata table (file metadata only, no job) —
+    the planning-time input to :func:`spread`'s width decision."""
+    import glob
+    import os
+
+    path = f"{sf_dir}/{table}.parquet"
+    files = (sorted(glob.glob(f"{path}/*.parquet"))
+             if os.path.isdir(path) else [path])
+    return sum(os.path.getsize(f) for f in files)
+
+
+def spread(
+    spark: SparkSession,
+    df: DataFrame,
+    factor: int = 1,
+    input_bytes: int | None = None,
+) -> DataFrame:
+    """Repartition to cluster parallelism — IF the scan is narrow.
 
     The testdata tables are single small parquet files -> one input
     partition; any pair-generating join downstream would otherwise run on
     ONE task (the build side broadcasts, so the probe side's partitioning
-    dictates parallelism). A 100 TB input arrives pre-partitioned and this
-    becomes a no-op-ish round-robin; locally it is the difference between
-    1 and 32 cores on the O(pairs) scoring work.
+    dictates parallelism), and per-row CPU work (tokenize, md5, decimal
+    partial aggregation) runs one-core. Locally this round-robin is the
+    difference between 1 and 32 cores.
+
+    ``input_bytes`` (r11): when the caller knows the scan's on-disk size
+    (:func:`table_bytes` — file metadata, no job), the repartition is
+    SKIPPED whenever the scan already splits into at least
+    ``defaultParallelism * factor`` tasks under the session's
+    ``spark.sql.files.maxPartitionBytes``. The old unconditional form
+    was described as "no-op-ish at scale" — it is not: a round-robin of
+    a pre-partitioned 100 TB input is a full shuffle of every byte
+    (guide §2.4). With the estimate wired in, the local single-file
+    corpora still fan out and a wide production scan pays nothing.
+    Callers without a byte estimate keep the unconditional behavior.
+    Prefer :func:`load_spread` for the common load-then-spread shape.
     """
-    return df.repartition(spark.sparkContext.defaultParallelism * factor)
+    target = spark.sparkContext.defaultParallelism * factor
+    if input_bytes is not None:
+        try:
+            max_split = int(spark.conf.get("spark.sql.files.maxPartitionBytes"))
+        except ValueError:  # e.g. "128m" — parse the unit suffix
+            raw = spark.conf.get("spark.sql.files.maxPartitionBytes").lower()
+            units = {"k": 1024, "m": 1024**2, "g": 1024**3}
+            max_split = int(raw[:-1]) * units.get(raw[-1], 1)
+        if -(-input_bytes // max_split) >= target:
+            return df
+    return df.repartition(target)
+
+
+def load_spread(
+    spark: SparkSession, sf_dir: str, table: str, factor: int = 1
+) -> DataFrame:
+    """``spread(load(...))`` with the table's on-disk size wired into
+    the width decision — the standard way to open a table whose rows
+    feed CPU-heavy projections or pair-generating joins."""
+    return spread(
+        spark, load(spark, sf_dir, table), factor,
+        input_bytes=table_bytes(sf_dir, table),
+    )
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:

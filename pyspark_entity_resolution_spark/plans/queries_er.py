@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from ..functions import cleaning as C
 from ..operators.clustering import connected_components
-from .common import QuerySpec, load, spread
+from .common import QuerySpec, load, spread, table_bytes
 
 QUERIES: dict[str, QuerySpec] = {}
 
@@ -169,7 +169,7 @@ def levenshtein_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_name", "c_nationkey"
     )
     return blocked_levenshtein_pairs(
-        spread(spark, c), "c_custkey", "c_name",
+        spread(spark, c, input_bytes=table_bytes(sf_dir, "customer")), "c_custkey", "c_name",
         block_cols=["c_nationkey"], max_distance=2,
     )
 
@@ -244,7 +244,7 @@ def connected_components_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     # BENCH). CC symmetrizes internally, so a<b single-direction edges
     # suffice.
     edges = deletion_neighborhood_pairs(
-        spread(spark, c), "c_custkey", "c_name", block_cols=["c_nationkey"]
+        spread(spark, c, input_bytes=table_bytes(sf_dir, "customer")), "c_custkey", "c_name", block_cols=["c_nationkey"]
     ).select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
     labels = connected_components(edges, src="u", dst="v")
     return labels.select(
@@ -386,7 +386,7 @@ def er_flagship_doc_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = F.size(F.array_intersect("a_toks", "b_toks"))
     jac = inter.cast("double") / (F.col("a_nd") + F.col("b_nd") - inter)
     return (
-        spread(spark, a).join(b, on=["lang", "source"])
+        spread(spark, a, input_bytes=table_bytes(sf_dir, "documents")).join(b, on=["lang", "source"])
         .filter((F.col("a_id") < F.col("b_id")) & (F.abs(F.col("a_n") - F.col("b_n")) <= 10))
         .withColumn("title_jaccard_sim", jac)
         .filter(F.col("title_jaccard_sim") >= 0.5)
@@ -464,7 +464,7 @@ def er_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     inter = F.size(F.array_intersect("a_toks", "b_toks"))
     pairs = (
-        spread(spark, a).join(b, on="brand")
+        spread(spark, a, input_bytes=table_bytes(sf_dir, "part")).join(b, on="brand")
         .filter(F.col("a_id") < F.col("b_id"))
         # bounded: only the banded branch reads lev, and it filters
         # 0 <= lev < 10, so distances > 9 can report -1 without changing

@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from ..functions import text as T
 from ..operators import dedup as D
-from .common import QuerySpec, load, spread, table_rowcount
+from .common import QuerySpec, load, load_spread, table_rowcount
 
 QUERIES: dict[str, QuerySpec] = {}
 
@@ -109,7 +109,7 @@ def text_analysis_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     # file the scan is one task and the whole projection runs one-core
     # (measured 6.1 s -> 0.7 s at sf0.1). At scale the scan is already
     # wide and the round-robin is a cheap row redistribution.
-    d = spread(spark, load(spark, sf_dir, "documents"))
+    d = load_spread(spark, sf_dir, "documents")
     c = F.col("text")
     minhash = F.array_min(
         F.transform(F.array_distinct(T.char_shingles(c, 3)), F.md5)
@@ -243,7 +243,7 @@ _SIG_SQL = (
     "incremental_minhash_dedup)",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = spread(spark, load(spark, sf_dir, "documents"))
+    d = load_spread(spark, sf_dir, "documents")
     # r11: ONE banded projection + ONE verification profile over the
     # full corpus serve all three sections. Previously the pack ran the
     # signature pipeline three times (full corpus for 'pairs',
@@ -365,7 +365,7 @@ def dedup_ngram_sections(
     pipeline) over ~1 s of data work — the sf1 A/B read the same
     widening at ~1 s — and the unioned pack timing could not attribute
     the pack-widening cost from the artifact alone."""
-    docs = spread(spark, load(spark, sf_dir, "documents"))
+    docs = load_spread(spark, sf_dir, "documents")
     char_arm = D.ngram_jaccard_pairs(
         docs, block_cols=["lang", "source"], k=3, threshold=0.6,
     ).select(
@@ -412,7 +412,7 @@ _SIMHASH_SQL = """
     "rendered as 16-char hex — the banding-ready near-dup signature",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.simhash_signatures(spread(spark, load(spark, sf_dir, "documents")))
+    return D.simhash_signatures(load_spread(spark, sf_dir, "documents"))
 
 
 _CHUNK, _STRIDE = 200, 150  # 50-char overlap
@@ -494,7 +494,7 @@ def text_quality_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread: tokenize + 2-gram explode + quality regexes are CPU-bound
     # per-row work; one input file = one scan task otherwise (measured
     # 6.7 s -> 1.5 s at sf0.1). No-op-ish on an already-wide scan.
-    d = spread(spark, load(spark, sf_dir, "documents"))
+    d = load_spread(spark, sf_dir, "documents")
     text = F.col("text")
     rep = repetition_stats(d, n=2).select(
         "doc_id",
@@ -584,7 +584,7 @@ def pii_redaction_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one-file single-task scan). dedup_exact_pack deliberately does NOT
     # spread: its work is one hash-groupBy and the extra shuffle measured
     # 2x slower on the same input.
-    d = spread(spark, load(spark, sf_dir, "documents"))
+    d = load_spread(spark, sf_dir, "documents")
     did = F.col("doc_id")
     aug = F.concat(
         F.col("text"),
@@ -651,7 +651,7 @@ _WGRAMS_SQL = (
 def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.contamination import contamination_report
 
-    d = spread(spark, load(spark, sf_dir, "documents"))
+    d = load_spread(spark, sf_dir, "documents")
     train = d.filter(F.col("doc_id") % 2 == 0)
     eval_ = d.filter(F.col("doc_id") % 2 == 1)
     return contamination_report(train, eval_, w=_SHINGLE_W)
@@ -784,7 +784,7 @@ _SPAN_W = 10
 def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.substring_dedup import span_report_with_cut_variants
 
-    d = spread(spark, load(spark, sf_dir, "documents"))
+    d = load_spread(spark, sf_dir, "documents")
     spans_df, cut_df, cut_all_df = span_report_with_cut_variants(d, w=_SPAN_W)
     spans = spans_df.select(
         F.lit("span").alias("section"),
@@ -867,7 +867,7 @@ def text_vector_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
     from ..functions.text import tokens as tokenize
 
-    d = spread(spark, load(spark, sf_dir, "documents"))
+    d = load_spread(spark, sf_dir, "documents")
     # tiny driver scalar from parquet footers (== d.count(), no Spark
     # job at plan build); at scale use a broadcast agg
     n_docs = table_rowcount(sf_dir, "documents")
@@ -997,7 +997,7 @@ _WINNOW_MAX_DF = 10
 def doc_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.winnowing import fingerprint_overlap_pairs, winnow_fingerprints
 
-    d = spread(spark, load(spark, sf_dir, "documents"))
+    d = load_spread(spark, sf_dir, "documents")
     fps = winnow_fingerprints(d, k=_WINNOW_K, w=_WINNOW_W).localCheckpoint(
         eager=False
     )  # reuse barrier: the explode + window pass feeds both sections

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from ..functions.vectors import l2_norm, vector_dim
 from ..operators import ann as A
-from .common import QuerySpec, load, spread
+from .common import QuerySpec, load, spread, table_bytes
 
 QUERIES: dict[str, QuerySpec] = {}
 
@@ -75,7 +75,7 @@ def embedding_vector_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(l2_norm("embedding"), 4).alias("l2_norm"),
         F.lit(None).cast("double").alias("cos_sim"),
     )
-    pairs = A.embedding_near_duplicates(spread(spark, e), threshold=0.25).select(
+    pairs = A.embedding_near_duplicates(spread(spark, e, input_bytes=table_bytes(sf_dir, "embeddings")), threshold=0.25).select(
         F.lit("near_dup").alias("section"),
         "a_id",
         "b_id",
@@ -226,7 +226,7 @@ def ann_methods_arms(spark: SparkSession, sf_dir: str) -> "dict[str, DataFrame]"
     is shared by the nprobe=1 and nprobe=3 rows."""
     e = load(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 10)
-    corpus = spread(spark, e)
+    corpus = spread(spark, e, input_bytes=table_bytes(sf_dir, "embeddings"))
     centroids = e.filter(
         (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 500)
     ).select(
@@ -465,7 +465,7 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Guard it at query-build time so a larger gate corpus fails with a
     # clear message instead of a mystery hash-mismatch.
     e = load(spark, sf_dir, "embeddings")
-    ee = spread(spark, e)
+    ee = spread(spark, e, input_bytes=table_bytes(sf_dir, "embeddings"))
     # r11: the plane-count input is the table's row count — read it from
     # the parquet footers (the same metadata the oracle's adaptive_sql
     # already uses, exactly equal to ee.count()) instead of running a
@@ -595,7 +595,7 @@ def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.kmeans import kmeans
 
     e = load(spark, sf_dir, "embeddings")
-    return kmeans(spread(spark, e), k=8, max_iterations=3, quantize=6)
+    return kmeans(spread(spark, e, input_bytes=table_bytes(sf_dir, "embeddings")), k=8, max_iterations=3, quantize=6)
 
 
 def _pq_oracle_sql(
@@ -721,7 +721,7 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.pq import pq_assign, pq_topk, pq_train
 
     e = load(spark, sf_dir, "embeddings")
-    corpus = spread(spark, e)
+    corpus = spread(spark, e, input_bytes=table_bytes(sf_dir, "embeddings"))
     queries = e.filter(F.col("vec_id") % 25 == 0)
     books = pq_train(corpus, dim=64, m=4, k=8, max_iterations=2, quantize=6)
     codes = pq_assign(corpus, books, dim=64, quantize=6)

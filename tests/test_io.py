@@ -106,3 +106,29 @@ def test_jsonl_corrupt_record_quarantine(spark, tmp_path):
     bad = [r for r in rows if r["_corrupt_record"] is not None]
     assert {r["doc_id"] for r in good} == {1, 2}
     assert len(bad) == 1 and "not json" in bad[0]["_corrupt_record"]
+
+
+def test_spread_is_width_adaptive(spark, tmp_path):
+    """r11: spread() with a byte estimate repartitions ONLY narrow scans —
+    a wide (pre-partitioned, at-scale) input must not pay a round-robin
+    shuffle of every byte, while the local single-file corpus still fans
+    out to cluster parallelism."""
+    from pyspark_entity_resolution_spark.plans.common import (
+        load_spread,
+        spread,
+        table_bytes,
+    )
+
+    df = spark.range(100)
+    wide = spread(spark, df, input_bytes=200 * 1024**3)
+    narrow = spread(spark, df, input_bytes=1024)
+    unconditional = spread(spark, df)
+    assert "Repartition" not in wide._jdf.queryExecution().logical().toString()
+    assert "Repartition" in narrow._jdf.queryExecution().logical().toString()
+    assert "Repartition" in unconditional._jdf.queryExecution().logical().toString()
+    # load_spread wires the real file size in; identical rows either way
+    p = str(tmp_path / "t.parquet")
+    spark.range(50).write.parquet(p)
+    got = load_spread(spark, str(tmp_path), "t")
+    assert sorted(r["id"] for r in got.collect()) == list(range(50))
+    assert table_bytes(str(tmp_path), "t") > 0
