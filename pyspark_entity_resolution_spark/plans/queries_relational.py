@@ -180,12 +180,13 @@ def join_kinds_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     "A-class hash aggregate with exact decimal accumulation (TPC-H Q1 shape)",
 )
 def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # spread: the eight decimal partial aggregates run map-side ON the
-    # scan; a narrow local scan runs them one-core (measured 1.26 ->
-    # 0.81 s at sf0.1, identical rows — decimal sums are exact in any
-    # order). Width-adaptive: a pre-partitioned wide scan skips the
-    # round-robin entirely (plans/common.spread).
-    li = load_spread(spark, sf_dir, "lineitem")
+    # fan-out measured-and-REJECTED across scales (r11): spreading the
+    # scan wins at sf0.1 (1.26 -> 0.81 s: the eight decimal partial
+    # aggregates run map-side on a one-task scan) but LOSES at sf1
+    # (1.2-2.8 -> 1.7-9.5 s: the round-robin shuffles 126 MB to
+    # parallelize an aggregate whose per-row work is cheaper than the
+    # move). Scale wins: plain load, partial aggregation rides the scan.
+    li = load(spark, sf_dir, "lineitem")
     dec = lambda c, t="DECIMAL(18,2)": F.col(c).cast(t)
     disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
         "DECIMAL(28,10)"
