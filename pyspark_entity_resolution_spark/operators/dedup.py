@@ -856,6 +856,22 @@ def incremental_minhash_matches(
                 "checkpoints eagerly); over a stream let this function "
                 "build its own stages"
             )
+        # INVARIANT: both profiles must tokenize the same way — the
+        # verify intersects arriving_profile.toks with profile.toks, so
+        # a representation mismatch (xxhash64-hashed bigint tokens on
+        # one side, raw strings on the other) makes every intersection
+        # empty and silently drops all matches. The element types catch
+        # exactly that mismatch; raise instead of returning zero rows.
+        arr_el = arriving_profile.schema["toks"].dataType.elementType
+        prof_el = profile.schema["toks"].dataType.elementType
+        if arr_el != prof_el:
+            raise ValueError(
+                "arriving_profile.toks and profile.toks use different "
+                f"token representations ({arr_el.simpleString()} vs "
+                f"{prof_el.simpleString()}): both sides must come from "
+                "the same jaccard_profile configuration (hashed vs raw "
+                "tokens), or every jaccard intersection is empty"
+            )
         arr = arriving_banded.select(
             F.col(id_col).alias("__arr_id"),
             *[F.col(f"k{j}").alias(f"__arr_k{j}") for j in range(bands)],

@@ -92,24 +92,27 @@ def kmeans(
             F.array_min(dists).alias("sq_dist"),
         )
         # recompute centroids: per-cluster elementwise mean as ONE
-        # hash aggregate of `dims` per-dim sum/count columns — map-side
-        # partial aggregation, one k-row shuffle. (The previous
-        # posexplode shape pushed rows x dims exploded rows through TWO
-        # shuffles per iteration just to reassemble the same k·dims
-        # means.) `sum(get(__v, d)) / count(get(__v, d))` is the exact
-        # per-dim division the exploded form computed: quantized
-        # components are integer-valued doubles (exact, order-free sum)
-        # and count(get(...)) counts the same rows count(lit(1)) did.
-        # Fixed-dim embeddings are asserted (loudly) below — the old
-        # shape silently averaged ragged corpora per-dim; this one
-        # refuses them instead of guessing.
+        # hash aggregate of `dims` per-dim sum columns over a shared
+        # count(1) — map-side partial aggregation, one k-row shuffle.
+        # (The previous posexplode shape pushed rows x dims exploded
+        # rows through TWO shuffles per iteration just to reassemble
+        # the same k·dims means.) `sum(get(__v, d)) / count(1)` is the
+        # exact division the exploded form computed — including on a
+        # vector with a NULL element, where the r11 `count(get(...))`
+        # denominator silently counted non-NULL rows only (ADVICE r11):
+        # quantized components are integer-valued doubles (exact,
+        # order-free sum) and count(1) is the cluster's row count, the
+        # posexplode form's denominator. Fixed-dim embeddings are
+        # asserted (loudly) below — the old shape silently averaged
+        # ragged corpora per-dim; this one refuses them instead of
+        # guessing.
         stats = (
             assignments.groupBy("cluster")
             .agg(
                 F.expr("min(size(__v)) AS __mn"),
                 F.expr("max(size(__v)) AS __mx"),
                 *[
-                    F.expr(f"sum(get(__v, {d})) / count(get(__v, {d})) AS m{d}")
+                    F.expr(f"sum(get(__v, {d})) / count(1) AS m{d}")
                     for d in range(dims)
                 ],
             )

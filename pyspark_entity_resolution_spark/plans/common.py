@@ -47,33 +47,49 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+def _table_files(sf_dir: str, table: str) -> list[str]:
+    """The data files ``spark.read.parquet`` would read for a table:
+    the path itself when it is a plain file, else every non-hidden,
+    non-underscore file in the directory (Spark's InMemoryFileIndex
+    filter — NOT just ``*.parquet``: a fixture written with custom
+    naming must count the same here as in ``df.count()``, or the
+    planning-time scalars drift from what the query computes). Raises
+    when the directory matches nothing: a silent 0 would flip
+    choose_num_planes / n_docs and break oracle hash agreement."""
+    import os
+
+    path = f"{sf_dir}/{table}.parquet"
+    if not os.path.isdir(path):
+        return [path]
+    files = sorted(
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if not f.startswith((".", "_")) and os.path.isfile(os.path.join(path, f))
+    )
+    if not files:
+        raise FileNotFoundError(f"no data files under {path}")
+    return files
+
+
 def table_rowcount(sf_dir: str, table: str) -> int:
     """Row count of a testdata table from its parquet footers — exactly
     the n a ``load(...).count()`` job returns, without running a Spark
     job (r11: query builders that need a planning-time scalar count —
     LSH plane sizing, the TF-IDF n_docs — read it here instead of
     paying a full scan per plan build)."""
-    import glob
-    import os
-
     import pyarrow.parquet as pq
 
-    path = f"{sf_dir}/{table}.parquet"
-    files = (sorted(glob.glob(f"{path}/*.parquet"))
-             if os.path.isdir(path) else [path])
-    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    return sum(
+        pq.ParquetFile(f).metadata.num_rows for f in _table_files(sf_dir, table)
+    )
 
 
 def table_bytes(sf_dir: str, table: str) -> int:
     """On-disk bytes of a testdata table (file metadata only, no job) —
     the planning-time input to :func:`spread`'s width decision."""
-    import glob
     import os
 
-    path = f"{sf_dir}/{table}.parquet"
-    files = (sorted(glob.glob(f"{path}/*.parquet"))
-             if os.path.isdir(path) else [path])
-    return sum(os.path.getsize(f) for f in files)
+    return sum(os.path.getsize(f) for f in _table_files(sf_dir, table))
 
 
 def spread(
@@ -105,15 +121,32 @@ def spread(
     """
     target = spark.sparkContext.defaultParallelism * factor
     if input_bytes is not None:
-        try:
-            max_split = int(spark.conf.get("spark.sql.files.maxPartitionBytes"))
-        except ValueError:  # e.g. "128m" — parse the unit suffix
-            raw = spark.conf.get("spark.sql.files.maxPartitionBytes").lower()
-            units = {"k": 1024, "m": 1024**2, "g": 1024**3}
-            max_split = int(raw[:-1]) * units.get(raw[-1], 1)
+        max_split = _parse_byte_string(
+            spark.conf.get("spark.sql.files.maxPartitionBytes")
+        )
         if -(-input_bytes // max_split) >= target:
             return df
     return df.repartition(target)
+
+
+def _parse_byte_string(raw: str, default: int = 128 * 1024**2) -> int:
+    """Spark byte-string conf value -> bytes. Accepts every legal form
+    (``134217728``, ``128m``, ``128mb``, ``1g`` — case-insensitive; the
+    r11 parser crashed on two-letter suffixes like ``128mb`` and
+    silently misread unknown ones). Any unparseable value falls back to
+    ``default`` (Spark's 128 MB) instead of raising: the caller uses
+    the number only to DECIDE whether a repartition is worthwhile, and
+    a conservative guess must never fail query build."""
+    import re
+
+    m = re.fullmatch(
+        r"\s*(\d+)\s*([kmgtp]?)b?\s*", str(raw), flags=re.IGNORECASE
+    )
+    if not m:
+        return default
+    units = {"": 1, "k": 1024, "m": 1024**2, "g": 1024**3,
+             "t": 1024**4, "p": 1024**5}
+    return int(m.group(1)) * units[m.group(2).lower()]
 
 
 def load_spread(

@@ -132,3 +132,75 @@ def test_spread_is_width_adaptive(spark, tmp_path):
     got = load_spread(spark, str(tmp_path), "t")
     assert sorted(r["id"] for r in got.collect()) == list(range(50))
     assert table_bytes(str(tmp_path), "t") > 0
+
+
+def test_parse_byte_string_accepts_every_legal_spark_form():
+    """r12 (ADVICE r11): the r11 parser crashed on two-letter suffixes
+    ('128mb' -> int('128m') ValueError at query-build time) and silently
+    multiplied unknown suffixes by 1. Every legal Spark byte string must
+    parse; garbage falls back to the 128 MB default instead of raising."""
+    from pyspark_entity_resolution_spark.plans.common import _parse_byte_string
+
+    mb = 1024**2
+    assert _parse_byte_string("134217728") == 128 * mb
+    assert _parse_byte_string("128m") == 128 * mb
+    assert _parse_byte_string("128mb") == 128 * mb
+    assert _parse_byte_string("128MB") == 128 * mb
+    assert _parse_byte_string("1g") == 1024**3
+    assert _parse_byte_string("1gb") == 1024**3
+    assert _parse_byte_string("64k") == 64 * 1024
+    assert _parse_byte_string("512b") == 512
+    assert _parse_byte_string("1t") == 1024**4
+    # unparseable -> conservative default, never an exception
+    assert _parse_byte_string("auto") == 128 * mb
+    assert _parse_byte_string("128 m b") == 128 * mb
+    assert _parse_byte_string("") == 128 * mb
+
+
+def test_spread_survives_unit_suffixed_max_partition_bytes(spark):
+    """The width decision must work under any legal maxPartitionBytes
+    conf form, including the '128mb' shape that crashed the r11 parser."""
+    from pyspark_entity_resolution_spark.plans.common import spread
+
+    key = "spark.sql.files.maxPartitionBytes"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "128mb")
+        df = spark.range(10)
+        wide = spread(spark, df, input_bytes=200 * 1024**3)
+        narrow = spread(spark, df, input_bytes=1024)
+        assert "Repartition" not in wide._jdf.queryExecution().logical().toString()
+        assert "Repartition" in narrow._jdf.queryExecution().logical().toString()
+    finally:
+        spark.conf.set(key, old)
+
+
+def test_table_helpers_count_all_nonhidden_files(spark, tmp_path):
+    """r12 (ADVICE r11): table_rowcount/table_bytes must see the same
+    file set spark.read.parquet does — all non-hidden, non-underscore
+    files, whatever their names — and raise on an empty directory
+    instead of silently returning 0."""
+    import shutil
+
+    import pytest
+
+    from pyspark_entity_resolution_spark.plans.common import (
+        table_bytes,
+        table_rowcount,
+    )
+
+    p = tmp_path / "t.parquet"
+    spark.range(50).write.parquet(str(p))
+    # rename the part files so the old '*.parquet' glob would miss them
+    for f in os.listdir(p):
+        if f.endswith(".parquet") and not f.startswith((".", "_")):
+            os.rename(p / f, p / f.removesuffix(".parquet"))
+    assert spark.read.parquet(str(p)).count() == 50
+    assert table_rowcount(str(tmp_path), "t") == 50
+    assert table_bytes(str(tmp_path), "t") > 0
+
+    empty = tmp_path / "e.parquet"
+    empty.mkdir()
+    with pytest.raises(FileNotFoundError):
+        table_rowcount(str(tmp_path), "e")
+    shutil.rmtree(empty)

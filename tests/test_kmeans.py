@@ -47,3 +47,18 @@ def test_kmeans_refuses_ragged_embeddings(spark):
     df = spark.createDataFrame(rows, ["vec_id", "embedding"])
     with pytest.raises(Exception, match="fixed-dimension"):
         kmeans(df, k=2, max_iterations=1, quantize=6).collect()
+
+
+def test_kmeans_mean_is_sum_over_row_count(spark):
+    """r12 (ADVICE r11): pin the centroid mean arithmetic — sum of each
+    dim over the cluster's ROW count (the pre-r11 posexplode denominator,
+    count(lit(1))). k=1 with 2 iterations converges on the true mean, and
+    the returned sq_dist is the squared distance to that mean, so the
+    denominator is directly observable in the output."""
+    rows = [(1, [0.0]), (2, [3.0]), (3, [12.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {r["vec_id"]: r["sq_dist"] for r in kmeans(
+        df, k=1, max_iterations=3, quantize=0
+    ).collect()}
+    # mean = (0 + 3 + 12) / 3 = 5.0 -> sq_dists 25, 4, 49
+    assert got == {1: 25.0, 2: 4.0, 3: 49.0}

@@ -102,6 +102,24 @@ def test_matches_bypass_requires_both(docs):
         )
 
 
+def test_matches_bypass_rejects_mixed_token_representations(docs):
+    """r12 (ADVICE r11): a hashed (bigint) arriving profile against a
+    raw-string corpus profile makes every jaccard intersection empty and
+    silently drops all matches — the bypass must raise instead."""
+    accepted = docs.filter(F.col("doc_id") % 10 == 0)
+    arriving = docs.filter(F.col("doc_id") % 10 == 1)
+    idx = D.minhash_corpus_index(accepted, num_hashes=12, bands=3)
+    banded = D.minhash_banded(docs, num_hashes=12, bands=3)
+    hashed_prof = D.jaccard_profile(docs)          # bigint tokens
+    str_prof = D.token_profile(accepted)           # raw string tokens
+    with pytest.raises(ValueError, match="token representations"):
+        D.incremental_minhash_matches(
+            arriving, idx, str_prof, num_hashes=12, bands=3,
+            arriving_banded=banded.filter(F.col("doc_id") % 10 == 1),
+            arriving_profile=hashed_prof.filter(F.col("doc_id") % 10 == 1),
+        )
+
+
 def test_verify_profile_reuse_equals_inline(docs):
     cands = D.minhash_lsh_candidates(docs, num_hashes=12, bands=3)
     old = D.verify_token_jaccard(cands, docs, threshold=0.3)
