@@ -324,6 +324,75 @@ def _bench_er_pipeline_e2e(spark) -> float:
         shutil.rmtree(dest, ignore_errors=True)
 
 
+def er_e2e_stage_sec(spark) -> dict:
+    """UNTIMED (relative to the headline row) per-stage split of the e2e
+    ER pipeline — r12 (r11 verdict task 4): the 6 s e2e row was the
+    biggest headline number for two rounds with no visibility into WHICH
+    stage carries it. Mirrors run_er_pipeline's stage boundaries exactly
+    (same lazy localCheckpoints), materializing each boundary with the
+    noop sink in dependency order so each stage's first materialization
+    cost lands in its own bucket. One warm pass — numbers are
+    attribution weights, not gate values; the headline row above stays
+    the timed artifact entry."""
+    import shutil
+    import tempfile
+
+    from pyspark_entity_resolution_spark.operators.clustering import (
+        cluster_matched_pairs,
+    )
+    from pyspark_entity_resolution_spark.operators.resolve import (
+        entity_table,
+        pick_representatives,
+    )
+    from pyspark_entity_resolution_spark.pipeline import (
+        ERConfig,
+        match_publications,
+        prepare_publications,
+    )
+    from pyspark_entity_resolution_spark.sources.io import write_csv
+
+    pa, pb = _gen_er_corpus("/tmp/er_bench_corpus_v1")
+    cfg = ERConfig(window=3)
+    stages: dict[str, float] = {}
+
+    def _noop(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    def _timed(tag, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        stages[tag] = round(time.perf_counter() - t0, 3)
+        return out
+
+    left = _timed("parse_clean_left", lambda: (
+        lambda df: (_noop(df), df)[1]
+    )(prepare_publications(spark, pa, cfg).localCheckpoint(eager=False)))
+    right = _timed("parse_clean_right", lambda: (
+        lambda df: (_noop(df), df)[1]
+    )(prepare_publications(spark, pb, cfg).localCheckpoint(eager=False)))
+    matches = _timed("block_match", lambda: (
+        lambda df: (_noop(df), df)[1]
+    )(match_publications(left, right, cfg).localCheckpoint(eager=False)))
+    clustered = _timed("cluster_cc", lambda: cluster_matched_pairs(
+        matches, left_id="a_id", right_id="b_id", left_name="a",
+        right_name="b",
+    ))
+    entities = _timed("resolve_entity_table", lambda: (
+        lambda df: (_noop(df), df)[1]
+    )(entity_table(
+        pick_representatives(clustered),
+        raw_by_side={"a": left, "b": right}, sides=["a", "b"],
+    )))
+    dest = tempfile.mkdtemp(prefix="er_stage_out_")
+    try:
+        _timed("csv_write", lambda: write_csv(
+            entities, f"{dest}/entities", sep="\t"
+        ))
+    finally:
+        shutil.rmtree(dest, ignore_errors=True)
+    return stages
+
+
 def multimodal_sections(spark, sf_dir: str | None = None) -> dict:
     """Per-kernel arms of the media-family pack over a deterministic
     synthetic corpus (tools/media_corpus.py: planted near-dup WAV
@@ -396,18 +465,34 @@ def multimodal_sections(spark, sf_dir: str | None = None) -> dict:
     }
 
 
-def _bench_multimodal(spark) -> float:
+def _bench_multimodal(spark) -> "tuple[float, dict]":
     """Headline aggregate over the six multimodal_sections arms (r11:
-    +mjpeg_frame_sample; the tripwires fire inside the provider)."""
+    +mjpeg_frame_sample; the tripwires fire inside the provider).
+
+    r12 (r11 verdict task 5): returns ``(total_best, per_arm)`` so the
+    HEADLINE artifact carries per-kernel section times too — the r11
+    PERF comparison read the pack 0.63x because a sixth kernel joined
+    the total and only full mode could have shown the split. The timed
+    region per pass is unchanged (the same arm loop; per-arm
+    perf_counter reads between arms are the only addition); per-arm
+    values are min over the same 3 passes the total takes its min from."""
     arms = multimodal_sections(spark)
     best = None
+    arm_times: dict[str, list[float]] = {name: [] for name in arms}
     for _ in range(3):
         start = time.perf_counter()
-        for df in arms.values():
+        for name, df in arms.items():
+            t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
+            arm_times[name].append(time.perf_counter() - t0)
         elapsed = time.perf_counter() - start
         best = elapsed if best is None else min(best, elapsed)
-    return round(best, 3)
+    per_arm = {
+        name: {"min": round(min(ts), 3),
+               "spread": round(max(ts) - min(ts), 3)}
+        for name, ts in arm_times.items()
+    }
+    return round(best, 3), per_arm
 
 
 def media_corpus_meta(n_audio: int = 400, n_images: int = 400,
@@ -574,6 +659,7 @@ def main(full: bool = False, baseline_ref: str | None = None) -> None:
     per_query: dict[str, float] = {}
     query_spread: dict[str, float] = {}
     query_rows: dict[str, int] = {}
+    build_exec_sec: dict[str, dict] = {}
     total = 0.0
     for name in names:
         fn = specs[name].fn
@@ -593,6 +679,22 @@ def main(full: bool = False, baseline_ref: str | None = None) -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             times.append(time.perf_counter() - start)
         best = round(min(times), 3)
+        if full:
+            # r12 (r11 verdict task 8): UNTIMED build-vs-exec split —
+            # one extra warm pass per query, timing plan construction
+            # (fn(), which includes any plan-build actions: collects,
+            # eager checkpoints, Lloyd iterations) apart from execution
+            # (the noop write of the built plan). Rides in metadata so
+            # the next round can target exec-bound rows without
+            # re-profiling; the gate numbers above are untouched.
+            t0 = time.perf_counter()
+            built = fn(spark, sf_dir)
+            t1 = time.perf_counter()
+            built.write.format("noop").mode("overwrite").save()
+            t2 = time.perf_counter()
+            build_exec_sec[name] = {
+                "build": round(t1 - t0, 3), "exec": round(t2 - t1, 3),
+            }
         query_spread[name] = round(max(times) - min(times), 3)
         # untimed result-cardinality probe: a changed row count on an
         # unchanged query name = workload (testdata/pack) change, which
@@ -665,11 +767,19 @@ def main(full: bool = False, baseline_ref: str | None = None) -> None:
         per_query["er_pipeline_e2e_n3"] = e2e_elapsed
         total += e2e_elapsed
 
-        mm_elapsed = _bench_multimodal(spark)
+        mm_elapsed, mm_sections = _bench_multimodal(spark)
         print(f"[bench] multimodal_pack: {mm_elapsed}s",
               file=sys.stderr, flush=True)
         per_query["multimodal_pack"] = mm_elapsed
         total += mm_elapsed
+        # r12: per-kernel sections in HEADLINE mode too (r11 verdict
+        # task 5) so the next PERF comparison can subtract a widened
+        # arm instead of reading workload growth as a regression
+        pack_section_sec = {"multimodal_pack": mm_sections}
+
+        er_stages = er_e2e_stage_sec(spark)
+        print(f"[bench] er_pipeline_e2e_n3 stages: {er_stages}",
+              file=sys.stderr, flush=True)
 
     # --- workload self-description (untimed) -------------------------
     # Table cardinalities come from parquet footer metadata (cheap); the
@@ -699,8 +809,13 @@ def main(full: bool = False, baseline_ref: str | None = None) -> None:
     }
     if pack_section_sec is not None:
         workload["pack_section_sec"] = pack_section_sec
-        # r8 artifact continuity: the ANN arms rode under this key
-        workload["ann_methods_arm_sec"] = pack_section_sec["ann_methods_topk"]
+        if "ann_methods_topk" in pack_section_sec:
+            # r8 artifact continuity: the ANN arms rode under this key
+            workload["ann_methods_arm_sec"] = pack_section_sec["ann_methods_topk"]
+    if not full:
+        workload["er_e2e_stage_sec"] = er_stages
+    if build_exec_sec:
+        workload["build_exec_sec"] = build_exec_sec
     metric = "full_total_runtime" if full else "headline_total_runtime"
     # emit the HEAD artifact BEFORE the baseline subprocess: if a
     # harness timeout kills the run mid-baseline, the measured numbers
