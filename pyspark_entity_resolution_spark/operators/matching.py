@@ -244,14 +244,21 @@ def strip_common_affixes_by_block(
     over that tiny result (no driver round-trip per block), and the
     |blocks|-row affix table broadcast-joined back onto the rows.
 
-    The affix table is NOT materialized: a downstream self-join
-    evaluates the groupBy once per side (Catalyst does not dedupe the
-    two broadcast subtrees here), and that is the cheaper deal — the
-    aggregate is one map-side-combined pass over the slim base
-    projection, while an eager ``localCheckpoint`` barrier measured
-    +1.5 s of fixed per-call driver latency at sf0.1 (2.47 s vs
-    0.96 s on the bench lev row) to save a scan that is noise next to
-    any blocked pair scan. A streaming input is returned unstripped
+    The affix table is NOT materialized, and that is the measured-right
+    deal twice over. (1) Runtime duplicate evaluation is NOT a cost:
+    although a downstream self-join carries this subtree once per side
+    in the logical plan, AQE stage reuse dedupes it at execution —
+    verified r12 against SQL-node metrics (executed plan: ONE
+    SortAggregate pair, ONE affix BroadcastExchange, 2 scans not 4).
+    (2) Every materialization alternative measured worse at sf0.1:
+    an eager ``localCheckpoint`` barrier +1.5 s (r11, 2.47 s vs
+    0.96 s on the bench lev row); collecting the aggregate to a
+    driver-side LocalRelation with the LCPs computed in Python read
+    3.09 s vs 1.28 s min (r12 interleaved in-JVM A/B, identical
+    163,383 rows) — a plan-build ACTION costs more per call than the
+    whole in-plan overhead. Rewriting the LCPs into layered
+    projections (each wide tree appearing once) was also a wash
+    (r12: mins 1.855 vs 1.829). A streaming input is returned unstripped
     (the strip is an optimization, never a semantics change). Rows whose
     block key is NULL are dropped — they can never appear in a blocked
     pair, which is exactly how every blocked join downstream treats
