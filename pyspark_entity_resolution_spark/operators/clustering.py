@@ -427,7 +427,8 @@ def connected_components(
         if width is not None:
             spark.conf.set(key, str(width))
         return _connected_components_loop(
-            raw, max_iterations, level, pin=n_edges >= PIN_EXCHANGE_ABOVE_EDGES
+            raw, max_iterations, level,
+            pin=n_edges >= PIN_EXCHANGE_ABOVE_EDGES, n_edges=n_edges,
         )
     finally:
         spark.conf.set(key, session_width)
@@ -447,7 +448,8 @@ LAST_RUN_ROUND_STATS: list = []
 
 
 def _connected_components_loop(
-    raw: DataFrame, max_iterations: int, level=None, pin: bool = False
+    raw: DataFrame, max_iterations: int, level=None, pin: bool = False,
+    n_edges: "int | None" = None,
 ) -> DataFrame:
     import time as _time
 
@@ -474,14 +476,43 @@ def _connected_components_loop(
         .localCheckpoint(storageLevel=level)
     )
     n_self = self_only.count()
-    e = (
-        raw.filter(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint(storageLevel=level)
-    )
-    # raw's blocks are superseded the moment both derivatives above are
-    # materialized (the caller's count() already ran on them)
-    _release_checkpoint(raw)
+    # r12 (r11 verdict task 1, "round-1 spike"): the pre-loop
+    # ``distinct().localCheckpoint() + count`` staged the deduped edge
+    # set through storage before round 1 ever ran — a full shuffle, a
+    # full persisted copy and an extra action, all on the LARGEST edge
+    # set the loop will ever see. Round 1 does not need it: both star
+    # windows compute per-partition minima (duplicate-insensitive) and
+    # the round-final ``distinct`` already dedups the output, so round
+    # 1 may consume the raw filtered plan directly; the gate count for
+    # round 0 is the caller's raw count (an upper bound — a false
+    # plateau just runs the probe early, which is documented-safe).
+    # ``SPARK_GRAFT_CC_INGEST=staged`` restores the r11 shape for A/B.
+    import os as _os_ing
+
+    _ingest = _os_ing.environ.get("SPARK_GRAFT_CC_INGEST", "fused")
+    if _ingest not in ("fused", "staged"):
+        raise ValueError(
+            f"SPARK_GRAFT_CC_INGEST must be 'fused' or 'staged', got {_ingest!r}"
+        )
+    if _ingest == "staged":
+        e = (
+            raw.filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(storageLevel=level)
+        )
+        # raw's blocks are superseded the moment both derivatives above
+        # are materialized (the caller's count() already ran on them)
+        _release_checkpoint(raw)
+        prev_count = e.count()
+        pending_release = None
+    else:
+        e = raw.filter(F.col("u") != F.col("v"))
+        # the raw checkpoint feeds round 1 (twice, via the symmetrizing
+        # union — two reads of persisted blocks, the same cost the
+        # staged shape paid reading its own checkpoint) and must stay
+        # resident until round 1's output materializes
+        prev_count = raw.count() if n_edges is None else n_edges
+        pending_release = raw
 
     # NOTE on a measured dead end (round 6): per-round FREEZE-OUT of
     # finished star components (drop proper stars from the working edge
@@ -495,10 +526,6 @@ def _connected_components_loop(
     # round. What survives from that attempt is (a) the superseded-
     # checkpoint release below and (b) the stricter node-role
     # convergence probe, both wins independent of graph shape.
-    # the initial count doubles as the first gate value for the probe
-    # gating below (a pre-converged input gets probed in round 0); the
-    # scan over the just-materialized checkpoint is trivial
-    prev_count = e.count()
     # r11 experiment knob: SPARK_GRAFT_CC_ROUND1=small-only runs the
     # FIRST round as small-star alone (no large-star). Correctness is
     # unaffected by construction: every star application preserves the
@@ -525,6 +552,11 @@ def _connected_components_loop(
             eager=False, storageLevel=level
         )
         count = e.count()
+        if pending_release is not None:
+            # fused ingest: round 1 has materialized, the raw checkpoint
+            # has no further consumer (self_only is its own checkpoint)
+            _release_checkpoint(pending_release)
+            pending_release = None
         converged = False
         # COUNT-GATED fixed-point probe: a converged round necessarily
         # reproduces the previous round's edge count (f(fixpoint) =

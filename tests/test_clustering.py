@@ -323,3 +323,39 @@ def test_round1_small_only_knob_matches_default(spark, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_CC_ROUND1", "small-only")
     skipped = _components_as_partitions(connected_components(edges).collect())
     assert skipped == baseline
+
+
+def test_ingest_knob_fused_matches_staged(spark, monkeypatch):
+    """SPARK_GRAFT_CC_INGEST selects whether round 1 consumes the raw
+    filtered edge plan directly (``fused``, the r12 default — no
+    pre-loop distinct/checkpoint/count of the largest edge set the loop
+    ever sees) or the r11 staged distinct checkpoint. Labels must be
+    identical: both star forms compute duplicate-insensitive
+    per-neighborhood minima and the round-final dedup absorbs input
+    multiplicity, so the knob can only move WHERE the dedup happens."""
+    import random
+
+    rng = random.Random(7)
+    raw = [
+        (rng.randrange(300), rng.randrange(300)) for _ in range(700)
+    ] + [(5, 5), (5, 5), (950, 950), (17, 44), (17, 44), (17, 44)]
+    edges = spark.createDataFrame(raw, ["src", "dst"])
+
+    monkeypatch.setenv("SPARK_GRAFT_CC_INGEST", "staged")
+    staged = sorted(
+        (r.node, r.component) for r in connected_components(edges).collect()
+    )
+    monkeypatch.setenv("SPARK_GRAFT_CC_INGEST", "fused")
+    fused = sorted(
+        (r.node, r.component) for r in connected_components(edges).collect()
+    )
+    assert fused == staged
+
+
+def test_ingest_knob_rejects_typos(spark, monkeypatch):
+    import pytest
+
+    monkeypatch.setenv("SPARK_GRAFT_CC_INGEST", "Fused ")
+    edges = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    with pytest.raises(ValueError, match="SPARK_GRAFT_CC_INGEST"):
+        connected_components(edges).collect()
